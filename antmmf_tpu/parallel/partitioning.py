@@ -1,0 +1,115 @@
+"""Rule-based parameter/activation sharding.
+
+The reference has no tensor-parallel layout machinery (DDP replicates everything);
+here sharding is a first-class config surface. Param shardings are inferred from
+regex rules over the flattened parameter path, e.g.::
+
+    param_sharding_rules:
+      - [".*attention.*kernel",  [null, "model"]]   # shard heads over `model`
+      - [".*mlp/fc1/kernel",     [null, "model"]]
+      - [".*mlp/fc2/kernel",     ["model", null]]
+      - [".*kernel",             ["fsdp", null]]    # ZeRO-3 fallback
+      - [".*",                   null]              # replicate the rest
+
+First matching rule wins. ``null`` (None) entries replicate that dimension; a rule
+value of null replicates the whole tensor. An entry may also be a list of axis
+names to shard one dimension over multiple mesh axes.
+
+Used by the trainer to build `NamedSharding` trees for pjit in/out shardings and by
+`shard_constraint` for activation annotations inside the step function.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+Rules = Sequence[Tuple[str, Optional[Sequence[Union[str, Sequence[str], None]]]]]
+
+# Sensible defaults: FSDP-shard every large matmul kernel over `fsdp`, replicate
+# biases/scales. With fsdp=1 these all collapse to full replication.
+DEFAULT_RULES: Rules = (
+    (r".*(kernel|embedding)$", ("fsdp", None)),
+    (r".*", None),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for(path_string: str, ndim: int, rules: Rules) -> PartitionSpec:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path_string):
+            if spec is None:
+                return PartitionSpec()
+            spec = list(spec)
+            if len(spec) > ndim:
+                # rule longer than tensor rank (e.g. bias matched a kernel rule):
+                # keep the trailing dims' entries
+                spec = spec[-ndim:] if ndim else []
+            while len(spec) < ndim:
+                spec.append(None)
+            # lists inside the spec mean "shard this dim over multiple axes"
+            spec = [tuple(s) if isinstance(s, list) else s for s in spec]
+            return PartitionSpec(*spec)
+    return PartitionSpec()
+
+
+def infer_param_specs(params: Any, rules: Optional[Rules] = None) -> Any:
+    """Map a parameter pytree to a pytree of PartitionSpec via path-regex rules."""
+    rules = tuple(rules) if rules else DEFAULT_RULES
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = [spec_for(_path_str(path), getattr(leaf, "ndim", 0), rules) for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def named_shardings(specs: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
+
+
+def shard_constraint(x: Any, spec: PartitionSpec, mesh: Optional[Mesh] = None) -> Any:
+    """Annotate an intermediate value's sharding inside a jitted function."""
+    if mesh is None:
+        return jax.lax.with_sharding_constraint(x, spec)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def validate_specs(params: Any, specs: Any, mesh: Mesh) -> List[str]:
+    """Return a list of human-readable problems (dims not divisible by axis size)."""
+    problems: List[str] = []
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(params)
+    flat_s = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, PartitionSpec)
+    )
+    for (path, leaf), spec in zip(flat_p, flat_s):
+        for dim, entry in enumerate(spec):
+            if entry is None:
+                continue
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            if leaf.shape[dim] % size:
+                problems.append(
+                    f"{_path_str(path)}: dim {dim} ({leaf.shape[dim]}) not divisible "
+                    f"by mesh axes {axes} (size {size})"
+                )
+    return problems
