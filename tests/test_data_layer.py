@@ -1,0 +1,189 @@
+import os
+
+import numpy as np
+import pytest
+
+from antmmf_tpu.datasets.database.annotated import AnnotatedDatabase
+from antmmf_tpu.datasets.database.image_database import ImageDatabase
+from antmmf_tpu.datasets.database.video_database import VideoClipsDatabase
+from antmmf_tpu.datasets.loader import DataLoader
+from antmmf_tpu.datasets.processors.image_processors import NormalizedImageProcessor
+from antmmf_tpu.datasets.processors.processors import Processor, build_processors
+from antmmf_tpu.datasets.processors.video_processors import VideoFramesProcessor
+from antmmf_tpu.datasets.samplers import (
+    DistributedSampler,
+    RandomSampler,
+    build_sampler,
+)
+from antmmf_tpu.structures.sample import Sample, SampleList
+from antmmf_tpu.utils.video_utils import (
+    VideoReader,
+    sample_clip_indices,
+    sample_frame_indices,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+MP4 = os.path.join(DATA, "video", "data", "mp4", "video9770.mp4")
+
+
+# ---------------------------------------------------------------- structures
+def test_sample_list_stacks_and_separates_metadata():
+    samples = [
+        Sample({"x": np.ones((3,), np.float32), "label": 1, "text": "a",
+                "dataset_type": "train", "dataset_name": "d"}),
+        Sample({"x": np.zeros((3,), np.float32), "label": 0, "text": "b",
+                "dataset_type": "train", "dataset_name": "d"}),
+    ]
+    batch = SampleList.from_samples(samples)
+    assert batch["x"].shape == (2, 3)
+    assert batch["label"].shape == (2,)
+    assert batch.metadata["text"] == ["a", "b"]
+    assert batch.metadata["dataset_type"] == "train"
+    assert batch.get_batch_size() == 2
+
+
+def test_sample_list_rejects_ragged():
+    samples = [Sample({"x": np.ones((3,))}), Sample({"x": np.ones((4,))})]
+    with pytest.raises(ValueError, match="ragged"):
+        SampleList.from_samples(samples)
+
+
+def test_select_fields_prefix_routing():
+    batch = SampleList({"caption_input_ids": np.zeros((2, 4)),
+                        "image_data": np.zeros((2, 3)),
+                        "targets": np.zeros((2,))})
+    cap = batch.select_fields(["caption_"])
+    assert set(cap.keys()) == {"caption_input_ids"}
+
+
+# ------------------------------------------------------------------ databases
+def test_annotated_database_jsonl():
+    db = AnnotatedDatabase(os.path.join(DATA, "video", "msrvtt_train.jsonl"))
+    assert len(db) == 4
+    assert db[0]["caption"].startswith("a person")
+    assert "clip_name" in db[0]
+
+
+def test_image_database_loads_fixture():
+    db = ImageDatabase(os.path.join(DATA, "image"))
+    img = db("dog.jpg")
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+
+
+# ---------------------------------------------------------------- video decode
+def test_video_reader_fixture():
+    with VideoReader(MP4) as vr:
+        assert vr.num_frames > 0 and vr.fps > 0
+        frames = vr.sample(4)
+    assert frames.shape[0] == 4 and frames.shape[3] == 3
+
+
+def test_video_reader_time_window():
+    with VideoReader(MP4) as vr:
+        frames = vr.sample(2, start=0.0, end=1.0)
+    assert frames.shape[0] == 2
+
+
+def test_sampling_strategies():
+    u = sample_frame_indices(100, 4, "uniform")
+    assert u.tolist() == [0, 33, 66, 99]
+    r = sample_frame_indices(100, 4, "random", np.random.default_rng(0))
+    assert (np.diff(r) >= 0).all() and r.max() < 100
+    f = sample_frame_indices(100, 4, "fix_start")
+    assert f.tolist() == [0, 1, 2, 3]
+    clips = sample_clip_indices(100, 2, 3, "uniform")
+    assert clips.shape == (2, 3)
+    assert clips[0].max() < 50 <= clips[1].min()
+
+
+def test_video_clips_database():
+    db = VideoClipsDatabase(os.path.join(DATA, "video", "data", "mp4"))
+    clips = db.get("video9770.mp4", n_clips=2, frames_per_clip=2)
+    assert clips.shape[:2] == (2, 2) and clips.shape[4] == 3
+
+
+# ------------------------------------------------------------------ processors
+def test_normalized_image_processor_shape():
+    proc = NormalizedImageProcessor({"size": 64, "resize": 72})
+    rgb = (np.random.default_rng(0).random((120, 90, 3)) * 255).astype(np.uint8)
+    out = proc({"image": rgb})
+    assert out["image"].shape == (64, 64, 3)
+    assert out["image"].dtype == np.float32
+
+
+def test_video_frames_processor_end_to_end():
+    proc = VideoFramesProcessor({"num_frames": 4, "image": {"size": 56, "resize": 64}})
+    out = proc({"video": MP4})
+    assert out["video"].shape == (4, 56, 56, 3)
+    assert out["video_mask"].tolist() == [1, 1, 1, 1]
+
+
+def test_processor_wrapper_lazy_registry():
+    p = Processor({"type": "normalized_image", "params": {"size": 32}})
+    out = p(np.zeros((48, 48, 3), np.uint8))
+    assert out["image"].shape == (32, 32, 3)
+    procs = build_processors({"image_processor": {"type": "copy", "params": {}}})
+    assert procs["image_processor"]("x") == "x"
+
+
+# -------------------------------------------------------------------- samplers
+def test_random_sampler_epoch_reseed():
+    ds = list(range(50))
+    s = RandomSampler(ds, seed=3)
+    s.set_epoch(0)
+    a = list(s)
+    s.set_epoch(1)
+    b = list(s)
+    assert a != b and sorted(a) == list(range(50))
+
+
+def test_distributed_sampler_partitions():
+    ds = list(range(10))
+    parts = []
+    for rank in range(4):
+        s = DistributedSampler(ds, shuffle=False, num_replicas=4, rank=rank)
+        parts.append(list(s))
+    assert all(len(p) == 3 for p in parts)  # ceil(10/4) with wrap pad
+    flat = [i for p in parts for i in p]
+    assert set(flat) == set(range(10))
+
+
+def test_build_sampler_from_config():
+    s = build_sampler({"type": "random_sampler", "params": {"seed": 1}}, list(range(5)))
+    assert sorted(s) == list(range(5))
+
+
+# ---------------------------------------------------------------------- loader
+class _ToyDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return Sample({"x": np.full((2,), float(i), np.float32), "idx": i})
+
+    collate_fn = staticmethod(SampleList.from_samples)
+
+
+def test_dataloader_batches_and_drop_last():
+    dl = DataLoader(_ToyDataset(), batch_size=4, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    assert batches[0]["x"].shape == (4, 2)
+
+
+def test_dataloader_threaded_prefetch_matches():
+    ds = _ToyDataset()
+    seq = [b["idx"].tolist() for b in DataLoader(ds, batch_size=3)]
+    thr = [b["idx"].tolist() for b in DataLoader(ds, batch_size=3, num_workers=2)]
+    assert seq == thr
+
+
+def test_dataloader_propagates_worker_errors():
+    class Bad(_ToyDataset):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("decode failed")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(DataLoader(Bad(), batch_size=2, num_workers=2))
