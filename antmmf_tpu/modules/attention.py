@@ -1,0 +1,119 @@
+"""Multi-head attention with a swappable compute core.
+
+Two cores:
+  * ``xla``   — einsum attention with fp32 softmax; XLA fuses this well at the
+    50–500-token lengths of image/text towers.
+  * ``pallas`` — blocked flash-attention TPU kernel (``antmmf_tpu/ops/pallas/
+    flash_attention.py``) for long sequences (multi-frame video token streams);
+    selected automatically when shapes qualify and the platform is TPU, or
+    forced via config ``use_pallas_attention``.
+
+This replaces the reference's torch ``nn.MultiheadAttention``/apex fused swap
+(``/root/reference/antmmf/utils/optim_utils.py:18-93``): kernel choice is a config
+knob, not a monkey-patch.
+
+The sequence axis is shard-ready: q/k/v are produced per-head, and when the mesh
+has a nontrivial ``seq`` axis the caller can wrap the core in shard_map with
+all-to-all head exchange (Ulysses) — see ``antmmf_tpu/parallel/long_context.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def xla_attention_core(
+    q: jnp.ndarray,  # [B, H, Lq, D]
+    k: jnp.ndarray,  # [B, H, Lk, D]
+    v: jnp.ndarray,  # [B, H, Lk, D]
+    bias: Optional[jnp.ndarray] = None,  # additive [B, 1|H, Lq|1, Lk] fp32
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    scale = scale if scale is not None else q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def select_core(use_pallas: bool, q_shape, k_shape) -> str:
+    """Pallas flash attention pays off past a few hundred tokens; below that the
+    XLA path is equal-or-faster and compiles quicker."""
+    if not use_pallas:
+        return "xla"
+    if jax.default_backend() not in ("tpu", "axon"):
+        return "xla"
+    Lq, Lk = q_shape[-2], k_shape[-2]
+    d = q_shape[-1]
+    if Lq >= 256 and Lk >= 256 and d in (64, 128):
+        return "pallas"
+    return "xla"
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    core = select_core(use_pallas, q.shape, k.shape)
+    if core == "pallas":
+        from antmmf_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, scale=scale)
+    return xla_attention_core(q, k, v, bias=bias, scale=scale)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention. ``bias`` is an additive fp32 mask (see
+    ``layers.make_attention_mask``)."""
+
+    num_heads: int
+    head_dim: Optional[int] = None
+    dropout: float = 0.0
+    use_pallas: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, Lq, C]
+        kv: Optional[jnp.ndarray] = None,  # [B, Lk, C] (None = self-attention)
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        kv = x if kv is None else kv
+        C = x.shape[-1]
+        head_dim = self.head_dim or C // self.num_heads
+        inner = self.num_heads * head_dim
+        dense = functools.partial(
+            nn.Dense, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+
+        def heads(t: jnp.ndarray) -> jnp.ndarray:
+            B, L, _ = t.shape
+            return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(dense(inner, name="q_proj")(x))
+        k = heads(dense(inner, name="k_proj")(kv))
+        v = heads(dense(inner, name="v_proj")(kv))
+
+        out = attention_core(q, k, v, bias=bias, use_pallas=self.use_pallas)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        B, H, Lq, D = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * D)
+        return dense(self.out_dim or C, name="out_proj")(out)

@@ -1,0 +1,162 @@
+"""Embedding modules: text (word+position+type) and visual (patch + 2D pos).
+
+Reference parity: ``/root/reference/antmmf/modules/embeddings/`` — text embeddings
+(``text_embedding.py``), CLIP visual embedding with 2D-interpolated positions
+(``clip_visual_embedding.py``), DETR sine positions
+(``detr_position_embedding_sine.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from antmmf_tpu.modules.layers import LayerNorm
+
+Dtype = Any
+
+
+class TextEmbeddings(nn.Module):
+    """BERT-style: word + learned-position + token-type, then LN + dropout."""
+
+    vocab_size: int
+    hidden_size: int
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,  # int[B, L]
+        segment_ids: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, L = input_ids.shape
+        word = nn.Embed(self.vocab_size, self.hidden_size, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="word_embeddings")
+        pos = nn.Embed(self.max_position_embeddings, self.hidden_size,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="position_embeddings")
+        typ = nn.Embed(self.type_vocab_size, self.hidden_size, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="token_type_embeddings")
+        if position_ids is None:
+            position_ids = jnp.arange(L)[None, :]
+        if segment_ids is None:
+            segment_ids = jnp.zeros_like(input_ids)
+        x = word(input_ids) + pos(position_ids) + typ(segment_ids)
+        x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="layer_norm")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+def interpolate_pos_embed_2d(
+    pos: jnp.ndarray, src_hw: tuple, dst_hw: tuple
+) -> jnp.ndarray:
+    """Bilinearly resample a [1 + h*w, C] position table (leading CLS) to a new
+    grid — the CLIP trick for off-res inputs (clip_visual_embedding.py)."""
+    if src_hw == dst_hw:
+        return pos
+    cls_tok, grid = pos[:1], pos[1:]
+    h0, w0 = src_hw
+    h1, w1 = dst_hw
+    grid = grid.reshape(h0, w0, -1)
+    grid = jax.image.resize(grid, (h1, w1, grid.shape[-1]), method="bilinear")
+    return jnp.concatenate([cls_tok, grid.reshape(h1 * w1, -1)], axis=0)
+
+
+class PatchEmbed(nn.Module):
+    """Image → patch tokens. stride-p conv (XLA lowers it to one MXU matmul)."""
+
+    patch_size: int = 32
+    embed_dim: int = 768
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, 3]
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="proj",
+        )(images.astype(self.dtype))
+        B, h, w, C = x.shape
+        return x.reshape(B, h * w, C)
+
+
+class VisualEmbeddings(nn.Module):
+    """Patchify + CLS token + learned 2D positions (resolution-adaptive)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    embed_dim: int = 768
+    dropout: float = 0.0
+    use_cls_token: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, H, W, _ = images.shape
+        tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
+                            self.param_dtype, name="patch_embed")(images)
+        n_base = (self.image_size // self.patch_size) ** 2
+        n_extra = 1 if self.use_cls_token else 0
+        pos_table = self.param(
+            "pos_embedding",
+            nn.initializers.normal(0.02),
+            (n_base + n_extra, self.embed_dim),
+            self.param_dtype,
+        )
+        if self.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, self.embed_dim), self.param_dtype)
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(tokens.dtype),
+                 tokens], axis=1)
+        src = self.image_size // self.patch_size
+        dst_h, dst_w = H // self.patch_size, W // self.patch_size
+        pos = interpolate_pos_embed_2d(
+            pos_table if self.use_cls_token else jnp.concatenate(
+                [jnp.zeros((1, self.embed_dim), pos_table.dtype), pos_table]),
+            (src, src), (dst_h, dst_w),
+        )
+        if not self.use_cls_token:
+            pos = pos[1:]
+        x = tokens + pos[None].astype(tokens.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class SinePositionEmbedding2D(nn.Module):
+    """DETR-style fixed sine/cosine 2D positions over a feature grid mask."""
+
+    num_pos_feats: int = 128
+    temperature: float = 10000.0
+
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:  # bool[B, h, w] True=valid
+        y = jnp.cumsum(mask.astype(jnp.float32), axis=1)
+        x = jnp.cumsum(mask.astype(jnp.float32), axis=2)
+        eps = 1e-6
+        y = y / (y[:, -1:, :] + eps) * 2 * jnp.pi
+        x = x / (x[:, :, -1:] + eps) * 2 * jnp.pi
+        dim_t = self.temperature ** (
+            2 * (jnp.arange(self.num_pos_feats) // 2) / self.num_pos_feats
+        )
+        pos_x = x[..., None] / dim_t
+        pos_y = y[..., None] / dim_t
+        pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                          axis=-1).reshape(*x.shape, -1)
+        pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                          axis=-1).reshape(*y.shape, -1)
+        return jnp.concatenate([pos_y, pos_x], axis=-1)  # [B, h, w, 2*feats]

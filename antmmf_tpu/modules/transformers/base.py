@@ -1,0 +1,113 @@
+"""Generic transformer encoder stack (pre-LN and post-LN variants).
+
+Reference parity: ``/root/reference/antmmf/modules/transformers/base.py:20-516``
+(generic encoder/decoder layers). Post-LN matches BERT towers, pre-LN matches
+ViT/CLIP towers; both share the attention core (Pallas/XLA swappable) and the
+fp32-norm dtype policy. Rematerialisation (gradient checkpointing) wraps whole
+layers via ``nn.remat`` when ``remat`` is set — the jax.checkpoint equivalent of
+the reference's per-encoder torch.utils.checkpoint flags
+(``antmmf/modules/encoders/visual_encoder.py:180-207``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from antmmf_tpu.modules.attention import MultiHeadAttention
+from antmmf_tpu.modules.layers import DropPath, LayerNorm, Mlp
+
+Dtype = Any
+
+
+class TransformerLayer(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    activation: str = "gelu"
+    norm_style: str = "pre"  # pre (ViT/CLIP) | post (BERT)
+    layer_norm_eps: float = 1e-5
+    use_pallas: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        kv: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn = MultiHeadAttention(
+            num_heads=self.num_heads, dropout=self.dropout, use_pallas=self.use_pallas,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
+        )
+        mlp = Mlp(
+            hidden_dim=int(x.shape[-1] * self.mlp_ratio), activation=self.activation,
+            dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="mlp",
+        )
+        ln1 = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="norm1")
+        ln2 = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="norm2")
+        dp = DropPath(self.drop_path)
+
+        if self.norm_style == "pre":
+            x = x + dp(attn(ln1(x), kv=kv, bias=bias, deterministic=deterministic),
+                       deterministic=deterministic)
+            x = x + dp(mlp(ln2(x), deterministic=deterministic),
+                       deterministic=deterministic)
+        else:  # post-LN (BERT)
+            x = ln1(x + dp(attn(x, kv=kv, bias=bias, deterministic=deterministic),
+                           deterministic=deterministic))
+            x = ln2(x + dp(mlp(x, deterministic=deterministic),
+                           deterministic=deterministic))
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """N identical layers; optional final LN (pre-LN style) and remat."""
+
+    num_layers: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    drop_path: float = 0.0
+    activation: str = "gelu"
+    norm_style: str = "pre"
+    layer_norm_eps: float = 1e-5
+    final_norm: bool = True
+    remat: bool = False
+    use_pallas: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        layer_cls = TransformerLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(4,))
+        # linearly scaled stochastic depth across layers
+        for i in range(self.num_layers):
+            rate = self.drop_path * i / max(1, self.num_layers - 1)
+            x = layer_cls(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout, drop_path=rate, activation=self.activation,
+                norm_style=self.norm_style, layer_norm_eps=self.layer_norm_eps,
+                use_pallas=self.use_pallas, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"layer_{i}",
+            )(x, bias, None, deterministic)
+        if self.final_norm and self.norm_style == "pre":
+            x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="final_norm")(x)
+        return x

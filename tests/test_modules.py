@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from antmmf_tpu.modules.encoders.text_encoder import BertEncoder, build_bert
+from antmmf_tpu.modules.layers import make_attention_mask
+from antmmf_tpu.modules.transformers.base import TransformerEncoder
+from antmmf_tpu.modules.transformers.heads.fom import FOMHead
+from antmmf_tpu.modules.transformers.heads.itm import ITMHead
+from antmmf_tpu.modules.transformers.heads.mlm import MLMHead
+from antmmf_tpu.modules.vision.vit import build_vit
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def test_transformer_encoder_shapes(rng):
+    enc = TransformerEncoder(num_layers=2, num_heads=2, dtype=F32)
+    x = jnp.ones((2, 10, 32))
+    params = enc.init(rng, x)
+    out = enc.apply(params, x)
+    assert out.shape == (2, 10, 32)
+
+
+def test_padding_mask_invariance(rng):
+    """Valid-token outputs must not depend on padding-token content (post-LN BERT)."""
+    enc = BertEncoder(vocab_size=100, hidden_size=32, num_layers=2, num_heads=2,
+                      dtype=F32)
+    ids1 = jnp.array([[5, 6, 7, 0, 0]])
+    ids2 = jnp.array([[5, 6, 7, 99, 42]])  # different padding content
+    mask = jnp.array([[1, 1, 1, 0, 0]])
+    params = enc.init(rng, ids1, mask)
+    o1 = enc.apply(params, ids1, mask)["sequence_output"]
+    o2 = enc.apply(params, ids2, mask)["sequence_output"]
+    np.testing.assert_allclose(np.asarray(o1[:, :3]), np.asarray(o2[:, :3]),
+                               atol=1e-5)
+
+
+def test_vit_forward_and_pos_interp(rng):
+    vit = build_vit("vit_tiny_test", image_size=32, output_dim=16, dtype=F32)
+    imgs = jnp.ones((2, 32, 32, 3))
+    params = vit.init(rng, imgs)
+    out = vit.apply(params, imgs)
+    assert out["sequence"].shape == (2, 1 + 4, 64)
+    assert out["pooled"].shape == (2, 16)
+    # off-resolution input reuses the same params via 2D pos interpolation
+    out48 = vit.apply(params, jnp.ones((2, 48, 48, 3)))
+    assert out48["sequence"].shape == (2, 1 + 9, 64)
+
+
+def test_bert_presets():
+    b = build_bert("bert_tiny_test")
+    assert b.num_layers == 2 and b.vocab_size == 30522
+
+
+def test_mlm_head_tied_and_loss(rng):
+    head = MLMHead(vocab_size=50, hidden_size=16, dtype=F32)
+    seq = jnp.ones((2, 4, 16))
+    table = jax.random.normal(rng, (50, 16))
+    params = head.init(rng, seq, table)
+    logits = head.apply(params, seq, table)
+    assert logits.shape == (2, 4, 50) and logits.dtype == jnp.float32
+
+    labels = jnp.array([[3, -1, -1, 7], [-1, -1, -1, -1]])
+    lm = MLMHead.loss_metric(logits, labels)
+    assert lm["losses"]["masked_lm_loss"].shape == ()
+    # all-ignored rows contribute nothing; loss is finite
+    assert np.isfinite(float(lm["losses"]["masked_lm_loss"]))
+
+    # perfect logits give ~zero loss and accuracy 1
+    perfect = jax.nn.one_hot(jnp.maximum(labels, 0), 50) * 100.0
+    lm2 = MLMHead.loss_metric(perfect, labels)
+    assert float(lm2["metrics"]["masked_lm_acc"]) == 1.0
+    assert float(lm2["losses"]["masked_lm_loss"]) < 1e-3
+
+
+def test_itm_head(rng):
+    head = ITMHead(hidden_size=8, dtype=F32)
+    pooled = jnp.ones((4, 8))
+    params = head.init(rng, pooled)
+    logits = head.apply(params, pooled)
+    labels = jnp.array([0, 1, 0, 1])
+    lm = ITMHead.loss_metric(logits, labels)
+    assert 0.0 <= float(lm["metrics"]["itm_acc"]) <= 1.0
+
+
+def test_fom_head_loss():
+    logits = jax.nn.one_hot(jnp.array([[2, 0, 1]]), 4) * 50.0
+    targets = jnp.array([[2, 0, 1]])
+    valid = jnp.array([[True, True, False]])
+    lm = FOMHead.loss_metric(logits, targets, valid)
+    assert float(lm["metrics"]["fom_acc"]) == 1.0
+
+
+def test_attention_bias_blocks_padding():
+    bias = make_attention_mask(jnp.array([[1, 1, 0]]))
+    assert bias.shape == (1, 1, 1, 3)
+    assert float(bias[0, 0, 0, 2]) < -1e30 and float(bias[0, 0, 0, 0]) == 0.0
