@@ -61,6 +61,7 @@ class GlobalRetrievalRecallEvaluator(BaseEvaluator):
         self._video: List[np.ndarray] = []
         self._t2v_gt: List[Sequence[int]] = []
         self._v2t_gt: List[Sequence[int]] = []
+        self._vids: List[np.ndarray] = []
 
     def collect(self, batch: Mapping, output: Mapping) -> None:
         t = output.get("text_embed")
@@ -70,6 +71,10 @@ class GlobalRetrievalRecallEvaluator(BaseEvaluator):
         self._text.append(np.asarray(t, dtype=np.float32))
         self._video.append(np.asarray(v, dtype=np.float32))
         meta = getattr(batch, "metadata", {}) if not isinstance(batch, dict) else {}
+        if isinstance(batch, Mapping) and "image_vid" in batch:
+            # unique-video id per row → dedupe + grouped gt in summarize
+            self._vids.append(np.asarray(batch["image_vid"]).reshape(-1))
+            return
         t2v = (batch.get("caption_vid_list") if isinstance(batch, Mapping) else None) \
             or meta.get("caption_vid_list")
         v2t = (batch.get("image_tid_list") if isinstance(batch, Mapping) else None) \
@@ -90,6 +95,16 @@ class GlobalRetrievalRecallEvaluator(BaseEvaluator):
             return {}
         t = np.concatenate(self._text)
         v = np.concatenate(self._video)
+        if self._vids:
+            # dedupe videos by id; build grouped multi-gt both directions
+            vids = np.concatenate(self._vids)
+            uniq_ids, first_idx = np.unique(vids, return_index=True)
+            v = v[first_idx]
+            col_of = {int(u): c for c, u in enumerate(uniq_ids)}
+            self._t2v_gt = [[col_of[int(x)]] for x in vids]
+            self._v2t_gt = [
+                np.nonzero(vids == u)[0].tolist() for u in uniq_ids
+            ]
         sim = t @ v.T
         out = recall_metrics(_ranks_with_multi_gt(sim, self._t2v_gt), "t2v-")
         out.update(recall_metrics(_ranks_with_multi_gt(sim.T, self._v2t_gt), "v2t-"))

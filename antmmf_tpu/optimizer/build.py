@@ -1,0 +1,161 @@
+"""Optimizer + LR-schedule construction on optax.
+
+Reference parity: ``/root/reference/antmmf/optimizer/build.py:10-45`` (resolve
+optimizer by name), ``antmmf/utils/general.py:27-44`` (warmup + step-decay
+lambda), BERT-style param grouping ``get_bert_configured_parameters``
+(general.py:343-368: no weight decay on bias/LayerNorm), and per-group lr
+multipliers (univl_model.py:80-106 img_encoder at 0.1×lr;
+univl_video_ret.py:482-520 pretrained-prefix decay).
+
+TPU mapping: grad accumulation is ``optax.MultiSteps`` (config
+``gradient_accumulation_steps``); clipping is ``optax.clip_by_global_norm``; the
+whole chain is one pure optax transform applied inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from antmmf_tpu.common.configuration import convert_to_config
+from antmmf_tpu.common.registry import registry
+
+NO_DECAY_PATTERNS = (r".*bias$", r".*scale$", r".*norm.*", r".*layer_norm.*",
+                     r".*embedding$", r".*logit_scale$")
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p)))) for p in path
+    )
+
+
+def make_weight_decay_mask(params) -> Any:
+    """True where weight decay applies (kernels), False on bias/norm/embeddings."""
+
+    def decide(path, leaf) -> bool:
+        p = _path_str(path).lower()
+        return not any(re.fullmatch(pat, p) for pat in NO_DECAY_PATTERNS)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_lr_multiplier_mask(params, rules: Sequence) -> Any:
+    """Per-parameter lr multipliers from [[regex, mult], ...]; first match wins,
+    default 1.0 (the config surface for encoder_lr_decay / img 0.1×lr)."""
+    compiled = [(re.compile(pat), float(mult)) for pat, mult in rules]
+
+    def decide(path, leaf) -> float:
+        p = _path_str(path)
+        for pat, mult in compiled:
+            if pat.search(p):
+                return mult
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def scale_by_multipliers(multipliers) -> optax.GradientTransformation:
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree_util.tree_map(lambda u, m: u * m, updates, multipliers), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_lr_schedule(tp: Mapping[str, Any], base_lr: float):
+    """warmup_factor→1 over warmup_iterations, then ×lr_ratio at each lr_steps."""
+    tp = convert_to_config(tp)
+    use_warmup = bool(tp.get("use_warmup", False))
+    warmup_iters = int(tp.get("warmup_iterations", 0)) if use_warmup else 0
+    warmup_factor = float(tp.get("warmup_factor", 0.2))
+    steps = [int(s) for s in (tp.get("lr_steps", []) or [])]
+    ratio = float(tp.get("lr_ratio", 0.1))
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        lr = jnp.asarray(base_lr, jnp.float32)
+        if warmup_iters > 0:
+            alpha = jnp.clip(count / warmup_iters, 0.0, 1.0)
+            lr = lr * (warmup_factor * (1 - alpha) + alpha)
+        for s in steps:
+            lr = jnp.where(count >= s, lr * ratio, lr)
+        return lr
+
+    return schedule
+
+
+def build_optimizer(
+    params,
+    optimizer_attributes: Mapping[str, Any],
+    training_parameters: Optional[Mapping[str, Any]] = None,
+) -> tuple:
+    """Returns (optax transform, schedule fn). Config shape (reference-compatible)::
+
+        optimizer_attributes:
+          type: adam_w
+          params: {lr: 5.0e-5, weight_decay: 0.01, eps: 1.0e-8}
+          lr_multipliers: [["img_encoder", 0.1]]
+    """
+    cfg = convert_to_config(optimizer_attributes or {})
+    tp = convert_to_config(training_parameters or {})
+    name = cfg.get("type", "adam_w")
+    p = dict(cfg.get("params", {}))
+    lr = float(p.pop("lr", p.pop("learning_rate", 1e-4)))
+    schedule = build_lr_schedule(tp, lr)
+
+    weight_decay = float(p.pop("weight_decay", 0.0))
+    betas = p.pop("betas", None)
+    if betas is not None:
+        b1, b2 = float(betas[0]), float(betas[1])
+    else:
+        b1, b2 = float(p.pop("b1", 0.9)), float(p.pop("b2", 0.999))
+    eps = float(p.pop("eps", 1e-8))
+
+    custom = registry.get_optimizer_class(name, default=None)
+    if custom is not None:
+        core = custom(learning_rate=schedule, **p)
+    elif name in ("adam_w", "adamw"):
+        core = optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay,
+                           mask=make_weight_decay_mask(params))
+    elif name == "adam":
+        core = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+    elif name == "sgd":
+        core = optax.sgd(schedule, momentum=float(p.pop("momentum", 0.9)))
+    elif name == "radam":
+        core = optax.radam(schedule, b1=b1, b2=b2, eps=eps)
+    elif name == "adan":
+        # Adan ≈ adamw with Nesterov-style momentum; optax.adan exists ≥0.2
+        adan = getattr(optax, "adan", None)
+        if adan is not None:
+            core = adan(schedule, eps=eps, weight_decay=weight_decay)
+        else:  # fallback
+            core = optax.adamw(schedule, weight_decay=weight_decay)
+    elif name in ("adafactor",):
+        core = optax.adafactor(schedule)
+    elif name == "lion":
+        core = optax.lion(schedule, weight_decay=weight_decay,
+                          mask=make_weight_decay_mask(params))
+    else:
+        raise KeyError(f"Unknown optimizer {name!r}")
+
+    chain = []
+    if bool(tp.get("clip_gradients", False)):
+        chain.append(optax.clip_by_global_norm(float(tp.get("max_grad_l2_norm", 1.0))))
+    chain.append(core)
+    mults = cfg.get("lr_multipliers", [])
+    if mults:
+        chain.append(scale_by_multipliers(make_lr_multiplier_mask(params, mults)))
+    tx = optax.chain(*chain)
+
+    accum = int(tp.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, schedule

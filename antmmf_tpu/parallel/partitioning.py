@@ -92,6 +92,32 @@ def shard_constraint(x: Any, spec: PartitionSpec, mesh: Optional[Mesh] = None) -
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def relax_to_divisible(specs: Any, tree: Any, mesh: Mesh) -> Any:
+    """Drop sharding on any dimension whose size doesn't divide the mesh-axis
+    product (e.g. a 5-token pos_embedding matched by a generic ``.*embedding``
+    rule) — replication is always correct, so rules can stay generic."""
+
+    def fix(spec: PartitionSpec, leaf: Any) -> PartitionSpec:
+        if not hasattr(leaf, "shape"):
+            return PartitionSpec()
+        entries = []
+        for dim, entry in enumerate(spec):
+            if entry is None:
+                entries.append(None)
+                continue
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            entries.append(entry if leaf.shape[dim] % size == 0 else None)
+        return PartitionSpec(*entries)
+
+    return jax.tree_util.tree_map(
+        lambda s, l: fix(s, l), specs, tree,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
+
+
 def validate_specs(params: Any, specs: Any, mesh: Mesh) -> List[str]:
     """Return a list of human-readable problems (dims not divisible by axis size)."""
     problems: List[str] = []

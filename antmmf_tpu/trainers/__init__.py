@@ -1,0 +1,2 @@
+from antmmf_tpu.trainers import base_trainer  # noqa: F401  (registry side effects)
+from antmmf_tpu.trainers.build import build_trainer  # noqa: F401

@@ -1,0 +1,351 @@
+"""BaseTrainer: the SPMD execution engine.
+
+Reference parity (``/root/reference/antmmf/trainers/base_trainer.py:90-954``):
+run_type gating, model/optimizer/extras loading, the epoch/iteration hot loop,
+eval-single-batch at log_interval (:805-814), full validation + early stopping at
+snapshot_interval (:768-803), loss = sum of per-loss means (:677-681), meter
+updates with cross-replica reduction (:692-717), inference/prediction dumping
+(:892-954).
+
+TPU-native redesign (SURVEY.md §7):
+  * ``_forward_pass``/``_backward``/``_run_scheduler`` collapse into ONE jitted
+    ``train_step(state, batch)`` under pjit over the device mesh — forward, loss,
+    grad, optimizer update, and metric reduction compile into a single XLA
+    program; GSPMD inserts the gradient all-reduce (replacing DDP) and the
+    embedding all-gathers for global-negative contrastive losses;
+  * AMP/GradScaler is gone: bf16 compute with fp32 params/norms by dtype policy;
+  * grad accumulation is optax.MultiSteps; DP/DDP/FSDP are mesh axis sizes;
+  * the host loop only feeds sharded batches (double-buffered via dispatch-ahead:
+    device_put of batch N+1 overlaps step N) and reads back scalars at
+    log_interval — device→host sync happens nowhere else.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+import time
+from typing import Any, Dict, Iterator, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from antmmf_tpu.common.checkpoint import Checkpoint
+from antmmf_tpu.common.configuration import convert_to_config
+from antmmf_tpu.common.meter import Meter
+from antmmf_tpu.common.registry import registry
+from antmmf_tpu.common.task_loader import TaskLoader
+from antmmf_tpu.models.base_model import ModelShell, build_model
+from antmmf_tpu.modules.metrics.evaluators import build_evaluator
+from antmmf_tpu.optimizer.build import build_optimizer
+from antmmf_tpu.parallel import collectives as coll
+from antmmf_tpu.parallel.mesh import batch_spec, build_mesh
+from antmmf_tpu.parallel.state_sharding import shard_state
+from antmmf_tpu.trainers.train_state import TrainState
+from antmmf_tpu.utils.early_stopping import EarlyStopping
+from antmmf_tpu.utils.logger import Logger
+from antmmf_tpu.utils.timer import Timer
+
+
+@registry.register_trainer("base_trainer")
+class BaseTrainer:
+    def __init__(self, config: Mapping):
+        self.config = convert_to_config(config)
+        self.tp = self.config.get("training_parameters", {})
+        self.run_type = self.tp.get("run_type", "train+inference")
+        self.profiler: Dict[str, float] = {}
+
+    # ===================================================================== load
+    def load(self) -> None:
+        self._init_device_and_seed()
+        self.writer = Logger(self.config)
+        registry.register("writer", self.writer)
+        registry.register("config", self.config)
+        self.writer.write(f"devices: {jax.devices()}; mesh: {dict(self.mesh.shape)}")
+
+        self.load_task()
+        self.load_model()
+        self.load_optimizer()
+        self.load_extras()
+        self.compile_steps()
+
+    def _init_device_and_seed(self) -> None:
+        coll.init_distributed()
+        device = str(self.tp.get("device", "auto"))
+        if device == "cpu" and jax.default_backend() not in ("cpu",):
+            jax.config.update("jax_platforms", "cpu")
+        seed = self.tp.get("seed")
+        self.seed = int(seed) if seed is not None else int.from_bytes(os.urandom(2), "little")
+        self.rng = jax.random.PRNGKey(self.seed)
+        self.mesh = build_mesh(self.tp.get("mesh", {"data": -1}))
+        self.batch_sharding_ = jax.sharding.NamedSharding(self.mesh, batch_spec())
+
+    def load_task(self) -> None:
+        self.task_loader = TaskLoader(self.config)
+        run_types = set()
+        if "train" in self.run_type:
+            run_types.update(("train", "val"))
+        if "val" in self.run_type:
+            run_types.add("val")
+        if "inference" in self.run_type or "predict" in self.run_type or "test" in self.run_type:
+            run_types.add("test")
+        self.task_loader.load_task(sorted(run_types))
+        self.task_loader.make_dataloaders()
+
+    def load_model(self) -> None:
+        self.model_name = self.tp.get("model", None)
+        self.shell: ModelShell = build_model(self.config, self.model_name)
+        if self.model_name is None:
+            self.model_name = list(self.config.get("model_attributes", {}).keys())[0]
+        example = self._example_batch()
+        self.rng, init_rng = jax.random.split(self.rng)
+        t0 = time.time()
+        variables = self.shell.init(init_rng, example)
+        self.writer.write(f"model init in {time.time() - t0:.1f}s; "
+                          f"params: {_param_count(variables):,}")
+        self._init_variables = variables
+
+    def _example_batch(self) -> Dict[str, jnp.ndarray]:
+        loaders = (self.task_loader.get_loaders("train")
+                   or self.task_loader.get_loaders("val")
+                   or self.task_loader.get_loaders("test"))
+        if not loaders:
+            raise RuntimeError("No datasets configured")
+        first = next(iter(loaders[0]))
+        self._cached_first_batch = first
+        return {k: jnp.asarray(v) for k, v in first.arrays().items()}
+
+    def load_optimizer(self) -> None:
+        self.tx, self.lr_schedule = build_optimizer(
+            self._init_variables["params"],
+            self.config.get("optimizer_attributes", {}),
+            self.tp,
+        )
+
+    def load_extras(self) -> None:
+        self.rng, state_rng = jax.random.split(self.rng)
+        state = TrainState.create(self._init_variables, self.tx, state_rng)
+        rules = self.tp.get("param_sharding_rules", None)
+        self.state = shard_state(state, self.mesh, rules)
+        del self._init_variables
+
+        self.checkpoint = Checkpoint(self.config, self.writer)
+        self.state, resume_info = self.checkpoint.resume(self.state, self.tp)
+        self.writer.write(f"checkpoint: {resume_info}")
+
+        self.meter = Meter()
+        self.early_stopping = EarlyStopping(
+            monitored_metric=self.tp.get("monitored_metric", "total_loss"),
+            patience=int(self.tp.get("patience", 30000)),
+            minimize=bool(self.tp.get("metric_minimize", True)),
+            should_stop=bool(self.tp.get("should_early_stop", False)),
+        )
+        self.max_iterations = self.tp.get("max_iterations", math.inf)
+        if self.max_iterations in (".inf", math.inf, None):
+            self.max_iterations = math.inf
+        else:
+            self.max_iterations = int(self.max_iterations)
+        self.max_epochs = self.tp.get("max_epochs")
+        if self.max_epochs is not None:
+            epoch_len = sum(len(l) for l in self.task_loader.get_loaders("train")) or 1
+            self.max_iterations = min(self.max_iterations,
+                                      int(self.max_epochs) * epoch_len)
+        self.log_interval = int(self.tp.get("log_interval", 100))
+        self.snapshot_interval = int(self.tp.get("snapshot_interval", 1000))
+        self.evaluator = build_evaluator(self.tp.get("evaluator", None))
+
+    # ================================================================== compile
+    def compile_steps(self) -> None:
+        shell = self.shell
+        tx = self.tx
+
+        def train_step(state: TrainState, batch: Mapping[str, jnp.ndarray]):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+
+            def loss_of(p):
+                loss, (output, scalars) = shell.loss_fn(
+                    {**state.variables, "params": p}, batch,
+                    rngs={"dropout": step_rng}, deterministic=False,
+                )
+                return loss, scalars
+
+            (loss, scalars), grads = jax.value_and_grad(loss_of, has_aux=True)(
+                state.params)
+            new_state = state.apply_gradients(grads, tx)
+            scalars["grad_norm"] = optax_global_norm(grads)
+            return new_state, scalars
+
+        def eval_step(state: TrainState, batch: Mapping[str, jnp.ndarray]):
+            loss, (output, scalars) = shell.loss_fn(
+                state.variables, batch, rngs=None, deterministic=True,
+            )
+            keep = {k: v for k, v in output.items()
+                    if isinstance(v, jnp.ndarray) or hasattr(v, "shape")}
+            return scalars, keep
+
+        donate = bool(self.tp.get("donate_state", True))
+        self._train_step = jax.jit(
+            train_step, donate_argnums=(0,) if donate else ())
+        self._eval_step = jax.jit(eval_step)
+
+    # ==================================================================== train
+    def train(self) -> None:
+        if "train" not in self.run_type:
+            self.inference()
+            return
+        tp = self.tp
+        self.writer.write(f"Starting training: max_iterations={self.max_iterations}")
+        timer = Timer()
+        iteration = int(self.state.step)
+        epoch = 0
+        should_stop = False
+        val_batch = self._first_val_batch()
+
+        while iteration < self.max_iterations and not should_stop:
+            self.task_loader.seed_sampler("train", epoch)
+            train_loaders = self.task_loader.get_loaders("train")
+            if not train_loaders:
+                raise RuntimeError("run_type includes train but no train datasets")
+            for batch in itertools.chain(*train_loaders):
+                if batch.get_batch_size() == 0:
+                    continue
+                iteration += 1
+                if iteration > self.max_iterations:
+                    break
+                sharded = self._shard_batch(batch)
+                self.state, scalars = self._train_step(self.state, sharded)
+
+                if iteration % self.log_interval == 0:
+                    self._logistics_log(iteration, scalars, val_batch, timer)
+                if iteration % self.snapshot_interval == 0:
+                    should_stop = self._try_full_validation(iteration)
+                    if should_stop:
+                        break
+            epoch += 1
+            if self.max_epochs is not None and epoch >= int(self.max_epochs):
+                break
+
+        self.finalize(iteration)
+
+    def _first_val_batch(self):
+        loaders = self.task_loader.get_loaders("val")
+        if not loaders:
+            return None
+        try:
+            return next(iter(loaders[0]))
+        except StopIteration:
+            return None
+
+    def _shard_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        arrays = batch.arrays()
+        if jax.process_count() == 1:
+            return jax.device_put(arrays, self.batch_sharding_)
+        return {
+            k: jax.make_array_from_process_local_data(self.batch_sharding_, np.asarray(v))
+            for k, v in arrays.items()
+        }
+
+    def _logistics_log(self, iteration, scalars, val_batch, timer) -> None:
+        host_scalars = {f"train/{k}": float(v) for k, v in
+                        jax.device_get(scalars).items()}
+        if val_batch is not None:
+            vscal, _ = self._eval_step(self.state, self._shard_batch(val_batch))
+            host_scalars.update({f"val/{k}": float(v)
+                                 for k, v in jax.device_get(vscal).items()})
+        host_scalars["lr"] = float(self.lr_schedule(iteration))
+        self.meter.update(host_scalars)
+        self.writer.add_scalars(host_scalars, iteration)
+        eta = ""
+        if self.max_iterations != math.inf:
+            per_iter = timer.unix_time_since_start() / max(1, iteration - int(
+                getattr(self, "_start_iter", 0)))
+            eta = f", eta {int(per_iter * (self.max_iterations - iteration))}s"
+        self.writer.write(
+            f"iter {iteration}/{self.max_iterations}: {self.meter}{eta}"
+        )
+
+    # ================================================================ validation
+    def _try_full_validation(self, iteration: int) -> bool:
+        metrics = self.evaluate_set("val")
+        named = {f"val/{k}": v for k, v in metrics.items()}
+        self.writer.write(f"full val @ {iteration}: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in named.items()))
+        self.writer.add_scalars(named, iteration)
+        monitored = dict(named)
+        monitored["total_loss"] = self.meter.meters.get(
+            "train/total_loss").global_avg if "train/total_loss" in self.meter.meters \
+            else metrics.get("total_loss", 0.0)
+        stop = self.early_stopping(iteration, monitored)
+        if self.early_stopping.is_best:
+            self.checkpoint.save_best(self.state)
+        self.checkpoint.save(self.state, iteration)
+        return stop
+
+    def evaluate_set(self, dataset_type: str = "val") -> Dict[str, float]:
+        loaders = self.task_loader.get_loaders(dataset_type)
+        if not loaders:
+            return {}
+        if self.evaluator is not None:
+            self.evaluator.reset()
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in itertools.chain(*loaders):
+            if batch.get_batch_size() == 0:
+                continue
+            scalars, output = self._eval_step(self.state, self._shard_batch(batch))
+            host = jax.device_get(scalars)
+            for k, v in host.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if self.evaluator is not None:
+                self.evaluator.collect(batch, jax.device_get(output))
+        metrics = {k: v / max(count, 1) for k, v in sums.items()}
+        if self.evaluator is not None:
+            metrics.update(self.evaluator.summarize())
+        return metrics
+
+    # ================================================================ inference
+    def inference(self) -> Dict[str, float]:
+        results = {}
+        for dataset_type in ("val", "test"):
+            if dataset_type == "val" and "val" not in self.run_type:
+                continue
+            if dataset_type == "test" and "inference" not in self.run_type and \
+                    "test" not in self.run_type and "predict" not in self.run_type:
+                continue
+            metrics = self.evaluate_set(dataset_type)
+            if metrics:
+                self.writer.write(f"{dataset_type} inference: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in metrics.items()))
+                results[dataset_type] = metrics
+        return results
+
+    # ================================================================= finalize
+    def finalize(self, iteration: int) -> None:
+        metrics = self.evaluate_set("val")
+        if metrics:
+            self.writer.write("final val: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in metrics.items()))
+            monitored = {f"val/{k}": v for k, v in metrics.items()}
+            monitored["total_loss"] = metrics.get("total_loss", 0.0)
+            self.early_stopping(iteration, monitored)
+            if self.early_stopping.is_best:
+                self.checkpoint.save_best(self.state)
+        self.checkpoint.save(self.state, iteration)
+        self.checkpoint.save_final_weights(self.state, self.model_name)
+        self.writer.write(f"training done @ iter {iteration}; "
+                          f"early stopping: {self.early_stopping.summary()}")
+        if "inference" in self.run_type or "predict" in self.run_type:
+            self.inference()
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def _param_count(variables) -> int:
+    return sum(int(np.prod(x.shape)) for x in
+               jax.tree_util.tree_leaves(variables.get("params", variables)))

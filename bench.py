@@ -1,0 +1,123 @@
+"""Throughput benchmark: flagship video-text retrieval train step on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: clip-pairs/sec/chip for a UniVL-style ViT-B/32 + BERT-base retrieval
+train step (8-frame clips, 224², text len 30, bf16 compute, AdamW, global-batch
+contrastive loss) — the BASELINE.json north-star workload. "Clip-pair" = one
+(video clip, caption) training example.
+
+vs_baseline compares against an A100 reference of 85 clip-pairs/sec/GPU for the
+same workload (CLIP4Clip-class ViT-B/32 8-frame training; derived from the
+reference's published scale knobs — batch 128 across 8 GPUs, prj/base_vtp/
+README.md:66-79 — and typical A100 CLIP4Clip step times; the reference repo
+itself publishes no clips/sec, see BASELINE.md). Target ≥ 2.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_CLIPS_PER_SEC = 85.0
+
+BATCH = 32
+FRAMES = 8
+SIZE = 224
+TEXT_LEN = 30
+WARMUP = 3
+STEPS = 10
+
+
+def main() -> None:
+    import jax
+
+    from antmmf_tpu.models.base_model import build_model
+    from antmmf_tpu.optimizer.build import build_optimizer
+    from antmmf_tpu.parallel.mesh import batch_spec, build_mesh
+    from antmmf_tpu.parallel.state_sharding import shard_state
+    from antmmf_tpu.trainers.train_state import TrainState
+
+    n_chips = len(jax.devices())
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = BATCH if on_tpu else 4
+    frames = FRAMES if on_tpu else 2
+    size = SIZE if on_tpu else 64
+    steps = STEPS if on_tpu else 2
+    warmup = WARMUP if on_tpu else 1
+
+    config = {
+        "model_attributes": {
+            "univl_retrieval": {
+                "vit_preset": "vit_base_patch32" if on_tpu else "vit_tiny_test",
+                "bert_preset": "bert_base" if on_tpu else "bert_tiny_test",
+                "image_size": size,
+                "embed_dim": 512 if on_tpu else 32,
+                "n_clips": 1,
+                "dtype_str": "bfloat16" if on_tpu else "float32",
+            }
+        },
+        "optimizer_attributes": {
+            "type": "adam_w", "params": {"lr": 5e-5, "weight_decay": 0.01},
+        },
+        "training_parameters": {"clip_gradients": True, "max_grad_l2_norm": 1.0},
+    }
+    mesh = build_mesh({"data": -1})
+    shell = build_model(config)
+
+    rng = np.random.default_rng(0)
+    host_batch = {
+        "image_data": rng.standard_normal(
+            (batch, frames, size, size, 3)).astype(np.float32),
+        "video_mask": np.ones((batch, frames), dtype=np.int64),
+        "caption_input_ids": rng.integers(
+            0, 30522, (batch, TEXT_LEN)).astype(np.int64),
+        "caption_input_mask": np.ones((batch, TEXT_LEN), dtype=np.int64),
+        "caption_segment_ids": np.zeros((batch, TEXT_LEN), dtype=np.int64),
+    }
+
+    variables = shell.init(jax.random.PRNGKey(0), host_batch)
+    tx, _ = build_optimizer(variables["params"], config["optimizer_attributes"],
+                            config["training_parameters"])
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    state = shard_state(state, mesh)
+    sharding = jax.sharding.NamedSharding(mesh, batch_spec())
+    device_batch = jax.device_put(host_batch, sharding)
+
+    def train_step(state, batch):
+        def loss_of(p):
+            loss, (_, scalars) = shell.loss_fn(
+                {**state.variables, "params": p}, batch,
+                rngs={"dropout": jax.random.fold_in(state.rng, state.step)},
+                deterministic=False,
+            )
+            return loss, scalars
+
+        (loss, _), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        return state.apply_gradients(grads, tx), loss
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    for _ in range(warmup):
+        state, loss = step(state, device_batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, device_batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec_per_chip = batch * steps / dt / n_chips
+    print(json.dumps({
+        "metric": "clip_pairs_per_sec_per_chip",
+        "value": round(clips_per_sec_per_chip, 2),
+        "unit": "clip-pairs/sec/chip (ViT-B/32+BERT-base, 8f@224, bf16 train)"
+        if on_tpu else "clip-pairs/sec/chip (tiny CPU fallback model)",
+        "vs_baseline": round(clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
