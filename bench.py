@@ -101,12 +101,12 @@ def main() -> None:
     step = jax.jit(train_step, donate_argnums=(0,))
     for _ in range(warmup):
         state, loss = step(state, device_batch)
-    jax.block_until_ready(loss)
+    float(loss)  # full host sync (block_until_ready can be lazy on axon relay)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step(state, device_batch)
-    jax.block_until_ready(loss)
+    float(loss)  # the final loss transitively forces every queued step
     dt = time.perf_counter() - t0
 
     clips_per_sec_per_chip = batch * steps / dt / n_chips
