@@ -1,2 +1,3 @@
 from antmmf_tpu.trainers import base_trainer  # noqa: F401  (registry side effects)
+from antmmf_tpu.trainers import retrieval_trainer  # noqa: F401
 from antmmf_tpu.trainers.build import build_trainer  # noqa: F401

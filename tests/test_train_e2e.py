@@ -67,6 +67,39 @@ def test_resume_from_checkpoint(trained):
     assert int(t2.state.step) >= 4  # resumed from snapshot, not 0
 
 
+def test_retrieval_trainer_two_stage_eval(trained):
+    _, save_dir = trained
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", save_dir,
+        "training_parameters.trainer", "retrieval_trainer",
+        "training_parameters.resume", "true",
+        "training_parameters.seed", "7",
+    ])
+    t = build_trainer(cfg)
+    assert type(t).__name__ == "RetrievalTrainer"
+    t.load()
+    metrics = t.evaluate_set("val")
+    assert "l1_simi_t2v-r@1" in metrics and "mean_recall" in metrics
+    assert metrics["l1_simi_t2v-median_rank"] >= 1.0
+
+
+def test_predictor_serving_roundtrip(trained):
+    _, save_dir = trained
+    import numpy as np
+
+    from antmmf_tpu.predictors.base_predictor import BasePredictor
+
+    pred = BasePredictor({"predictor_parameters": {"model_dir": save_dir}})
+    pred.load()
+    result = pred.predict({
+        "image_data": np.zeros((2, 64, 64, 3), np.float32),
+        "caption": "a little girl does gymnastics",
+    })
+    assert "text_embed" in result or "logits" in result
+    # serving state: no losses in output
+    assert "losses" not in result
+
+
 def test_batch_is_sharded_over_mesh(trained):
     trainer, _ = trained
     batch = trainer._cached_first_batch
