@@ -1,0 +1,64 @@
+"""Flash attention (interpret mode on CPU) vs the XLA reference core."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from antmmf_tpu.modules.attention import xla_attention_core
+from antmmf_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _rand(shape, key):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def _kv_bias(mask):  # [B, Lk] 1/0 → additive
+    return jnp.where(mask > 0, 0.0, -1e30).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("Lq,Lk", [(128, 128), (64, 192), (100, 130)])
+def test_forward_matches_xla(Lq, Lk):
+    B, H, D = 2, 3, 32
+    q, k, v = _rand((B, H, Lq, D), 0), _rand((B, H, Lk, D), 1), _rand((B, H, Lk, D), 2)
+    mask = jnp.ones((B, Lk)).at[:, Lk - 7:].set(0)
+    bias4 = _kv_bias(mask)[:, None, None, :]
+    ref = xla_attention_core(q, k, v, bias=bias4)
+    out = flash_attention(q, k, v, bias=_kv_bias(mask), interpret=True,
+                          block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_backward_matches_xla():
+    B, H, Lq, Lk, D = 1, 2, 64, 96, 16
+    q, k, v = _rand((B, H, Lq, D), 0), _rand((B, H, Lk, D), 1), _rand((B, H, Lk, D), 2)
+    mask = jnp.ones((B, Lk)).at[:, -5:].set(0)
+    bias4 = _kv_bias(mask)[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, bias=_kv_bias(mask), interpret=True,
+                              block_q=32, block_k=32)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = xla_attention_core(q, k, v, bias=bias4)
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_fully_masked_rows_are_safe():
+    B, H, L, D = 1, 1, 32, 16
+    q = _rand((B, H, L, D), 0)
+    k = _rand((B, H, L, D), 1)
+    v = _rand((B, H, L, D), 2)
+    mask = jnp.zeros((B, L))  # everything masked
+    out = flash_attention(q, k, v, bias=_kv_bias(mask), interpret=True,
+                          block_q=32, block_k=32)
+    assert np.isfinite(np.asarray(out)).all()
