@@ -1,0 +1,119 @@
+"""Sequence/context parallelism for long video-token streams.
+
+The reference has NO long-context machinery — it caps video length by sparse
+sampling (SURVEY.md §5). Here the sequence axis is a first-class mesh axis:
+
+* **Ulysses attention** (all-to-all head exchange): tokens arrive sharded over
+  the ``seq`` axis; an all_to_all swaps the shard dimension from sequence to
+  heads, every device runs *full-sequence* attention for its head subset (using
+  the Pallas flash kernel or the XLA core), and a second all_to_all swaps back.
+  Communication is 2 all-to-alls of the activations — O(L·D/P) per device over
+  ICI.
+
+* **Ring attention** (for head counts < seq parallelism): K/V blocks rotate
+  around the ring via ppermute while the online-softmax accumulates — the flash
+  forward pass generalised across chips.
+
+Both run inside ``shard_map`` with explicit axis names.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from antmmf_tpu.modules.attention import xla_attention_core
+
+
+def _local_attention(q, k, v, bias):
+    return xla_attention_core(q, k, v, bias=bias)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,  # [B, H, L, D] — L sharded over `seq` outside shard_map
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    bias: Optional[jnp.ndarray] = None,  # [B, 1, 1, L] additive (kv padding)
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Sequence-parallel exact attention via head exchange."""
+    P_qkv = P(None, None, axis, None)  # shard L
+    P_bias = P(None, None, None, axis)
+
+    def inner(q, k, v, bias):
+        # local: [B, H, L/P, D] → all_to_all → [B, H/P, L, D]
+        def seq_to_heads(x):
+            return lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+
+        def heads_to_seq(x):
+            return lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+
+        qh, kh, vh = seq_to_heads(q), seq_to_heads(k), seq_to_heads(v)
+        full_bias = lax.all_gather(bias, axis, axis=3, tiled=True) \
+            if bias is not None else None
+        out = _local_attention(qh, kh, vh, full_bias)  # [B, H/P, L, D]
+        return heads_to_seq(out)
+
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P_qkv, P_qkv, P_qkv, P_bias if bias is not None else P()),
+        out_specs=P_qkv, check_vma=False,
+    )(q, k, v, bias if bias is not None else jnp.zeros((), jnp.float32))
+
+
+def ring_attention(
+    q: jnp.ndarray,  # [B, H, L, D] — L sharded over `seq`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    bias: Optional[jnp.ndarray] = None,  # [B, 1, 1, L]
+    axis: str = "seq",
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Exact attention with K/V blocks rotating around the ICI ring; online
+    softmax merges block results, so no device ever holds the full sequence."""
+    n = mesh.shape[axis]
+    P_qkv = P(None, None, axis, None)
+    P_bias = P(None, None, None, axis)
+    sc = scale if scale is not None else q.shape[-1] ** -0.5
+
+    def inner(q, k, v, bias):
+        B, H, Lb, D = q.shape
+        qf = q.astype(jnp.float32)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def step(carry, _):
+            m_prev, l_prev, acc, kb, vb, bb = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kb.astype(jnp.float32)) * sc
+            s = s + bb
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32))
+            kb = lax.ppermute(kb, axis, perm)
+            vb = lax.ppermute(vb, axis, perm)
+            bb = lax.ppermute(bb, axis, perm)
+            return (m_new, l_new, acc, kb, vb, bb), None
+
+        m0 = jnp.full((B, H, Lb), -1e30, jnp.float32)
+        l0 = jnp.zeros((B, H, Lb), jnp.float32)
+        acc0 = jnp.zeros((B, H, Lb, D), jnp.float32)
+        (m, l, acc, *_), _ = lax.scan(
+            step, (m0, l0, acc0, k, v, bias), None, length=n)
+        return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+    bias_in = bias if bias is not None else jnp.zeros(
+        (q.shape[0], 1, 1, q.shape[2]), jnp.float32)
+    return shard_map(
+        inner, mesh=mesh,
+        in_specs=(P_qkv, P_qkv, P_qkv, P_bias),
+        out_specs=P_qkv, check_vma=False,
+    )(q, k, v, bias_in)
