@@ -1,3 +1,4 @@
 from antmmf_tpu.models.base_model import BaseModel, ModelShell, build_model  # noqa: F401
-from antmmf_tpu.models import univl  # noqa: F401  (registry side effects)
+from antmmf_tpu.models import classic  # noqa: F401  (registry side effects)
+from antmmf_tpu.models import univl  # noqa: F401
 from antmmf_tpu.models import univl_pretrain  # noqa: F401

@@ -48,7 +48,39 @@ class BertEncoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        self.embeddings = TextEmbeddings(
+            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            max_position_embeddings=self.max_position_embeddings,
+            type_vocab_size=self.type_vocab_size, dropout=self.dropout,
+            layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.encoder = TransformerEncoder(
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, dropout=self.dropout, norm_style="post",
+            layer_norm_eps=self.layer_norm_eps, activation="gelu_exact",
+            final_norm=False, remat=self.remat, use_pallas=self.use_pallas,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        if self.add_pooler:
+            self.pooler = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                   param_dtype=self.param_dtype)
+
+    # staged sub-passes — used by MMBT/VisualBERT-style models that splice
+    # visual tokens between embedding and encoding
+    def embeddings_apply(self, input_ids, segment_ids=None, deterministic=True):
+        return self.embeddings(input_ids, segment_ids, deterministic=deterministic)
+
+    def encoder_apply(self, hidden, input_mask, deterministic=True):
+        bias = make_attention_mask(input_mask)
+        return self.encoder(hidden, bias=bias, deterministic=deterministic)
+
+    def pooler_apply(self, cls_state):
+        if self.add_pooler:
+            return self.pooler(cls_state)
+        return cls_state
+
     def __call__(
         self,
         input_ids: jnp.ndarray,
@@ -58,26 +90,11 @@ class BertEncoder(nn.Module):
     ):
         if input_mask is None:
             input_mask = jnp.ones_like(input_ids)
-        x = TextEmbeddings(
-            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
-            max_position_embeddings=self.max_position_embeddings,
-            type_vocab_size=self.type_vocab_size, dropout=self.dropout,
-            layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="embeddings",
-        )(input_ids, segment_ids, deterministic=deterministic)
-        bias = make_attention_mask(input_mask)
-        x = TransformerEncoder(
-            num_layers=self.num_layers, num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio, dropout=self.dropout, norm_style="post",
-            layer_norm_eps=self.layer_norm_eps, activation="gelu_exact",
-            final_norm=False, remat=self.remat, use_pallas=self.use_pallas,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
-        )(x, bias=bias, deterministic=deterministic)
+        x = self.embeddings_apply(input_ids, segment_ids, deterministic)
+        x = self.encoder_apply(x, input_mask, deterministic)
         out = {"sequence_output": x}
         if self.add_pooler:
-            pooled = nn.Dense(self.hidden_size, dtype=self.dtype,
-                              param_dtype=self.param_dtype, name="pooler")(x[:, 0])
-            out["pooled_output"] = jnp.tanh(pooled)
+            out["pooled_output"] = jnp.tanh(self.pooler_apply(x[:, 0]))
         else:
             out["pooled_output"] = x[:, 0]
         return out

@@ -1,0 +1,107 @@
+"""Box structures: coordinate conversions, areas, IoU — jittable numpy/jnp.
+
+Reference parity: ``/root/reference/antmmf/structures/boxes.py`` (449 LoC torch
+Boxes with xyxy/xywh ops, clipping, IoU).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+import numpy as np
+
+Array = Union[np.ndarray, jnp.ndarray]
+
+
+def xywh_to_xyxy(boxes: Array) -> Array:
+    x, y, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([x, y, x + w, y + h], axis=-1)
+
+
+def xyxy_to_xywh(boxes: Array) -> Array:
+    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+
+
+def xyxy_to_cxcywh(boxes: Array) -> Array:
+    x1, y1, x2, y2 = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
+
+
+def cxcywh_to_xyxy(boxes: Array) -> Array:
+    cx, cy, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def area(boxes: Array) -> Array:
+    return jnp.clip(boxes[..., 2] - boxes[..., 0], 0) * jnp.clip(
+        boxes[..., 3] - boxes[..., 1], 0)
+
+
+def clip_to_image(boxes: Array, height: float, width: float) -> Array:
+    return jnp.stack([
+        jnp.clip(boxes[..., 0], 0, width),
+        jnp.clip(boxes[..., 1], 0, height),
+        jnp.clip(boxes[..., 2], 0, width),
+        jnp.clip(boxes[..., 3], 0, height),
+    ], axis=-1)
+
+
+def pairwise_iou(a: Array, b: Array) -> Array:
+    """[N, 4] × [M, 4] xyxy → IoU [N, M]."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area(a)[:, None] + area(b)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def generalized_iou(a: Array, b: Array) -> Array:
+    """GIoU [N, M] (DETR matcher cost)."""
+    iou = pairwise_iou(a, b)
+    lt = jnp.minimum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.maximum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    enclose = jnp.maximum(wh[..., 0] * wh[..., 1], 1e-9)
+    inter_lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    inter_rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter_wh = jnp.clip(inter_rb - inter_lt, 0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    union = area(a)[:, None] + area(b)[None, :] - inter
+    return iou - (enclose - union) / enclose
+
+
+class Boxes:
+    """Thin container matching the reference surface."""
+
+    def __init__(self, tensor: Array, mode: str = "xyxy"):
+        self.tensor = jnp.asarray(tensor, jnp.float32)
+        if mode == "xywh":
+            self.tensor = xywh_to_xyxy(self.tensor)
+        elif mode == "cxcywh":
+            self.tensor = cxcywh_to_xyxy(self.tensor)
+        elif mode != "xyxy":
+            raise ValueError(f"Unknown box mode {mode!r}")
+
+    def __len__(self) -> int:
+        return int(self.tensor.shape[0])
+
+    def area(self):
+        return area(self.tensor)
+
+    def clip(self, height: float, width: float) -> "Boxes":
+        return Boxes(clip_to_image(self.tensor, height, width))
+
+    def iou(self, other: "Boxes"):
+        return pairwise_iou(self.tensor, other.tensor)
+
+    def convert(self, mode: str):
+        if mode == "xyxy":
+            return self.tensor
+        if mode == "xywh":
+            return xyxy_to_xywh(self.tensor)
+        if mode == "cxcywh":
+            return xyxy_to_cxcywh(self.tensor)
+        raise ValueError(mode)
