@@ -1,0 +1,57 @@
+"""Adversarial and distillation trainer smoke runs on the fixture config."""
+
+import os
+
+import numpy as np
+import pytest
+
+from antmmf_tpu.common.build import build_config
+from antmmf_tpu.trainers.build import build_trainer
+
+CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "projects", "base_vtp", "configs", "video_retrieval.local.yml")
+
+
+def test_adv_trainer_runs_fgm(tmp_path):
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.trainer", "adv_trainer",
+        "training_parameters.adversarial.type", "fgm",
+        "training_parameters.adversarial.params.epsilon", "0.5",
+        "training_parameters.max_iterations", "2",
+        "training_parameters.snapshot_interval", "100",
+        "training_parameters.log_interval", "1",
+        "training_parameters.seed", "3",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    t.train()
+    scalars = t.meter.get_scalar_dict()
+    assert any("adv_loss" in k for k in scalars), scalars.keys()
+    assert np.isfinite(scalars["train/total_loss"])
+
+
+def test_distill_trainer_runs(tmp_path):
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.trainer", "distill_trainer",
+        "training_parameters.model", "univl_retrieval",
+        "training_parameters.distill.teacher_model", "teacher",
+        "training_parameters.distill.kd_weight", "0.5",
+        "training_parameters.max_iterations", "2",
+        "training_parameters.snapshot_interval", "100",
+        "training_parameters.log_interval", "1",
+        "training_parameters.seed", "3",
+        # teacher: same architecture, separate attributes entry
+        "model_attributes.teacher.model_class", "univl_retrieval",
+        "model_attributes.teacher.vit_preset", "vit_tiny_test",
+        "model_attributes.teacher.bert_preset", "bert_tiny_test",
+        "model_attributes.teacher.image_size", "64",
+        "model_attributes.teacher.embed_dim", "32",
+        "model_attributes.teacher.dtype_str", "float32",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    t.train()
+    scalars = t.meter.get_scalar_dict()
+    assert any("kd_loss" in k for k in scalars), scalars.keys()
