@@ -1,0 +1,201 @@
+"""M2-Encoder: bilingual CLIP-scale contrastive model on a multiway transformer.
+
+Reference parity: ``/root/reference/prj/M2_Encoder/`` — ``VLMo`` multiway
+transformer (``vlmo/modules/multiway_transformer.py``: shared self-attention,
+modality-specific FFN experts) with torchscale encoder + optional xMoE sparse
+FFN (``vlmo/torchscale/component/xmoe/``), bilingual tokenization, and the
+grouped-aggregation contrastive loss (README.md:16).
+
+TPU design: one ``MultiwayTransformer`` stack processes image patches, text
+tokens, or fused streams; each block's FFN is routed per-modality (dense
+experts) or token-routed (MoELayer on the ``expert`` mesh axis) — scaling to
+the 1B/10B configs via fsdp/model mesh axes + the chunked contrastive loss
+(``antmmf_tpu/parallel/contrastive.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from antmmf_tpu.common.registry import registry
+from antmmf_tpu.models.base_model import BaseModel
+from antmmf_tpu.models.univl import l2_normalize
+from antmmf_tpu.modules.attention import MultiHeadAttention
+from antmmf_tpu.modules.embeddings import TextEmbeddings, VisualEmbeddings
+from antmmf_tpu.modules.layers import LayerNorm, Mlp, make_attention_mask
+from antmmf_tpu.modules.losses.contrastive import symmetric_cross_en
+from antmmf_tpu.modules.moe import MoELayer
+from antmmf_tpu.parallel.contrastive import chunked_symmetric_infonce
+
+Dtype = Any
+
+# modality ids routed to FFN experts
+VISION_EXPERT, LANGUAGE_EXPERT, FUSION_EXPERT = 0, 1, 2
+
+PRESETS = {
+    "m2_encoder_0b4": dict(embed_dim=768, num_layers=12, num_heads=12),
+    "m2_encoder_1b": dict(embed_dim=1280, num_layers=32, num_heads=16),
+    "m2_encoder_10b": dict(embed_dim=2560, num_layers=48, num_heads=32),
+    "m2_tiny_test": dict(embed_dim=64, num_layers=2, num_heads=2),
+}
+
+
+class MultiwayBlock(nn.Module):
+    """Pre-LN block: shared attention, per-modality FFN experts (VLMo-style)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    num_ffn_experts: int = 2  # vision + language (+ fusion when 3)
+    moe: bool = False
+    moe_num_experts: int = 8
+    dropout: float = 0.0
+    use_pallas: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        modality: int,  # static expert index for this stream
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        aux: Dict[str, jnp.ndarray] = {}
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadAttention(
+            num_heads=self.num_heads, dropout=self.dropout,
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attention",
+        )(h, bias=bias, deterministic=deterministic)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if self.moe:
+            out, aux = MoELayer(
+                num_experts=self.moe_num_experts,
+                hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                dtype=self.dtype, name="moe_ffn",
+            )(h, deterministic=deterministic)
+        else:
+            # modality-specific dense expert: static routing → plain submodule
+            out = Mlp(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                      dropout=self.dropout, dtype=self.dtype,
+                      name=f"ffn_expert_{modality}",
+                      )(h, deterministic=deterministic)
+        return x + out, aux
+
+
+class MultiwayTransformer(nn.Module):
+    embed_dim: int
+    num_layers: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    moe_layers: Tuple[int, ...] = ()  # indices of blocks that use token-routed MoE
+    moe_num_experts: int = 8
+    num_ffn_experts: int = 2
+    dropout: float = 0.0
+    use_pallas: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, modality: int, bias=None, deterministic: bool = True):
+        aux_total: Dict[str, jnp.ndarray] = {}
+        for i in range(self.num_layers):
+            x, aux = MultiwayBlock(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                num_ffn_experts=self.num_ffn_experts,
+                moe=(i in self.moe_layers),
+                moe_num_experts=self.moe_num_experts, dropout=self.dropout,
+                use_pallas=self.use_pallas, dtype=self.dtype, name=f"block_{i}",
+            )(x, modality, bias, deterministic)
+            for k, v in aux.items():
+                aux_total[k] = aux_total.get(k, 0.0) + v
+        x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return x, aux_total
+
+
+@registry.register_model("m2_encoder")
+class M2Encoder(BaseModel):
+    """Bilingual dual-use encoder: CLIP-style contrastive image/text towers
+    sharing one multiway transformer."""
+
+    preset: str = "m2_encoder_0b4"
+    image_size: int = 224
+    patch_size: int = 32
+    vocab_size: int = 21128  # bilingual vocab (Chinese BERT default)
+    max_text_len: int = 52
+    embed_dim_out: int = 512
+    moe_layers: Tuple[int, ...] = ()
+    moe_num_experts: int = 8
+    aux_loss_weight: float = 0.01
+    router_z_weight: float = 0.001
+    use_chunked_loss: bool = False
+    chunk_size: int = 1024
+    init_logit_scale: float = 2.6592
+    dropout: float = 0.0
+    use_pallas: bool = True
+    dtype_str: str = "bfloat16"
+
+    def setup(self) -> None:
+        dtype = jnp.dtype(self.dtype_str)
+        p = PRESETS[self.preset]
+        self.width = p["embed_dim"]
+        self.visual_embed = VisualEmbeddings(
+            image_size=self.image_size, patch_size=self.patch_size,
+            embed_dim=self.width, dropout=self.dropout, dtype=dtype)
+        self.text_embed = TextEmbeddings(
+            vocab_size=self.vocab_size, hidden_size=self.width,
+            max_position_embeddings=512, dropout=self.dropout, dtype=dtype)
+        self.encoder = MultiwayTransformer(
+            embed_dim=self.width, num_layers=p["num_layers"],
+            num_heads=p["num_heads"], moe_layers=self.moe_layers,
+            moe_num_experts=self.moe_num_experts, dropout=self.dropout,
+            use_pallas=self.use_pallas, dtype=dtype)
+        self.image_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
+        self.text_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(self.init_logit_scale), (),
+            jnp.float32)
+
+    def encode_image(self, images: jnp.ndarray, deterministic: bool = True):
+        x = self.visual_embed(images, deterministic=deterministic)
+        x, aux = self.encoder(x, VISION_EXPERT, None, deterministic)
+        return l2_normalize(self.image_proj(x[:, 0])), aux
+
+    def encode_text(self, ids, mask, deterministic: bool = True):
+        x = self.text_embed(ids, deterministic=deterministic)
+        bias = make_attention_mask(mask)
+        x, aux = self.encoder(x, LANGUAGE_EXPERT, bias, deterministic)
+        return l2_normalize(self.text_proj(x[:, 0])), aux
+
+    def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
+        img = batch.get("image", batch.get("image_data"))
+        if img.ndim == 5:
+            img = img[:, 0]
+        ids = batch.get("input_ids", batch.get("caption_input_ids"))
+        mask = batch.get("input_mask", batch.get("caption_input_mask"))
+        img_emb, aux_i = self.encode_image(img, deterministic)
+        txt_emb, aux_t = self.encode_text(ids, mask, deterministic)
+        scale = jnp.exp(jnp.clip(self.logit_scale, 0.0, jnp.log(100.0)))
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if self.use_chunked_loss:
+            losses["contrastive_loss"] = chunked_symmetric_infonce(
+                txt_emb, img_emb, scale, self.chunk_size)
+            sim = (txt_emb.astype(jnp.float32) @ img_emb.astype(jnp.float32).T
+                   ) * scale
+        else:
+            sim = (txt_emb.astype(jnp.float32) @ img_emb.astype(jnp.float32).T
+                   ) * scale
+            losses["contrastive_loss"] = symmetric_cross_en(sim)
+        for aux in (aux_i, aux_t):
+            if "aux_loss" in aux:
+                losses["moe_aux_loss"] = losses.get("moe_aux_loss", 0.0) + \
+                    self.aux_loss_weight * aux["aux_loss"]
+            if "router_z_loss" in aux:
+                losses["router_z_loss"] = losses.get("router_z_loss", 0.0) + \
+                    self.router_z_weight * aux["router_z_loss"]
+        return {"sim": sim, "l1_simi": sim, "logits": sim,
+                "text_embed": txt_emb, "visual_embed": img_emb,
+                "losses": losses}
