@@ -1,0 +1,97 @@
+"""ResNet backbones (v1.5 bottleneck) — NHWC, group-norm option for TPU.
+
+Reference parity: ``ResNetImageEncoder`` (``/root/reference/antmmf/modules/
+encoders/visual_encoder.py:84-207``, torchvision-based with gradient
+checkpointing) and the speaker-audio ``SpkResNet`` (``models/s3d.py:151``-family).
+BatchNorm in inference style (per-batch stats under training would need
+cross-replica sync; GroupNorm is the TPU-native default — identical accuracy
+class, no sync, reference's sync_bn knob becomes irrelevant).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+STAGES = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnet101": ((3, 4, 23, 3), True),
+    "resnet_tiny_test": ((1, 1), True),
+}
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(nn.GroupNorm, num_groups=32, dtype=jnp.float32)
+        residual = x
+        y = conv(self.features, (1, 1))(x)
+        y = nn.relu(norm(name="gn1")(y))
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides))(y)
+        y = nn.relu(norm(name="gn2")(y))
+        y = conv(self.features * 4, (1, 1))(y)
+        y = norm(name="gn3")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features * 4, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample")(x)
+            residual = norm(name="gn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(nn.GroupNorm, num_groups=32, dtype=jnp.float32)
+        residual = x
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides))(x)
+        y = nn.relu(norm(name="gn1")(y))
+        y = conv(self.features, (3, 3))(y)
+        y = norm(name="gn2")(y)
+        if residual.shape != y.shape:
+            residual = conv(self.features, (1, 1),
+                            strides=(self.strides, self.strides),
+                            name="downsample")(x)
+            residual = norm(name="gn_down")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    preset: str = "resnet50"
+    width: int = 64
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        """NHWC float → dict(grid [B, h, w, C], pooled [B, C])."""
+        stages, bottleneck = STAGES[self.preset]
+        block = Bottleneck if bottleneck else BasicBlock
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2), use_bias=False,
+                    dtype=self.dtype, name="stem")(images.astype(self.dtype))
+        x = nn.relu(nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                                 name="stem_gn")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for i, n_blocks in enumerate(stages):
+            features = self.width * (2 ** i)
+            for j in range(n_blocks):
+                strides = 2 if (j == 0 and i > 0) else 1
+                x = block(features=features, strides=strides, dtype=self.dtype,
+                          name=f"stage{i}_block{j}")(x)
+        return {"grid": x, "pooled": x.mean(axis=(1, 2))}
