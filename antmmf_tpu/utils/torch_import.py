@@ -1,0 +1,144 @@
+"""Import PyTorch reference weights into the JAX towers.
+
+The parity requirement (SURVEY.md §7 hard part #5): validating MSR-VTT numbers
+against the reference needs its torch checkpoints loaded into our flax params.
+This module maps state_dicts for the two tower families:
+
+  * HF-style BERT (``bert.*`` / bare) → ``BertEncoder`` params
+  * OpenAI-CLIP-style ViT (``visual.*``) → ``VisionTransformer`` params
+
+Dense weights transpose ([out, in] → [in, out]); packed qkv splits; LayerNorm
+weight/bias → scale/bias. Anything unmapped flows through
+``checkpoint.merge_params_tolerant`` (shape-checked, warn-and-skip).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, Mapping) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, Mapping) and "model" in obj and isinstance(
+            obj["model"], Mapping):
+        obj = obj["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    node = tree
+    parts = path.split("/")
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def bert_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_layers: int,
+) -> Dict[str, Any]:
+    """HF BERT state_dict → our BertEncoder param tree (under 'params' root)."""
+    sd = {re.sub(r"^bert\.", "", k): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    ln = "LayerNorm_0"
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    emb = "embeddings"
+    _set(p, f"{emb}/word_embeddings/embedding", sd["embeddings.word_embeddings.weight"])
+    _set(p, f"{emb}/position_embeddings/embedding",
+         sd["embeddings.position_embeddings.weight"])
+    _set(p, f"{emb}/token_type_embeddings/embedding",
+         sd["embeddings.token_type_embeddings.weight"])
+    _set(p, f"{emb}/layer_norm/{ln}/scale", sd["embeddings.LayerNorm.weight"])
+    _set(p, f"{emb}/layer_norm/{ln}/bias", sd["embeddings.LayerNorm.bias"])
+
+    for i in range(num_layers):
+        src = f"encoder.layer.{i}"
+        dst = f"encoder/layer_{i}"
+        for hf, ours in (("query", "q_proj"), ("key", "k_proj"),
+                         ("value", "v_proj")):
+            _set(p, f"{dst}/attention/{ours}/kernel",
+                 T(sd[f"{src}.attention.self.{hf}.weight"]))
+            _set(p, f"{dst}/attention/{ours}/bias",
+                 sd[f"{src}.attention.self.{hf}.bias"])
+        _set(p, f"{dst}/attention/out_proj/kernel",
+             T(sd[f"{src}.attention.output.dense.weight"]))
+        _set(p, f"{dst}/attention/out_proj/bias",
+             sd[f"{src}.attention.output.dense.bias"])
+        _set(p, f"{dst}/norm1/{ln}/scale",
+             sd[f"{src}.attention.output.LayerNorm.weight"])
+        _set(p, f"{dst}/norm1/{ln}/bias",
+             sd[f"{src}.attention.output.LayerNorm.bias"])
+        _set(p, f"{dst}/mlp/fc1/kernel", T(sd[f"{src}.intermediate.dense.weight"]))
+        _set(p, f"{dst}/mlp/fc1/bias", sd[f"{src}.intermediate.dense.bias"])
+        _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{src}.output.dense.weight"]))
+        _set(p, f"{dst}/mlp/fc2/bias", sd[f"{src}.output.dense.bias"])
+        _set(p, f"{dst}/norm2/{ln}/scale", sd[f"{src}.output.LayerNorm.weight"])
+        _set(p, f"{dst}/norm2/{ln}/bias", sd[f"{src}.output.LayerNorm.bias"])
+
+    if "pooler.dense.weight" in sd:
+        _set(p, "pooler/kernel", T(sd["pooler.dense.weight"]))
+        _set(p, "pooler/bias", sd["pooler.dense.bias"])
+    return p
+
+
+def clip_vit_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_layers: int,
+) -> Dict[str, Any]:
+    """OpenAI-CLIP visual tower → our VisionTransformer param tree."""
+    sd = {re.sub(r"^visual\.", "", k): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    ln = "LayerNorm_0"
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    # conv1 [C, 3, ph, pw] → [ph, pw, 3, C]
+    conv = sd["conv1.weight"]
+    _set(p, "embeddings/patch_embed/proj/kernel",
+         np.ascontiguousarray(conv.transpose(2, 3, 1, 0)))
+    if "conv1.bias" in sd:
+        _set(p, "embeddings/patch_embed/proj/bias", sd["conv1.bias"])
+    else:
+        _set(p, "embeddings/patch_embed/proj/bias",
+             np.zeros(conv.shape[0], np.float32))
+    _set(p, "embeddings/cls_token", sd["class_embedding"].reshape(1, 1, -1))
+    _set(p, "embeddings/pos_embedding", sd["positional_embedding"])
+    _set(p, f"pre_norm/{ln}/scale", sd["ln_pre.weight"])
+    _set(p, f"pre_norm/{ln}/bias", sd["ln_pre.bias"])
+
+    for i in range(num_layers):
+        src = f"transformer.resblocks.{i}"
+        dst = f"encoder/layer_{i}"
+        wqkv = sd[f"{src}.attn.in_proj_weight"]  # [3C, C]
+        bqkv = sd[f"{src}.attn.in_proj_bias"]
+        C = wqkv.shape[1]
+        for j, ours in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(p, f"{dst}/attention/{ours}/kernel", T(wqkv[j * C:(j + 1) * C]))
+            _set(p, f"{dst}/attention/{ours}/bias", bqkv[j * C:(j + 1) * C])
+        _set(p, f"{dst}/attention/out_proj/kernel",
+             T(sd[f"{src}.attn.out_proj.weight"]))
+        _set(p, f"{dst}/attention/out_proj/bias", sd[f"{src}.attn.out_proj.bias"])
+        _set(p, f"{dst}/norm1/{ln}/scale", sd[f"{src}.ln_1.weight"])
+        _set(p, f"{dst}/norm1/{ln}/bias", sd[f"{src}.ln_1.bias"])
+        _set(p, f"{dst}/norm2/{ln}/scale", sd[f"{src}.ln_2.weight"])
+        _set(p, f"{dst}/norm2/{ln}/bias", sd[f"{src}.ln_2.bias"])
+        _set(p, f"{dst}/mlp/fc1/kernel", T(sd[f"{src}.mlp.c_fc.weight"]))
+        _set(p, f"{dst}/mlp/fc1/bias", sd[f"{src}.mlp.c_fc.bias"])
+        _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{src}.mlp.c_proj.weight"]))
+        _set(p, f"{dst}/mlp/fc2/bias", sd[f"{src}.mlp.c_proj.bias"])
+
+    _set(p, f"encoder/final_norm/{ln}/scale", sd["ln_post.weight"])
+    _set(p, f"encoder/final_norm/{ln}/bias", sd["ln_post.bias"])
+    if "proj" in sd:
+        _set(p, "proj/kernel", np.asarray(sd["proj"]))
+    return p
