@@ -156,6 +156,10 @@ class BaseTrainer:
         self.snapshot_interval = int(self.tp.get("snapshot_interval", 1000))
         self.evaluator = build_evaluator(self.tp.get("evaluator", None))
 
+        from antmmf_tpu.common.metrics_reporter import MetricsReporter
+
+        self.metrics_reporter = MetricsReporter(self.config, self.writer)
+
     # ================================================================== compile
     def compile_steps(self) -> None:
         shell = self.shell
@@ -197,6 +201,7 @@ class BaseTrainer:
             return
         tp = self.tp
         self.writer.write(f"Starting training: max_iterations={self.max_iterations}")
+        self._profile_flops()
         timer = Timer()
         iteration = int(self.state.step)
         epoch = 0
@@ -228,6 +233,69 @@ class BaseTrainer:
                 break
 
         self.finalize(iteration)
+
+    def _profile_flops(self) -> None:
+        """FLOPs accounting via XLA cost analysis of the compiled step (the
+        reference's MetricsReporter dry-run, metrics_reporter.py:138-151)."""
+        try:
+            batch = self._shard_batch(self._cached_first_batch)
+            compiled = self._train_step.lower(self.state, batch).compile()
+            flops = self.metrics_reporter.profile_step(compiled)
+            if flops:
+                self.writer.write(
+                    f"train step cost: {flops / 1e12:.3f} TFLOPs "
+                    f"({flops:.3e} flops)")
+                self.metrics_reporter.report({
+                    "event": "train_step_flops", "flops": flops,
+                    "world_size": jax.process_count()})
+        except Exception as e:  # profiling must never break training
+            self.writer.write(f"FLOPs profile unavailable: {e}", level="warning")
+
+    @staticmethod
+    def _find_word_embedding(tree: Mapping):
+        """Locate the text word-embedding table in a (grad or param) tree."""
+        if isinstance(tree, Mapping):
+            if "word_embeddings" in tree and isinstance(
+                    tree["word_embeddings"], Mapping):
+                return tree["word_embeddings"].get("embedding")
+            for v in tree.values():
+                found = BaseTrainer._find_word_embedding(v) \
+                    if isinstance(v, Mapping) else None
+                if found is not None:
+                    return found
+        return None
+
+    def interpret(self, dataset_type: str = "val", max_batches: int = 4):
+        """Saliency interpretation loop (reference base_trainer.py:834-850).
+
+        Token saliency = |∂L/∂E[row] ⊙ E[row]| gathered per input token — the
+        embedding-table-gradient form of simple-gradient saliency (equivalent
+        to the reference's forward-hook-on-embedding trick because each token's
+        embedding enters the graph only through its table row).
+        """
+        results = []
+        for batch in itertools.chain(*self.task_loader.get_loaders(dataset_type)):
+            arrays = self._shard_batch(batch)
+            ids_key = next((k for k in ("caption_input_ids", "input_ids")
+                            if k in arrays), None)
+            if ids_key is None:
+                break
+            grads = jax.grad(lambda v: self.shell.loss_fn(
+                v, arrays, deterministic=True)[0])(self.state.variables)
+            table = self._find_word_embedding(self.state.variables["params"])
+            gtable = self._find_word_embedding(grads["params"])
+            if table is None or gtable is None:
+                raise RuntimeError("Model has no word_embeddings table to "
+                                   "interpret")
+            ids = np.asarray(arrays[ids_key])
+            emb = np.asarray(jax.device_get(table))[ids]
+            gemb = np.asarray(jax.device_get(gtable))[ids]
+            sal = np.abs((gemb * emb).sum(-1))
+            sal = sal / np.maximum(sal.sum(-1, keepdims=True), 1e-9)
+            results.append({"saliency": sal, "input_ids": ids})
+            if len(results) >= max_batches:
+                break
+        return results
 
     def _first_val_batch(self):
         loaders = self.task_loader.get_loaders("val")
@@ -309,12 +377,27 @@ class BaseTrainer:
     # ================================================================ inference
     def inference(self) -> Dict[str, float]:
         results = {}
+        evalai = bool(self.tp.get("evalai_inference", False))
         for dataset_type in ("val", "test"):
             if dataset_type == "val" and "val" not in self.run_type:
                 continue
             if dataset_type == "test" and "inference" not in self.run_type and \
                     "test" not in self.run_type and "predict" not in self.run_type:
                 continue
+            reporter = None
+            if evalai:
+                from antmmf_tpu.common.test_reporter import TestReporter
+
+                reporter = TestReporter(self.config)
+                for batch in itertools.chain(
+                        *self.task_loader.get_loaders(dataset_type)):
+                    if batch.get_batch_size() == 0:
+                        continue
+                    _, output = self._eval_step(self.state,
+                                                self._shard_batch(batch))
+                    reporter.add_batch(batch, jax.device_get(output))
+                paths = reporter.dump(dataset_type)
+                self.writer.write(f"evalai predictions dumped: {paths}")
             metrics = self.evaluate_set(dataset_type)
             if metrics:
                 self.writer.write(f"{dataset_type} inference: " + ", ".join(

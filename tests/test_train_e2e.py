@@ -67,6 +67,40 @@ def test_resume_from_checkpoint(trained):
     assert int(t2.state.step) >= 4  # resumed from snapshot, not 0
 
 
+def test_interpret_saliency_loop(trained):
+    trainer, _ = trained
+    results = trainer.interpret("val", max_batches=1)
+    assert len(results) == 1
+    sal = results[0]["saliency"]
+    assert sal.shape == results[0]["input_ids"].shape
+    np.testing.assert_allclose(sal.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_flops_profile_recorded(trained):
+    trainer, _ = trained
+    assert trainer.metrics_reporter.step_flops is None or \
+        trainer.metrics_reporter.step_flops > 0
+
+
+def test_evalai_inference_dump(trained):
+    trainer, save_dir = trained
+    trainer.tp = trainer.config.get("training_parameters", {})
+    import glob
+
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", save_dir,
+        "training_parameters.evalai_inference", "true",
+        "training_parameters.run_type", "inference",
+        "training_parameters.resume", "true",
+        "training_parameters.seed", "7",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    t.inference()
+    reports = glob.glob(os.path.join(save_dir, "reports", "*"))
+    assert reports
+
+
 def test_retrieval_trainer_two_stage_eval(trained):
     _, save_dir = trained
     cfg = build_config(CFG, opts=[
