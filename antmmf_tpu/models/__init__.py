@@ -2,6 +2,9 @@ from antmmf_tpu.models.base_model import BaseModel, ModelShell, build_model  # n
 from antmmf_tpu.models import adversarial  # noqa: F401  (registry side effects)
 from antmmf_tpu.models import classic  # noqa: F401
 from antmmf_tpu.models import dmae  # noqa: F401
+from antmmf_tpu.models import layoutlm  # noqa: F401
 from antmmf_tpu.models import m2_encoder  # noqa: F401
 from antmmf_tpu.models import univl  # noqa: F401
 from antmmf_tpu.models import univl_pretrain  # noqa: F401
+from antmmf_tpu.models import video_audio  # noqa: F401
+from antmmf_tpu.modules import graph as _graph  # noqa: F401  (comp_gcn model)
