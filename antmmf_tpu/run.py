@@ -27,6 +27,15 @@ def plain_run(args: Any) -> None:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    # honor JAX_PLATFORMS even when a plugin registered itself programmatically
+    # (the env var alone loses to in-process registration, e.g. TPU relays)
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms in ("cpu",):
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
     parser = get_parser()
     args = parser.parse_args(argv)
     plain_run(args)

@@ -55,3 +55,21 @@ def test_distill_trainer_runs(tmp_path):
     t.train()
     scalars = t.meter.get_scalar_dict()
     assert any("kd_loss" in k for k in scalars), scalars.keys()
+
+
+def test_dmae_project_local_config(tmp_path):
+    dmae_cfg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "projects", "dmae_vtp", "configs", "msrvtt_retrieval.local.yml")
+    cfg = build_config(dmae_cfg, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.seed", "5",
+    ])
+    t = build_trainer(cfg)
+    assert type(t).__name__ == "RetrievalTrainer"
+    t.load()
+    t.train()
+    metrics = t.evaluate_set("val")
+    assert "l1_simi_t2v-r@1" in metrics
+    scalars = t.meter.get_scalar_dict()
+    assert any("level3_similarity_loss" in k for k in scalars)
