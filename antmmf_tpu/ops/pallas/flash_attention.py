@@ -32,25 +32,26 @@ NEG_INF = -1e30
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    q = q_ref[0]  # [BQ, D] — input dtype (bf16 on TPU: full-rate MXU)
     Lk = k_ref.shape[1]
     BQ = q.shape[0]
     num_kb = Lk // block_k
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-        s = s + bias_ref[0, pl.ds(j * block_k, block_k)][None, :]
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK] fp32
+        s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
     m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
@@ -59,65 +60,66 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+    lse_ref[0] = (m + jnp.log(l_safe))[:, None]
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
                *, scale, block_k):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0]
+    delta = delta_ref[0][:, 0]
     Lk = k_ref.shape[1]
     num_kb = Lk // block_k
 
     def body(j, dq):
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[0, pl.ds(j * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
+        ds = (p * (dp - delta[:, None]) * scale).astype(kb.dtype)
         return dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, num_kb,
-                           body, jnp.zeros_like(q))
+    dq = jax.lax.fori_loop(0, num_kb, body,
+                           jnp.zeros(q.shape, jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, scale, block_q):
-    kb = k_ref[0].astype(jnp.float32)  # [BK, D]
-    vb = v_ref[0].astype(jnp.float32)
-    bias = bias_ref[0]  # [BK]
+    kb = k_ref[0]  # [BK, D]
+    vb = v_ref[0]
+    bias = bias_ref[0, 0]  # [BK]
     Lq = q_ref.shape[1]
     num_qb = Lq // block_q
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)]
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias[None, :]
-        p = jnp.exp(s - lse[:, None])  # [BQ, BK]
-        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        p = jnp.exp(s - lse[:, None])  # [BQ, BK] fp32
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale  # [BQ, BK]
+        ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)  # [BQ, BK]
         dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         return dk, dv
 
-    dk0 = jnp.zeros_like(kb)
-    dv0 = jnp.zeros_like(vb)
+    dk0 = jnp.zeros((kb.shape[0], kb.shape[1]), jnp.float32)
+    dv0 = jnp.zeros((vb.shape[0], vb.shape[1]), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
@@ -141,7 +143,7 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
     qp = _pad_to(q, 2, block_q).reshape(B * H, Lq_p, D)
     kp = _pad_to(k, 2, block_k).reshape(B * H, Lk_p, D)
     vp = _pad_to(v, 2, block_k).reshape(B * H, Lk_p, D)
-    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)  # [B, Lk_p]
+    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)[:, None, :]  # [B, 1, Lk_p]
 
     grid = (B * H, Lq_p // block_q)
     out, lse = pl.pallas_call(
@@ -154,21 +156,22 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk_p), lambda bh, qi, H=H: (bh // H, 0),
+            pl.BlockSpec((1, 1, Lk_p), lambda bh, qi, H=H: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Lq_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Lq_p, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, bias_p)
+    lse = lse[..., 0]
     out = out.reshape(B, H, Lq_p, D)[:, :, :Lq]
     lse = lse.reshape(B, H, Lq_p)[:, :, :Lq]
     return out, lse
@@ -185,9 +188,10 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
     dop = _pad_to(g, 2, block_q).reshape(B * H, Lq_p, D)
     outp = _pad_to(out, 2, block_q).reshape(B * H, Lq_p, D)
     # padded query rows: lse=0, delta=0, do=0 → p rows contribute 0 in dkv
-    lsep = _pad_to(lse, 2, block_q, value=0.0).reshape(B * H, Lq_p)
-    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)
-    delta = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1)
+    lsep = _pad_to(lse, 2, block_q, value=0.0).reshape(B * H, Lq_p, 1)
+    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)[:, None, :]
+    delta = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1,
+                    keepdims=True)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=block_k),
@@ -199,13 +203,13 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lk_p), lambda bh, qi, H=H: (bh // H, 0),
+            pl.BlockSpec((1, 1, Lk_p), lambda bh, qi, H=H: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda bh, qi: (bh, qi),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
@@ -224,13 +228,13 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda bh, ki, H=H: (bh // H, ki),
+            pl.BlockSpec((1, 1, block_k), lambda bh, ki, H=H: (bh // H, 0, ki),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lq_p, D), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq_p), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, Lq_p, 1), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq_p), lambda bh, ki: (bh, 0),
+            pl.BlockSpec((1, Lq_p, 1), lambda bh, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

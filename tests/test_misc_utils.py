@@ -1,0 +1,86 @@
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from antmmf_tpu.utils.inspector import (
+    find_anomalies,
+    parameter_summary,
+    sharding_report,
+)
+from antmmf_tpu.utils.launch import pool_processes
+from antmmf_tpu.utils.visualize import make_grid, overlay_attention, saliency_text_report
+from antmmf_tpu.utils.download import DownloadDisabled, download
+from antmmf_tpu.utils.file_io import atomic_write_json, read_jsonl
+from antmmf_tpu.common.data_updater import DataUpdater
+
+
+def test_inspector_summary_and_anomalies():
+    params = {"layer": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    text = parameter_summary(params)
+    assert "TOTAL" in text and "20" in text
+    assert find_anomalies(params) == []
+    bad = {"w": jnp.array([1.0, np.nan])}
+    assert len(find_anomalies(bad)) == 1
+    assert "kernel" in sharding_report(params)
+
+
+def test_launcher_kills_job_on_rank_failure():
+    ok = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    bad = subprocess.Popen([sys.executable, "-c", "import sys; sys.exit(3)"])
+    code = pool_processes([ok, bad], poll_seconds=0.2)
+    assert code == 3
+    assert ok.poll() is not None  # survivor terminated
+
+
+def test_launcher_success_path():
+    p1 = subprocess.Popen([sys.executable, "-c", "pass"])
+    p2 = subprocess.Popen([sys.executable, "-c", "pass"])
+    assert pool_processes([p1, p2], poll_seconds=0.1) == 0
+
+
+def test_visualize_helpers(tmp_path):
+    imgs = [np.random.rand(8, 8, 3) for _ in range(5)]
+    grid = make_grid(imgs, cols=3)
+    assert grid.dtype == np.uint8 and grid.shape[2] == 3
+    overlaid = overlay_attention(imgs[0], np.random.rand(2, 2))
+    assert overlaid.shape == (8, 8, 3)
+    rep = saliency_text_report(["a", "b", "c"], np.array([0.1, 0.7, 0.2]), 2)
+    assert rep.startswith("b(")
+
+
+def test_download_gated(tmp_path, monkeypatch):
+    monkeypatch.delenv("ANTMMF_TPU_ALLOW_DOWNLOADS", raising=False)
+    with pytest.raises(DownloadDisabled):
+        download("http://example.com/x", str(tmp_path / "x"))
+    # existing file short-circuits
+    target = tmp_path / "y"
+    target.write_bytes(b"data")
+    assert download("http://example.com/y", str(target)) == str(target)
+
+
+def test_file_io(tmp_path):
+    path = str(tmp_path / "sub" / "x.json")
+    atomic_write_json({"a": 1}, path)
+    assert os.path.exists(path)
+    jl = tmp_path / "x.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}\n')
+    assert [r["a"] for r in read_jsonl(str(jl))] == [1, 2]
+
+
+def test_data_updater_rewrites_annotations(tmp_path):
+    class FakeDB:
+        data = [{"caption": "x"}, {"caption": "y"}]
+
+    upd = DataUpdater({"training_parameters": {"save_dir": str(tmp_path)}})
+    upd.add_batch({"caption_tid": np.array([0, 1])},
+                  {"logits": np.array([[0.1, 0.9], [0.8, 0.2]])})
+    out_path = str(tmp_path / "updated.jsonl")
+    n = upd.update_annotations(FakeDB, out_path)
+    assert n == 2
+    assert FakeDB.data[0]["pseudo_label"] == 1
+    assert FakeDB.data[1]["pseudo_label"] == 0
+    assert os.path.exists(out_path)
