@@ -151,6 +151,16 @@ def build_model(
             )
         model_name = names[0]
     model_config = attributes.get(model_name, {})
+    # training_parameters.dtype_policy.compute provides the default compute
+    # dtype when the model config doesn't pin one (the AMP-knob analogue)
+    policy_dtype = config.get_dotted("training_parameters.dtype_policy.compute") \
+        if hasattr(config, "get_dotted") else None
+    if policy_dtype and "dtype_str" not in model_config and \
+            "dtype_str" in getattr(registry.get_model_class(
+                model_config.get("model_class", model_name)),
+                "__dataclass_fields__", {}):
+        model_config = convert_to_config(
+            {**model_config.to_dict(), "dtype_str": str(policy_dtype)})
     cls = registry.get_model_class(model_config.get("model_class", model_name))
     module = cls.for_test(model_config) if for_test else cls.from_config(model_config)
     losses = Losses(model_config.get("losses", []))
