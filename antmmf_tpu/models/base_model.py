@@ -90,14 +90,28 @@ class ModelShell:
         batch: Mapping[str, Any],
         deterministic: bool = True,
         rngs: Optional[Mapping[str, jax.Array]] = None,
-    ) -> Dict[str, Any]:
-        output = self.module.apply(
-            variables, batch, deterministic=deterministic, rngs=rngs
-        )
+        with_mutable: bool = False,
+    ):
+        """Forward. With ``with_mutable`` (training), non-param collections
+        (MoCo queues, batch stats) are threaded functionally: returns
+        (output, updated_collections)."""
+        mutable = [c for c in variables if c != "params"] if with_mutable else False
+        if mutable:
+            output, updated = self.module.apply(
+                variables, batch, deterministic=deterministic, rngs=rngs,
+                mutable=mutable,
+            )
+        else:
+            output = self.module.apply(
+                variables, batch, deterministic=deterministic, rngs=rngs
+            )
+            updated = {}
         if not isinstance(output, Mapping):
             raise TypeError(
                 f"Model output must be a Mapping, got {type(output).__name__}"
             )
+        if with_mutable:
+            return dict(output), dict(updated)
         return dict(output)
 
     def attach(self, batch: Mapping, output: Dict[str, Any]) -> Dict[str, Any]:
@@ -122,7 +136,15 @@ class ModelShell:
         rngs: Optional[Mapping[str, jax.Array]] = None,
         deterministic: bool = False,
     ) -> Tuple[jnp.ndarray, Tuple[Dict[str, Any], Dict[str, jnp.ndarray]]]:
-        output = self.apply(variables, batch, deterministic=deterministic, rngs=rngs)
+        has_extra = any(c != "params" for c in variables)
+        if has_extra and not deterministic:
+            output, updated = self.apply(
+                variables, batch, deterministic=deterministic, rngs=rngs,
+                with_mutable=True)
+            output["_updated_collections"] = updated
+        else:
+            output = self.apply(variables, batch, deterministic=deterministic,
+                                rngs=rngs)
         output = self.attach(batch, output)
         losses = output.get("losses", {})
         if losses:

@@ -191,6 +191,10 @@ class UnivlForVideoTextRetrieval(BaseModel):
     loss_type: str = "cross_en"  # cross_en | mil_nce | neg_nce
     neg_nce_margin: float = 0.0
     neg_nce_weight: float = 1.0
+    # MoCo-style negative queue (reference moco_utils.py:13-108 +
+    # univl_video_ret.py:263-312): stale embeddings enlarge the negative set
+    with_queue: bool = False
+    queue_size: int = 4096
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     remat: bool = False
     use_pallas: bool = True
@@ -210,6 +214,15 @@ class UnivlForVideoTextRetrieval(BaseModel):
             "logit_scale", nn.initializers.constant(self.init_logit_scale), (),
             jnp.float32,
         )
+        if self.with_queue:
+            from antmmf_tpu.modules import moco
+
+            self.text_queue = self.variable(
+                "moco", "text_queue",
+                lambda: moco.init_queue(self.queue_size, self.embed_dim))
+            self.video_queue = self.variable(
+                "moco", "video_queue",
+                lambda: moco.init_queue(self.queue_size, self.embed_dim))
 
     def encode_text(self, batch: Mapping, deterministic: bool = True):
         return self.base.forward_text_encoder(
@@ -257,7 +270,31 @@ class UnivlForVideoTextRetrieval(BaseModel):
         # single-batch validation at log_interval reports val loss (reference
         # base_trainer.py:805-814 behavior)
         losses: Dict[str, jnp.ndarray] = {}
-        if self.loss_type == "mil_nce":
+        if self.with_queue:
+            from antmmf_tpu.modules import moco
+
+            scale = jnp.exp(jnp.clip(self.logit_scale, 0.0, jnp.log(100.0)))
+            v_mean = clip_embed.mean(axis=1)
+            tq, vq = self.text_queue, self.video_queue
+            neg_inf = jnp.finfo(jnp.float32).min
+
+            def ce_with_queue(rows, queue_state):
+                negs, valid = moco.queue_negatives(queue_state)
+                extra = (rows.astype(jnp.float32) @ negs.T.astype(jnp.float32)
+                         ) * scale
+                extra = jnp.where(valid[None, :], extra, neg_inf)
+                base = sim if rows is text_embed else sim.T
+                logits = jnp.concatenate([base, extra], axis=1)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                return -jnp.mean(jnp.diagonal(logp[:, : base.shape[1]]))
+
+            losses["level1_similarity_loss"] = 0.5 * (
+                ce_with_queue(text_embed, vq.value)
+                + ce_with_queue(v_mean, tq.value))
+            if not deterministic:
+                tq.value = moco.enqueue(tq.value, text_embed)
+                vq.value = moco.enqueue(vq.value, v_mean)
+        elif self.loss_type == "mil_nce":
             eye = jnp.eye(sim.shape[0], sim.shape[1])
             losses["level1_similarity_loss"] = 0.5 * (
                 mil_nce(sim, eye) + mil_nce(sim.T, eye.T)

@@ -173,11 +173,16 @@ class BaseTrainer:
                     {**state.variables, "params": p}, batch,
                     rngs={"dropout": step_rng}, deterministic=False,
                 )
-                return loss, scalars
+                updated = output.get("_updated_collections", {})
+                return loss, (scalars, updated)
 
-            (loss, scalars), grads = jax.value_and_grad(loss_of, has_aux=True)(
-                state.params)
+            (loss, (scalars, updated)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads, tx)
+            if updated:  # thread MoCo queues / batch stats functionally
+                new_vars = dict(new_state.variables)
+                new_vars.update(updated)
+                new_state = new_state.replace(variables=new_vars)
             scalars["grad_norm"] = optax_global_norm(grads)
             return new_state, scalars
 

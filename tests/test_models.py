@@ -102,3 +102,27 @@ def test_build_model_from_config_registry():
                                          rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))
     assert "total_loss" in scalars
+
+
+def test_moco_queue_training_path():
+    import antmmf_tpu.modules.moco as moco_mod  # noqa: F401
+
+    model = UnivlForVideoTextRetrieval(**TINY, with_queue=True, queue_size=8)
+    batch = _batch()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
+    assert "moco" in variables
+    out, updated = model.apply(variables, batch, deterministic=False,
+                               mutable=["moco"])
+    assert np.isfinite(float(out["losses"]["level1_similarity_loss"]))
+    assert int(updated["moco"]["text_queue"]["filled"]) == 4
+
+    # through the shell: updated collections surface in the output
+    from antmmf_tpu.models.base_model import ModelShell
+
+    shell = ModelShell(model)
+    loss, (output, scalars) = shell.loss_fn(variables, batch)
+    upd = output["_updated_collections"]
+    assert int(upd["moco"]["video_queue"]["filled"]) == 4
+    # eval path: no queue mutation
+    loss2, (output2, _) = shell.loss_fn(variables, batch, deterministic=True)
+    assert "_updated_collections" not in output2
