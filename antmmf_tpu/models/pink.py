@@ -1,0 +1,97 @@
+"""Pink: referential-comprehension MLLM (vision prefix + decoder LM + adapters).
+
+Reference parity: ``/root/reference/prj/Pink`` — LLaMA2 + CLIP-ViT with
+LoRA-class adapters trained for referential comprehension (boxes serialized
+into text as ``[x1,y1,x2,y2]`` tokens; 11.7k LoC, HF-Trainer based). Here the
+same capability class on the shared substrate: ViT prefix → DecoderLM (1D
+RoPE), LoRA-wrapped attention output adapter, LM loss on answer tokens.
+Parameter-efficient finetuning = optimizer lr_multipliers zeroing base towers
+(optimizer/build.py) or the LoRADense freeze_base path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from antmmf_tpu.common.registry import registry
+from antmmf_tpu.models.base_model import BaseModel
+from antmmf_tpu.models.m2_omni import LM_PRESETS
+from antmmf_tpu.modules.llm import DecoderLM
+from antmmf_tpu.modules.lora import LoRADense
+from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
+
+Dtype = Any
+
+
+@registry.register_model("pink")
+class PinkModel(BaseModel):
+    lm_preset: str = "omni_1b"
+    vit_preset: str = "vit_base_patch32"
+    image_size: int = 224
+    lora_rank: int = 8
+    dtype_str: str = "bfloat16"
+
+    def setup(self) -> None:
+        dtype = jnp.dtype(self.dtype_str)
+        p = LM_PRESETS[self.lm_preset]
+        self.hidden = p["hidden"]
+        self.vocab_size = p["vocab_size"]
+        self.token_embed = nn.Embed(self.vocab_size, self.hidden, dtype=dtype,
+                                    param_dtype=jnp.float32)
+        self.decoder = DecoderLM(
+            num_layers=p["num_layers"], num_heads=p["num_heads"],
+            num_kv_heads=p["num_kv_heads"], rope_3d=False, dtype=dtype)
+        self.vision_tower = VisionTransformer(
+            image_size=self.image_size, dtype=dtype,
+            **dict(VIT_PRESETS[self.vit_preset]))
+        # adapter path: LoRA projection from vision space into the LM
+        self.vision_proj = LoRADense(self.hidden, rank=self.lora_rank,
+                                     freeze_base=False, dtype=dtype)
+        self.output_adapter = LoRADense(self.hidden, rank=self.lora_rank,
+                                        freeze_base=True, dtype=dtype)
+        self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
+                                param_dtype=jnp.float32)
+
+    def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
+        input_ids = batch["input_ids"]
+        mask = batch.get("input_mask", jnp.ones_like(input_ids))
+        B, Lt = input_ids.shape
+
+        img = batch.get("image_data")
+        segments, masks = [], []
+        if img is not None:
+            if img.ndim == 5:
+                img = img[:, 0]
+            seq = self.vision_tower(img, deterministic=deterministic)["sequence"]
+            vtok = self.vision_proj(seq[:, 1:])
+            segments.append(vtok)
+            masks.append(jnp.ones(vtok.shape[:2], jnp.int32))
+        segments.append(self.token_embed(input_ids))
+        masks.append(mask.astype(jnp.int32))
+
+        embeds = jnp.concatenate(segments, axis=1)
+        full_mask = jnp.concatenate(masks, axis=1)
+        L = embeds.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+
+        hidden = self.decoder(embeds, positions, full_mask,
+                              deterministic=deterministic)
+        hidden = hidden + self.output_adapter(hidden)
+        text_hidden = hidden[:, -Lt:]
+        logits = self.lm_head(text_hidden).astype(jnp.float32)
+
+        out: Dict[str, Any] = {"logits": logits}
+        labels = batch.get("labels")
+        if labels is not None:
+            shift_logits, shift_labels = logits[:, :-1], labels[:, 1:]
+            valid = shift_labels >= 0
+            safe = jnp.where(valid, shift_labels, 0)
+            logp = jax.nn.log_softmax(shift_logits, -1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+            denom = jnp.maximum(valid.sum(), 1)
+            out["losses"] = {"lm_loss": jnp.where(valid, nll, 0.0).sum() / denom}
+        return out

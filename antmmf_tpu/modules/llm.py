@@ -1,0 +1,195 @@
+"""Decoder-only LM blocks: RMSNorm, rotary embeddings (1D + 3D), GQA attention,
+SwiGLU — the substrate for M2-omni-class multimodal LLMs.
+
+Reference parity: ``/root/reference/prj/M2_omni/models/modeling_llama_3d.py``
+(1239 LoC — LLaMA with 3D RoPE over (t, h, w) vision-token coordinates) and
+``modeling_m2omni.py``. Fresh TPU-first implementation: static shapes, bf16
+compute with fp32 RMSNorm, grouped-query attention, and position ids carried
+explicitly so text tokens use 1D positions while vision tokens use (t, h, w)
+split across head-dim thirds (the published 3D-RoPE scheme).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                           jnp.float32)
+        norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                  + self.epsilon)
+        return (norm * scale).astype(self.dtype)
+
+
+def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                            / head_dim))
+
+
+def apply_rope(
+    x: jnp.ndarray,  # [B, H, L, D]
+    positions: jnp.ndarray,  # int[B, L] or float
+    theta: float = 10000.0,
+) -> jnp.ndarray:
+    D = x.shape[-1]
+    freqs = rope_frequencies(D, theta)  # [D/2]
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B,1,L,D/2]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., 0::2].astype(jnp.float32), x[..., 1::2].astype(jnp.float32)
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def apply_rope_3d(
+    x: jnp.ndarray,  # [B, H, L, D]
+    positions: jnp.ndarray,  # int[B, L, 3] — (t, h, w); text rows use (p, p, p)
+    theta: float = 10000.0,
+) -> jnp.ndarray:
+    """3D rotary embedding: head dim split into thirds, one rotation stream per
+    coordinate axis (modeling_llama_3d.py scheme)."""
+    D = x.shape[-1]
+    third = D // 3 // 2 * 2  # even split per axis
+    parts = []
+    offset = 0
+    for axis in range(3):
+        width = third if axis < 2 else D - 2 * third
+        seg = x[..., offset:offset + width]
+        parts.append(apply_rope(seg, positions[..., axis], theta))
+        offset += width
+    return jnp.concatenate(parts, axis=-1)
+
+
+class GQAttention(nn.Module):
+    """Grouped-query attention with rotary positions and causal+padding mask."""
+
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rope_3d: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, L, C]
+        positions: jnp.ndarray,  # [B, L] or [B, L, 3]
+        bias: Optional[jnp.ndarray] = None,  # additive [B|1, 1, L|1, L]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, L, C = x.shape
+        n_kv = self.num_kv_heads or self.num_heads
+        head_dim = self.head_dim or C // self.num_heads
+        dense = lambda f, name: nn.Dense(  # noqa: E731
+            f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+
+        def heads(t, n):
+            return t.reshape(B, L, n, head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(dense(self.num_heads * head_dim, "q_proj")(x), self.num_heads)
+        k = heads(dense(n_kv * head_dim, "k_proj")(x), n_kv)
+        v = heads(dense(n_kv * head_dim, "v_proj")(x), n_kv)
+
+        rope = apply_rope_3d if self.rope_3d else apply_rope
+        q = rope(q, positions, self.rope_theta)
+        k = rope(k, positions, self.rope_theta)
+
+        if n_kv != self.num_heads:  # expand kv groups
+            rep = self.num_heads // n_kv
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (head_dim ** -0.5)
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
+        return dense(C, "o_proj")(out)
+
+
+class SwiGLU(nn.Module):
+    hidden_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dense = lambda f, name: nn.Dense(  # noqa: E731
+            f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+        return dense(x.shape[-1], "down_proj")(
+            nn.silu(dense(self.hidden_dim, "gate_proj")(x))
+            * dense(self.hidden_dim, "up_proj")(x))
+
+
+class DecoderLayer(nn.Module):
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    mlp_ratio: float = 2.6875  # llama-style 8/3 rounded
+    rope_theta: float = 10000.0
+    rope_3d: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, bias=None, deterministic: bool = True):
+        h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
+        x = x + GQAttention(
+            num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+            rope_theta=self.rope_theta, rope_3d=self.rope_3d, dtype=self.dtype,
+            name="attention")(h, positions, bias, deterministic)
+        h = RMSNorm(dtype=self.dtype, name="post_attn_norm")(x)
+        return x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                          dtype=self.dtype, name="mlp")(h)
+
+
+class DecoderLM(nn.Module):
+    """Causal decoder over embedded inputs (token embedding handled by the
+    caller so multimodal prefixes can be spliced in)."""
+
+    num_layers: int
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    mlp_ratio: float = 2.6875
+    rope_theta: float = 10000.0
+    rope_3d: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        embeds: jnp.ndarray,  # [B, L, C]
+        positions: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, L] 1=valid
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        L = embeds.shape[1]
+        causal = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0, -1e30)[
+            None, None].astype(jnp.float32)
+        bias = causal
+        if attention_mask is not None:
+            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
+            bias = bias + pad
+        x = embeds
+        for i in range(self.num_layers):
+            x = DecoderLayer(
+                num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+                mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
+                rope_3d=self.rope_3d, dtype=self.dtype, name=f"layer_{i}",
+            )(x, positions, bias, deterministic)
+        return RMSNorm(dtype=self.dtype, name="final_norm")(x)
