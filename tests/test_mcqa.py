@@ -1,0 +1,51 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from antmmf_tpu.datasets.mcqa_dataset import MultiChoiceQADataset
+from antmmf_tpu.datasets.processors.mm_processors import (
+    VQAAnswerProcessor,
+    normalize_answer,
+)
+from antmmf_tpu.models.base_model import build_model
+from antmmf_tpu.structures.sample import SampleList
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "video")
+
+
+def test_vqa_answer_processor():
+    proc = VQAAnswerProcessor({"answer_vocab": ["yes", "no", "2", "blue cat"]})
+    out = proc({"answers": ["yes"] * 6 + ["no"] * 3 + ["maybe"]})
+    assert out["targets"].shape == (4,)
+    assert out["targets"][0] == 1.0   # 6 * 0.3 capped
+    np.testing.assert_allclose(out["targets"][1], 0.9)
+    assert normalize_answer("The Blue Cat!") == "blue cat"
+    assert proc.idx("blue cat.") == 3
+
+
+def test_mcqa_dataset_and_model():
+    ds = MultiChoiceQADataset("mcqa", "test", {
+        "data_root_dir": DATA,
+        "annotations": {"test": "msrvtt_multi_choice_qa.jsonl"},
+        "video_root": "data/mp4",
+        "frames_per_clip": 2,
+        "image": {"size": 32, "resize": 36},
+        "max_text_len": 16,
+    })
+    assert len(ds) == 2
+    batch = SampleList.from_samples([ds[0], ds[1]])
+    assert batch["options_input_ids"].shape == (2, 5, 16)
+    assert batch["image_data"].shape[0] == 2
+
+    cfg = {"model_attributes": {"univl_mcqa": {
+        "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
+        "image_size": 32, "embed_dim": 32, "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    arrays = {k: jnp.asarray(v) for k, v in batch.arrays().items()}
+    variables = shell.init(jax.random.PRNGKey(0), arrays)
+    out = shell.apply(variables, arrays)
+    assert out["logits"].shape == (2, 5)
+    assert "mcqa_loss" in out["losses"]
+    assert 0.0 <= float(out["metrics"]["mcqa_acc"]) <= 1.0
