@@ -44,13 +44,21 @@ class VideoTextDataset(BaseDataset):
             raise ValueError(f"No annotation path for {dataset_type!r}")
         self.annotations = AnnotatedDatabase(os.path.join(root, ann_path))
 
-        self.media_format = cfg.get("media_format", "video")  # video | image
+        self.media_format = cfg.get("media_format", "video")  # video | image | mixed
         media_root = os.path.join(root, cfg.get("video_root", cfg.get("image_root", "")))
-        if self.media_format == "video":
+        if self.media_format in ("video", "mixed"):
             self.video_db = VideoClipsDatabase(media_root,
                                                seed=cfg.get("seed", 0))
-        else:
-            self.image_db = ImageDatabase(media_root)
+        if self.media_format in ("image", "mixed"):
+            img_root = os.path.join(root, cfg.get("image_root", "")) \
+                if cfg.get("image_root") is not None else media_root
+            self.image_db = ImageDatabase(img_root)
+
+        # ASR transcript mixing (reference pretrain_video_text/dataset.py
+        # ImageVideoDatabase/ASR-mix): per-clip json {start[], end[], text[]}
+        self.asr_root = cfg.get("asr_root")
+        if self.asr_root is not None:
+            self.asr_root = os.path.join(root, self.asr_root)
 
         self.n_clips = int(cfg.get("n_clips", 1))
         self.frames_per_clip = int(cfg.get("frames_per_clip", cfg.get("num_frames", 4)))
@@ -79,8 +87,18 @@ class VideoTextDataset(BaseDataset):
     def get_label(self, idx: int):
         return self.annotations[idx].get("label", 0)
 
-    def _load_frames(self, ann: Mapping) -> np.ndarray:
+    _IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+    def _is_image_record(self, ann: Mapping) -> bool:
+        if self.media_format == "image":
+            return True
         if self.media_format == "video":
+            return False
+        name = str(ann.get("clip_name", ann.get("image", "")))
+        return ann.get("type") == "image" or name.lower().endswith(self._IMG_EXTS)
+
+    def _load_frames(self, ann: Mapping) -> np.ndarray:
+        if not self._is_image_record(ann):
             clips = self.video_db.get(
                 str(ann["clip_name"]),
                 n_clips=self.n_clips,
@@ -92,6 +110,20 @@ class VideoTextDataset(BaseDataset):
             return clips.reshape((-1,) + clips.shape[2:])
         img = self.image_db(str(ann.get("image", ann.get("clip_name"))))
         return np.repeat(img[None], self.n_clips * self.frames_per_clip, axis=0)
+
+    def _asr_caption(self, ann: Mapping) -> str:
+        import json
+
+        clip = os.path.splitext(str(ann.get("clip_name", "")))[0]
+        path = os.path.join(self.asr_root, os.path.basename(clip))
+        if not os.path.exists(path):
+            return ""
+        try:
+            with open(path, encoding="utf-8") as f:
+                asr = json.load(f)
+            return " ".join(asr.get("text", []))
+        except (OSError, ValueError):
+            return ""
 
     def get_item(self, idx: int):
         from antmmf_tpu.structures.sample import Sample
@@ -109,6 +141,8 @@ class VideoTextDataset(BaseDataset):
         sample["caption_tid"] = np.int64(idx)
 
         caption = str(ann.get("caption", ann.get("text", "")))
+        if not caption and self.asr_root is not None:
+            caption = self._asr_caption(ann)
         masked = self.caption_processor(
             {"text": caption}, probability=None if self.mlm and self.is_training() else 0.0
         )

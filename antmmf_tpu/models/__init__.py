@@ -7,6 +7,7 @@ from antmmf_tpu.models import m2_encoder  # noqa: F401
 from antmmf_tpu.models import m2_omni  # noqa: F401
 from antmmf_tpu.models import pink  # noqa: F401
 from antmmf_tpu.models import univl  # noqa: F401
+from antmmf_tpu.models import univl_cls  # noqa: F401
 from antmmf_tpu.models import univl_mcqa  # noqa: F401
 from antmmf_tpu.models import univl_pretrain  # noqa: F401
 from antmmf_tpu.models import video_audio  # noqa: F401

@@ -49,3 +49,55 @@ def test_mcqa_dataset_and_model():
     assert out["logits"].shape == (2, 5)
     assert "mcqa_loss" in out["losses"]
     assert 0.0 <= float(out["metrics"]["mcqa_acc"]) <= 1.0
+
+
+def test_univl_classification_model():
+    cfg = {"model_attributes": {"univl_classification": {
+        "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
+        "image_size": 32, "embed_dim": 32, "num_labels": 4,
+        "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image_data": rng.standard_normal((2, 2, 32, 32, 3)).astype(np.float32),
+         "video_mask": np.ones((2, 2), np.int64),
+         "caption_input_ids": rng.integers(0, 30522, (2, 8)).astype(np.int64),
+         "caption_input_mask": np.ones((2, 8), np.int64),
+         "caption_segment_ids": np.zeros((2, 8), np.int64),
+         "targets": np.array([1, 3], np.int64)}
+    variables = shell.init(jax.random.PRNGKey(0), b)
+    out = shell.apply(variables, b)
+    assert out["logits"].shape == (2, 4)
+    assert "cls_loss" in out["losses"]
+
+
+def test_mixed_image_video_and_asr_dataset():
+    from antmmf_tpu.datasets.video_text_dataset import VideoTextDataset
+
+    ds = VideoTextDataset("mixed", "train", {
+        "data_root_dir": DATA,
+        "annotations": {"train": "univl_img.jsonl"},
+        "video_root": "",
+        "image_root": "../image",
+        "media_format": "mixed",
+        "frames_per_clip": 2,
+        "image": {"size": 32, "resize": 36},
+        "max_text_len": 16,
+    })
+    s = ds[0]  # dog.jpg record repeated to frame count
+    assert s["image_data"].shape == (2, 32, 32, 3)
+
+    ds2 = VideoTextDataset("asr", "train", {
+        "data_root_dir": DATA,
+        "annotations": {"train": "univl_video.jsonl"},
+        "video_root": "data/mp4",
+        "asr_root": "data/asr_files",
+        "frames_per_clip": 2,
+        "image": {"size": 32, "resize": 36},
+        "max_text_len": 16,
+        "text": {"vocab_file":
+                 "tests/data/vocabs/bert-base-chinese_21128_vocab.txt"},
+    })
+    # force empty caption to exercise the ASR fallback
+    ds2.annotations.data[0]["caption"] = ""
+    s2 = ds2[0]
+    assert s2["caption_text"] != ""  # ASR transcript substituted
