@@ -10,6 +10,7 @@ from antmmf_tpu.models import univl  # noqa: F401
 from antmmf_tpu.models import univl_cls  # noqa: F401
 from antmmf_tpu.models import univl_mcqa  # noqa: F401
 from antmmf_tpu.models import univl_pretrain  # noqa: F401
+from antmmf_tpu.models import univl_roi  # noqa: F401
 from antmmf_tpu.models import video_audio  # noqa: F401
 from antmmf_tpu.models import vilbert  # noqa: F401
 from antmmf_tpu.modules import graph as _graph  # noqa: F401  (comp_gcn model)

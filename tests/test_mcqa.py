@@ -101,3 +101,31 @@ def test_mixed_image_video_and_asr_dataset():
     ds2.annotations.data[0]["caption"] = ""
     s2 = ds2[0]
     assert s2["caption_text"] != ""  # ASR transcript substituted
+
+
+def test_univl_roi_model():
+    cfg = {"model_attributes": {"univl_roi": {
+        "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
+        "image_size": 32, "embed_dim": 32, "cross_layers": 1,
+        "region_dim": 16, "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    rng = np.random.default_rng(0)
+    L = 8
+    lm = np.full((2, L), -1, np.int64); lm[:, 2] = 5
+    b = {"image_data": rng.standard_normal((2, 1, 32, 32, 3)).astype(np.float32),
+         "video_mask": np.ones((2, 1), np.int64),
+         "region_feature": rng.standard_normal((2, 4, 16)).astype(np.float32),
+         "region_boxes": rng.random((2, 4, 4)).astype(np.float32),
+         "region_mask": np.ones((2, 4), np.int64),
+         "ocr_input_ids": rng.integers(0, 30522, (2, 5)).astype(np.int64),
+         "ocr_input_mask": np.ones((2, 5), np.int64),
+         "caption_input_ids": rng.integers(0, 30522, (2, L)).astype(np.int64),
+         "caption_input_mask": np.ones((2, L), np.int64),
+         "caption_segment_ids": np.zeros((2, L), np.int64),
+         "caption_lm_label_ids": lm}
+    variables = shell.init(jax.random.PRNGKey(0), b)
+    out = shell.apply(variables, b)
+    assert "masked_lm_loss" in out["losses"]
+    assert "itm_loss" in out["losses"]
+    for v in out["losses"].values():
+        assert np.isfinite(float(v))
