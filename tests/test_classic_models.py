@@ -96,3 +96,36 @@ def test_all_expected_models_registered():
                  "cnn_lstm", "multitask_model", "univl", "univl_retrieval",
                  "univl_pretrain"):
         assert registry.get_model_class(name, default=None) is not None, name
+
+
+def test_simple_models():
+    import numpy as np
+
+    b = _batch()
+    out = _run("bert", {"num_labels": 3})
+    assert out["logits"].shape == (2, 3)
+    cfg = {"model_attributes": {"cnn": {"num_labels": 2}}}
+    shell = build_model(cfg)
+    v = shell.init(jax.random.PRNGKey(0), b)
+    assert shell.apply(v, b)["logits"].shape == (2, 2)
+    out = _run("image_model", {"num_labels": 7})
+    assert out["logits"].shape == (2, 7)
+
+
+def test_top_down_bottom_up_attention():
+    out = _run("top_down_bottom_up", {"visual_dim": 16, "hidden": 16,
+                                      "num_labels": 5})
+    assert out["logits"].shape == (2, 5)
+    att = np.asarray(out["attention"])
+    np.testing.assert_allclose(att.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_attri_mmbt():
+    b = _batch()
+    b["attribute_ids"] = np.random.default_rng(0).integers(
+        0, 30522, (2, 3)).astype(np.int64)
+    cfg = {"model_attributes": {"attri_mmbt": {**TINY, "num_labels": 2,
+                                               "num_image_tokens": 4}}}
+    shell = build_model(cfg)
+    v = shell.init(jax.random.PRNGKey(0), b)
+    assert shell.apply(v, b)["logits"].shape == (2, 2)
