@@ -45,8 +45,9 @@ def ulysses_attention(
     """Sequence-parallel exact attention via head exchange."""
     P_qkv = P(None, None, axis, None)  # shard L
     P_bias = P(None, None, None, axis)
+    has_bias = bias is not None
 
-    def inner(q, k, v, bias):
+    def inner(q, k, v, *maybe_bias):
         # local: [B, H, L/P, D] → all_to_all → [B, H/P, L, D]
         def seq_to_heads(x):
             return lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
@@ -55,16 +56,20 @@ def ulysses_attention(
             return lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
 
         qh, kh, vh = seq_to_heads(q), seq_to_heads(k), seq_to_heads(v)
-        full_bias = lax.all_gather(bias, axis, axis=3, tiled=True) \
-            if bias is not None else None
+        full_bias = lax.all_gather(maybe_bias[0], axis, axis=3, tiled=True) \
+            if has_bias else None
         out = _local_attention(qh, kh, vh, full_bias)  # [B, H/P, L, D]
         return heads_to_seq(out)
 
+    if has_bias:
+        return shard_map(
+            inner, mesh=mesh, in_specs=(P_qkv, P_qkv, P_qkv, P_bias),
+            out_specs=P_qkv, check_vma=False,
+        )(q, k, v, bias)
     return shard_map(
-        inner, mesh=mesh,
-        in_specs=(P_qkv, P_qkv, P_qkv, P_bias if bias is not None else P()),
+        inner, mesh=mesh, in_specs=(P_qkv, P_qkv, P_qkv),
         out_specs=P_qkv, check_vma=False,
-    )(q, k, v, bias if bias is not None else jnp.zeros((), jnp.float32))
+    )(q, k, v)
 
 
 def ring_attention(
