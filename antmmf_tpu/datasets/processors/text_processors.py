@@ -190,3 +190,35 @@ class VocabProcessor(BaseProcessor):
             "input_mask": np.asarray([1 if i else 0 for i in ids], dtype=np.int64),
             "text": item.get("text", ""),
         }
+
+
+@registry.register_processor("clip_tokenizer")
+@registry.register_processor("bpe_tokenizer")
+class BPETokenizerProcessor(BaseProcessor):
+    """Byte-BPE tokenization (CLIP/GPT-2/RoBERTa class) from local
+    vocab.json + merges.txt; fixed-length id arrays with bos/eos options."""
+
+    def __init__(self, config=None, *args, **kw):
+        super().__init__(config)
+        from antmmf_tpu.utils.bpe_tokenization import BPETokenizer
+
+        cfg = self.config
+        self.tokenizer = BPETokenizer(
+            cfg["vocab_json"], cfg["merges_file"],
+            end_of_word_suffix=cfg.get("end_of_word_suffix", ""))
+        self.max_seq_length = int(cfg.get("max_seq_length", 77))
+        self.bos_id = cfg.get("bos_id")
+        self.eos_id = cfg.get("eos_id")
+
+    def __call__(self, item, *args, **kw):
+        text = item.get("text", "") if isinstance(item, Mapping) else str(item)
+        ids = self.tokenizer.encode(text)
+        if self.bos_id is not None:
+            ids = [int(self.bos_id)] + ids
+        if self.eos_id is not None:
+            ids = ids[: self.max_seq_length - 1] + [int(self.eos_id)]
+        L = self.max_seq_length
+        pad = max(0, L - len(ids))
+        out_ids = np.asarray(ids[:L] + [0] * pad, dtype=np.int64)
+        mask = np.asarray([1] * min(len(ids), L) + [0] * pad, dtype=np.int64)
+        return {"input_ids": out_ids, "input_mask": mask, "text": text}
