@@ -110,6 +110,9 @@ class UnivlVideoBase(nn.Module):
             )
             self.cross_pooler = nn.Dense(width, dtype=self.dtype,
                                          param_dtype=jnp.float32)
+            # trained L2 match score over the cross-pooled pair feature
+            self.cross_sim_head = nn.Dense(1, dtype=jnp.float32,
+                                           param_dtype=jnp.float32)
 
     # ------------------------------------------------------------------ towers
     def forward_img_encoder(
@@ -166,6 +169,21 @@ class UnivlVideoBase(nn.Module):
         seq = self.cross_encoder(x, bias=bias, deterministic=deterministic)
         pooled = jnp.tanh(self.cross_pooler(seq[:, 0]))
         return {"cross_sequence": seq, "cross_pooled": pooled, "cross_mask": mask}
+
+    def cross_pair_scores(
+        self,
+        text_seq: jnp.ndarray,  # [P, Lt, Ct]
+        text_mask: jnp.ndarray,
+        visual_seq: jnp.ndarray,  # [P, Lv, Cv]
+        visual_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Trained L2 match score per (text, video) pair → f32[P]."""
+        cross = self.forward_cross_encoder(
+            text_seq, text_mask, visual_seq, visual_mask,
+            deterministic=deterministic)
+        return self.cross_sim_head(
+            cross["cross_pooled"].astype(jnp.float32))[..., 0]
 
 
 @registry.register_model("univl_retrieval")
@@ -308,18 +326,26 @@ class UnivlForVideoTextRetrieval(BaseModel):
             losses["level1_similarity_loss"] = symmetric_cross_en(sim)
 
         if self.with_cross_encoder:
-            # L2: cross-encode each aligned (text_i, video_i) pair; similarity head
-            # over pooled cross features. Full N×M re-encoding happens only in the
-            # retrieval evaluator (chunked), not per train step.
+            # L2: the full B×B pair grid through the cross encoder (folded into
+            # the batch dim — the reference's _cross_similarity, chunked there
+            # on CPU, univl_video_ret.py:33), scored by the trained sim head.
             B = text["sequence_output"].shape[0]
             vis_tokens = video["visual_tokens"]  # [B, F, Lv, C]
             F_, Lv = vis_tokens.shape[1], vis_tokens.shape[2]
             vis_seq = vis_tokens.reshape(B, F_ * Lv, -1)
             vis_mask = jnp.repeat(batch.get(
                 "video_mask", jnp.ones((B, F_), jnp.int32)), Lv, axis=1)
-            cross = self.base.forward_cross_encoder(
-                text["sequence_output"], batch["caption_input_mask"],
-                vis_seq, vis_mask, deterministic=deterministic,
-            )
-            output["cross_pooled"] = cross["cross_pooled"]
+            text_seq = text["sequence_output"]
+            text_mask = batch["caption_input_mask"]
+            t_rep = jnp.repeat(text_seq, B, axis=0)      # pair (i, j) = i*B+j
+            tm_rep = jnp.repeat(text_mask, B, axis=0)
+            v_til = jnp.tile(vis_seq, (B, 1, 1))
+            vm_til = jnp.tile(vis_mask, (B, 1))
+            l2 = self.base.cross_pair_scores(
+                t_rep, tm_rep, v_til, vm_til,
+                deterministic=deterministic).reshape(B, B)
+            output["l2_simi"] = l2
+            output["text_seq"] = text_seq
+            output["visual_tokens"] = vis_tokens
+            losses["level2_similarity_loss"] = symmetric_cross_en(l2)
         return {**output, "losses": losses}

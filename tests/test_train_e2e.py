@@ -142,3 +142,28 @@ def test_batch_is_sharded_over_mesh(trained):
     # 4-way data sharding × 2-way model replication = one buffer per device
     assert len(arr.addressable_shards) == 8
     assert arr.addressable_shards[0].data.shape[0] == 1  # 4 / data-axis 4
+
+
+def test_stage2_cross_encoder_rerank(trained, tmp_path_factory):
+    _, save_dir = trained
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", str(tmp_path_factory.mktemp("s2")),
+        "training_parameters.trainer", "retrieval_trainer",
+        "training_parameters.stage2_topk", "2",
+        "training_parameters.stage2_chunk", "4",
+        "training_parameters.max_iterations", "2",
+        "training_parameters.snapshot_interval", "100",
+        "training_parameters.log_interval", "1",
+        "training_parameters.seed", "9",
+        "model_attributes.univl_retrieval.with_cross_encoder", "true",
+        "model_attributes.univl_retrieval.cross_layers", "1",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    t.train()
+    metrics = t.evaluate_set("val")
+    assert "l2_simi_t2v-r@1" in metrics, metrics.keys()
+    assert 0.0 <= metrics["l2_simi_t2v-r@1"] <= 100.0
+    # training emitted the level2 loss
+    scalars = t.meter.get_scalar_dict()
+    assert any("level2_similarity_loss" in k for k in scalars)
