@@ -55,7 +55,8 @@ def test_retrieval_cross_encoder_path():
     batch = _batch()
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch)
     out = model.apply(variables, batch)
-    assert "cross_pooled" in out
+    assert out["l2_simi"].shape == (4, 4)
+    assert "level2_similarity_loss" in out["losses"]
 
 
 def test_pretrain_model_all_objectives():
