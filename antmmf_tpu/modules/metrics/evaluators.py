@@ -147,9 +147,34 @@ class ClassificationEvaluator(BaseEvaluator):
         return {"accuracy": acc, "macro_f1": float(np.mean(f1s))}
 
 
+class VQAAccuracyEvaluator(BaseEvaluator):
+    """Corpus VQA accuracy over soft answer scores: mean of the predicted
+    class's soft target (the 10-annotator min(1, n*0.3) convention)."""
+
+    def __init__(self, params: Optional[Mapping[str, Any]] = None):
+        self.params = dict(params or {})
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: List[float] = []
+
+    def collect(self, batch: Mapping, output: Mapping) -> None:
+        logits = np.asarray(output["logits"])
+        targets = np.asarray(batch["targets"], np.float32)  # soft [B, V]
+        pred = logits.argmax(-1)
+        self._scores.extend(
+            targets[np.arange(len(pred)), pred].tolist())
+
+    def summarize(self) -> Dict[str, float]:
+        if not self._scores:
+            return {}
+        return {"vqa_accuracy": float(np.mean(self._scores))}
+
+
 EVALUATORS = {
     "global_retrieval_recall": GlobalRetrievalRecallEvaluator,
     "classification": ClassificationEvaluator,
+    "vqa_accuracy": VQAAccuracyEvaluator,
 }
 
 

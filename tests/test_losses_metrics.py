@@ -147,3 +147,14 @@ def test_evaluator_identity_pairing_default():
     out = ev.summarize()
     assert out["t2v-r@1"] == 100.0
     assert out["t2v-median_rank"] == 1.0
+
+
+def test_vqa_accuracy_evaluator():
+    from antmmf_tpu.modules.metrics.evaluators import VQAAccuracyEvaluator
+
+    ev = VQAAccuracyEvaluator()
+    logits = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+    soft = np.array([[0.9, 0.0, 0.3], [0.0, 0.0, 1.0]])
+    ev.collect({"targets": soft}, {"logits": logits})
+    out = ev.summarize()
+    np.testing.assert_allclose(out["vqa_accuracy"], (0.9 + 0.0) / 2)
