@@ -98,3 +98,22 @@ class DataLoader:
                 raise error_holder[0]
         finally:
             pool.shutdown(wait=False)
+
+
+def prefetch_to_device(iterator, transfer, depth: int = 2):
+    """Double-buffered host→HBM pipeline: keep ``depth`` batches in flight on
+    the device while the consumer computes (classic flax prefetch — the
+    north-star "preprocessing never stalls the accelerator" mechanism).
+
+    ``transfer(batch) -> device_batch`` is the (async) device_put; JAX
+    transfers are asynchronous, so enqueueing ahead overlaps H2D DMA and host
+    collation with the running step."""
+    import collections
+
+    queue_: "collections.deque" = collections.deque()
+    for item in iterator:
+        queue_.append(transfer(item))
+        if len(queue_) >= depth:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()

@@ -218,13 +218,14 @@ class BaseTrainer:
             train_loaders = self.task_loader.get_loaders("train")
             if not train_loaders:
                 raise RuntimeError("run_type includes train but no train datasets")
-            for batch in itertools.chain(*train_loaders):
-                if batch.get_batch_size() == 0:
-                    continue
+            from antmmf_tpu.datasets.loader import prefetch_to_device
+
+            batches = (b for b in itertools.chain(*train_loaders)
+                       if b.get_batch_size() > 0)
+            for sharded in prefetch_to_device(batches, self._shard_batch):
                 iteration += 1
                 if iteration > self.max_iterations:
                     break
-                sharded = self._shard_batch(batch)
                 self.state, scalars = self._train_step(self.state, sharded)
 
                 if iteration % self.log_interval == 0:
