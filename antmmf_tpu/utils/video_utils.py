@@ -115,21 +115,29 @@ class VideoReader:
         uniq = np.unique(order)
         frames = {}
         cap = self._cap
-        # sequential scan is faster than per-frame seek for short fixtures; seek for
-        # sparse long videos
-        if len(uniq) and (uniq[-1] - uniq[0]) < 400:
+        # Sequential scan with grab()/retrieve(): h264-class codecs force
+        # decoding every frame in the span anyway (seeks restart from the
+        # previous keyframe and are slower in practice), but grab() skips the
+        # colour conversion for frames we don't keep. Very sparse requests on
+        # long videos (avg gap > 300 frames) fall back to seeking.
+        span = int(uniq[-1] - uniq[0]) if len(uniq) else 0
+        avg_gap = span / max(len(uniq), 1)
+        if len(uniq) and avg_gap <= 300:
             cap.set(cv2.CAP_PROP_POS_FRAMES, int(uniq[0]))
             pos = int(uniq[0])
             want = set(int(i) for i in uniq)
             last_ok = None
             while want and pos <= int(uniq[-1]):
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                last_ok = frame
                 if pos in want:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    last_ok = frame
                     frames[pos] = frame[:, :, ::-1].copy()
                     want.discard(pos)
+                else:
+                    if not cap.grab():
+                        break
                 pos += 1
             for miss in want:
                 if last_ok is not None:
