@@ -8,6 +8,7 @@ from antmmf_tpu.models import m2_omni  # noqa: F401
 from antmmf_tpu.models import pink  # noqa: F401
 from antmmf_tpu.models import simple  # noqa: F401
 from antmmf_tpu.models import univl  # noqa: F401
+from antmmf_tpu.models import univl_caption  # noqa: F401
 from antmmf_tpu.models import univl_cls  # noqa: F401
 from antmmf_tpu.models import univl_mcqa  # noqa: F401
 from antmmf_tpu.models import univl_pretrain  # noqa: F401

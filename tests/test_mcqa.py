@@ -129,3 +129,25 @@ def test_univl_roi_model():
     assert "itm_loss" in out["losses"]
     for v in out["losses"].values():
         assert np.isfinite(float(v))
+
+
+def test_univl_caption_training_and_generation():
+    cfg = {"model_attributes": {"univl_caption": {
+        "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
+        "image_size": 32, "embed_dim": 32, "decoder_layers": 1,
+        "decoder_heads": 2, "max_caption_len": 8, "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    rng = np.random.default_rng(0)
+    b = {"image_data": rng.standard_normal((2, 1, 32, 32, 3)).astype(np.float32),
+         "video_mask": np.ones((2, 1), np.int64),
+         "caption_input_ids": rng.integers(0, 30522, (2, 8)).astype(np.int64),
+         "caption_input_mask": np.ones((2, 8), np.int64)}
+    variables = shell.init(jax.random.PRNGKey(0), b)
+    out = shell.apply(variables, b)
+    assert "caption_cross_entropy" in out["losses"]
+    assert np.isfinite(float(out["losses"]["caption_cross_entropy"]))
+
+    model = shell.module
+    seqs, scores = model.generate(variables, b, num_beams=2, max_length=6)
+    assert seqs.shape == (2, 6)
+    assert np.isfinite(np.asarray(scores)).all()
