@@ -1,0 +1,118 @@
+"""Optimizer schedule/accumulation and checkpoint/early-stopping edge paths."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from antmmf_tpu.common.checkpoint import Checkpoint, merge_params_tolerant
+from antmmf_tpu.optimizer.build import (
+    build_lr_schedule,
+    build_optimizer,
+    make_lr_multiplier_mask,
+    make_weight_decay_mask,
+)
+from antmmf_tpu.trainers.train_state import TrainState
+from antmmf_tpu.utils.early_stopping import EarlyStopping
+
+
+def test_lr_schedule_warmup_and_steps():
+    sched = build_lr_schedule({
+        "use_warmup": True, "warmup_iterations": 100, "warmup_factor": 0.1,
+        "lr_steps": [200, 300], "lr_ratio": 0.1}, base_lr=1.0)
+    np.testing.assert_allclose(float(sched(0)), 0.1)
+    np.testing.assert_allclose(float(sched(50)), 0.55)
+    np.testing.assert_allclose(float(sched(100)), 1.0)
+    np.testing.assert_allclose(float(sched(250)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(350)), 0.01, rtol=1e-6)
+
+
+def test_weight_decay_and_multiplier_masks():
+    params = {"enc": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,)),
+                      "layer_norm": {"scale": jnp.ones((2,))}}}
+    wd = make_weight_decay_mask(params)
+    assert wd["enc"]["kernel"] is True
+    assert wd["enc"]["bias"] is False
+    assert wd["enc"]["layer_norm"]["scale"] is False
+
+    mult = make_lr_multiplier_mask(params, [["enc/kernel", 0.1]])
+    assert mult["enc"]["kernel"] == 0.1
+    assert mult["enc"]["bias"] == 1.0
+
+
+def test_gradient_accumulation_equivalence():
+    """MultiSteps(k) over k microbatches == one step on the mean gradient."""
+    params = {"w": jnp.ones((3,))}
+    grads = [{"w": jnp.array([1.0, 2.0, 3.0])}, {"w": jnp.array([3.0, 2.0, 1.0])}]
+
+    tx_plain, _ = build_optimizer(params, {"type": "sgd", "params": {
+        "lr": 0.1, "momentum": 0.0}}, {"gradient_accumulation_steps": 1})
+    tx_accum, _ = build_optimizer(params, {"type": "sgd", "params": {
+        "lr": 0.1, "momentum": 0.0}}, {"gradient_accumulation_steps": 2})
+
+    mean_grad = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+    s = tx_plain.init(params)
+    upd, _ = tx_plain.update(mean_grad, s, params)
+    ref = optax.apply_updates(params, upd)
+
+    s2 = tx_accum.init(params)
+    p = params
+    for g in grads:
+        upd, s2 = tx_accum.update(g, s2, p)
+        p = optax.apply_updates(p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]), np.asarray(ref["w"]),
+                               rtol=1e-6)
+
+
+def test_early_stopping_patience_and_best():
+    es = EarlyStopping("recall", patience=10, minimize=False, should_stop=True)
+    assert not es(0, {"val/recall": 0.5})
+    assert es.is_best
+    assert not es(5, {"val/recall": 0.4})
+    assert not es.is_best
+    assert not es(10, {"val/recall": 0.6})  # new best resets patience
+    assert not es(15, {"val/recall": 0.5})
+    assert es(21, {"val/recall": 0.5})  # 21 - 10 > patience → stop
+    assert es.summary()["early_stopped"]
+
+
+def test_checkpoint_gc_and_best(tmp_path):
+    cfg = {"training_parameters": {"save_dir": str(tmp_path),
+                                   "max_ckpt_num": 2}}
+    ckpt = Checkpoint(cfg)
+    tx = optax.sgd(0.1)
+    state = TrainState.create({"params": {"w": jnp.ones((2,))}}, tx,
+                              jax.random.PRNGKey(0))
+    for it in (1, 2, 3):
+        state = state.replace(step=jnp.asarray(it))
+        ckpt.save(state, it)
+    ckpt.save_best(state)
+    names = sorted(os.listdir(os.path.join(str(tmp_path), "models")))
+    assert "model_1" not in names  # GC'd
+    assert "model_2" in names and "model_3" in names and "best" in names
+
+    restored, ok = ckpt.restore_state(state)
+    assert ok and int(restored.step) == 3
+
+
+def test_merge_params_tolerant_reports():
+    target = {"a": {"kernel": np.zeros((2, 2))}, "b": np.zeros((3,))}
+    loaded = {"a": {"kernel": np.ones((2, 2))}, "c": np.ones((1,)),
+              "b": np.ones((4,))}  # b mismatched, c unexpected
+    merged, report = merge_params_tolerant(target, loaded)
+    np.testing.assert_allclose(merged["a"]["kernel"], 1.0)
+    np.testing.assert_allclose(merged["b"], 0.0)  # skipped, keeps target
+    assert report["loaded"] == ["a/kernel"]
+    assert any("b" in s for s in report["shape_mismatch"])
+    assert report["unexpected"] == ["c"]
+
+
+def test_merge_params_pretrained_mapping():
+    target = {"student": {"kernel": np.zeros((2,))}}
+    loaded = {"teacher": {"kernel": np.ones((2,))}}
+    merged, report = merge_params_tolerant(
+        target, loaded, pretrained_mapping={"teacher": "student"})
+    np.testing.assert_allclose(merged["student"]["kernel"], 1.0)
