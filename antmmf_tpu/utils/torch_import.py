@@ -91,6 +91,49 @@ def bert_state_dict_to_params(
     return p
 
 
+def hf_clip_vision_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_layers: int,
+) -> Dict[str, Any]:
+    """HF ``CLIPVisionModel`` state_dict → our VisionTransformer param tree."""
+    sd = {re.sub(r"^vision_model\.", "", k): v for k, v in sd.items()}
+    p: Dict[str, Any] = {}
+    ln = "LayerNorm_0"
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    conv = sd["embeddings.patch_embedding.weight"]  # [C, 3, ph, pw]
+    _set(p, "embeddings/patch_embed/proj/kernel",
+         np.ascontiguousarray(conv.transpose(2, 3, 1, 0)))
+    _set(p, "embeddings/patch_embed/proj/bias",
+         sd.get("embeddings.patch_embedding.bias",
+                np.zeros(conv.shape[0], np.float32)))
+    _set(p, "embeddings/cls_token",
+         sd["embeddings.class_embedding"].reshape(1, 1, -1))
+    _set(p, "embeddings/pos_embedding", sd["embeddings.position_embedding.weight"])
+    _set(p, f"pre_norm/{ln}/scale", sd["pre_layrnorm.weight"])
+    _set(p, f"pre_norm/{ln}/bias", sd["pre_layrnorm.bias"])
+    for i in range(num_layers):
+        src = f"encoder.layers.{i}"
+        dst = f"encoder/layer_{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _set(p, f"{dst}/attention/{name}/kernel",
+                 T(sd[f"{src}.self_attn.{name}.weight"]))
+            _set(p, f"{dst}/attention/{name}/bias",
+                 sd[f"{src}.self_attn.{name}.bias"])
+        _set(p, f"{dst}/norm1/{ln}/scale", sd[f"{src}.layer_norm1.weight"])
+        _set(p, f"{dst}/norm1/{ln}/bias", sd[f"{src}.layer_norm1.bias"])
+        _set(p, f"{dst}/norm2/{ln}/scale", sd[f"{src}.layer_norm2.weight"])
+        _set(p, f"{dst}/norm2/{ln}/bias", sd[f"{src}.layer_norm2.bias"])
+        _set(p, f"{dst}/mlp/fc1/kernel", T(sd[f"{src}.mlp.fc1.weight"]))
+        _set(p, f"{dst}/mlp/fc1/bias", sd[f"{src}.mlp.fc1.bias"])
+        _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{src}.mlp.fc2.weight"]))
+        _set(p, f"{dst}/mlp/fc2/bias", sd[f"{src}.mlp.fc2.bias"])
+    _set(p, f"encoder/final_norm/{ln}/scale", sd["post_layernorm.weight"])
+    _set(p, f"encoder/final_norm/{ln}/bias", sd["post_layernorm.bias"])
+    return p
+
+
 def clip_vit_state_dict_to_params(
     sd: Mapping[str, np.ndarray], num_layers: int,
 ) -> Dict[str, Any]:

@@ -65,3 +65,43 @@ def test_import_covers_all_our_params(hf_pair):
     got_paths = {"/".join(str(k.key) for k in path)
                  for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
     assert ref_paths == got_paths
+
+
+def test_clip_vit_outputs_match_after_import():
+    """HF torch CLIPVisionModel vs our VisionTransformer after weight import."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from antmmf_tpu.modules.vision.vit import VisionTransformer
+    from antmmf_tpu.utils.torch_import import hf_clip_vision_state_dict_to_params
+
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=128,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=32, patch_size=16,
+                           attention_dropout=0.0, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    ref = CLIPVisionModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = hf_clip_vision_state_dict_to_params(sd, num_layers=2)
+
+    ours = VisionTransformer(image_size=32, patch_size=16, embed_dim=32,
+                             num_layers=2, num_heads=2, quick_gelu=True,
+                             dtype=jnp.float32)
+    # structural check against a fresh init
+    init = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ref_paths = {"/".join(str(k.key) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(
+                     init["params"])[0]}
+    got_paths = {"/".join(str(k.key) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_paths == got_paths
+
+    img = np.random.default_rng(0).standard_normal((1, 32, 32, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        hf_out = ref(pixel_values=torch.tensor(
+            img.transpose(0, 3, 1, 2)))  # HF is NCHW
+    out = ours.apply({"params": params}, jnp.asarray(img))
+    # HF's last_hidden_state is pre-post_layernorm; our `sequence` is post.
+    # pooler_output = post_layernorm(cls) — directly comparable to our CLS row.
+    np.testing.assert_allclose(np.asarray(out["sequence"][:, 0]),
+                               hf_out.pooler_output.numpy(), atol=3e-4)
