@@ -52,3 +52,53 @@ class AdvTrainer(BaseTrainer):
         self._train_step = jax.jit(train_step,
                                    donate_argnums=(0,) if donate else ())
         self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------- adversarial generation
+    def generate_adversarial_data(
+        self, dataset_type: str = "val", out_path=None, max_batches=None,
+    ):
+        """Reference run_types ``adversarial_*_generate`` (adv_trainer.py:20-24):
+        run the adversarially-perturbed model over a dataset, gather outputs
+        across processes, and rewrite annotations via DataUpdater."""
+        import itertools
+
+        from antmmf_tpu.common.data_updater import DataUpdater
+
+        shell = self.shell
+        adv = self.adversarial
+
+        def adv_eval(state, batch):
+            def loss_of(p):
+                loss, (output, scalars) = shell.loss_fn(
+                    {**state.variables, "params": p}, batch,
+                    deterministic=True)
+                return loss, output
+
+            # embeddings perturbed exactly as in training; outputs re-computed
+            # at the perturbed point for pseudo-labeling
+            loss, grads, _ = adv.grads(
+                lambda p: (loss_of(p)[0], {}), state.params)
+            _, output = loss_of(state.params)
+            keep = {k: v for k, v in output.items() if hasattr(v, "shape")}
+            return keep
+
+        jitted = jax.jit(adv_eval)
+        updater = DataUpdater(self.config)
+        n = 0
+        loaders = self.task_loader.get_loaders(dataset_type)
+        for batch in itertools.chain(*loaders):
+            if batch.get_batch_size() == 0:
+                continue
+            output = jitted(self.state, self._shard_batch(batch))
+            updater.add_batch(batch, jax.device_get(output))
+            n += 1
+            if max_batches and n >= max_batches:
+                break
+        # rewrite the first dataset's annotations in place
+        datasets = [d for t in self.task_loader.tasks.get(dataset_type, [])
+                    for d in t.get_datasets()]
+        updated = 0
+        if datasets and hasattr(datasets[0], "annotations"):
+            updated = updater.update_annotations(
+                datasets[0].annotations, out_path)
+        return updated

@@ -73,3 +73,24 @@ def test_dmae_project_local_config(tmp_path):
     assert "l1_simi_t2v-r@1" in metrics
     scalars = t.meter.get_scalar_dict()
     assert any("level3_similarity_loss" in k for k in scalars)
+
+
+def test_adv_trainer_generate_adversarial_data(tmp_path):
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.trainer", "adv_trainer",
+        "training_parameters.adversarial.type", "fgm",
+        "training_parameters.max_iterations", "1",
+        "training_parameters.log_interval", "1",
+        "training_parameters.snapshot_interval", "100",
+        "training_parameters.seed", "3",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    out_path = str(tmp_path / "adv.jsonl")
+    n = t.generate_adversarial_data("val", out_path=out_path, max_batches=1)
+    assert n == 4  # every fixture caption got a pseudo label
+    import json
+
+    rows = [json.loads(l) for l in open(out_path)]
+    assert all("pseudo_label" in r for r in rows)
