@@ -76,6 +76,14 @@ class BaseTrainer:
         device = str(self.tp.get("device", "auto"))
         if device == "cpu" and jax.default_backend() not in ("cpu",):
             jax.config.update("jax_platforms", "cpu")
+        # debug / infra knobs (reference's anomaly-detect + deterministic-cudnn
+        # analogues, base_trainer.py:500-503 / env.py:29-31)
+        if bool(self.tp.get("debug_nans", False)):
+            jax.config.update("jax_debug_nans", True)
+        cache_dir = self.tp.get("compilation_cache_dir")
+        if cache_dir:
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         seed = self.tp.get("seed")
         self.seed = int(seed) if seed is not None else int.from_bytes(os.urandom(2), "little")
         self.rng = jax.random.PRNGKey(self.seed)
@@ -222,10 +230,13 @@ class BaseTrainer:
 
             batches = (b for b in itertools.chain(*train_loaders)
                        if b.get_batch_size() > 0)
+            profile_at = int(self.tp.get("profile_at_iteration", 0) or 0)
             for sharded in prefetch_to_device(batches, self._shard_batch):
                 iteration += 1
                 if iteration > self.max_iterations:
                     break
+                if profile_at and iteration == profile_at:
+                    self._capture_profile(sharded)
                 self.state, scalars = self._train_step(self.state, sharded)
 
                 if iteration % self.log_interval == 0:
@@ -239,6 +250,22 @@ class BaseTrainer:
                 break
 
         self.finalize(iteration)
+
+    def _capture_profile(self, sharded_batch) -> None:
+        """One-step jax.profiler trace (reference's phase timers + CUDA-sync
+        profiling, base_trainer.py:929-935, replaced by a real XLA trace)."""
+        trace_dir = os.path.join(
+            self.tp.get("save_dir", "./save"), "profile")
+        try:
+            with jax.profiler.trace(trace_dir):
+                state, scalars = self._train_step(self.state, sharded_batch)
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(),
+                    scalars)
+                self.state = state
+            self.writer.write(f"profiler trace written to {trace_dir}")
+        except Exception as e:  # profiling must never break training
+            self.writer.write(f"profiler unavailable: {e}", level="warning")
 
     def _profile_flops(self) -> None:
         """FLOPs accounting via XLA cost analysis of the compiled step (the
