@@ -55,8 +55,34 @@ class MaskedTokenProcessor(BaseProcessor):
         self.mask_probability = float(cfg.get("mask_probability", 0.15))
         self.whole_word_masking = bool(cfg.get("wwm", cfg.get("whole_word_masking", False)))
         self.trim_start_token = bool(cfg.get("trim_start_token", False))
+        # SNP-S3 significant-semantic masking (reference text_processors.py
+        # :650-693): content terms are masked preferentially. Terms come from a
+        # file/list, else a stopword-free heuristic.
+        self.significant_masking = bool(cfg.get("significant_masking", False))
+        self.significant_boost = float(cfg.get("significant_boost", 2.0))
+        terms = cfg.get("significant_terms", [])
+        if cfg.get("significant_terms_file"):
+            with open(cfg["significant_terms_file"], encoding="utf-8") as f:
+                terms = [l.strip() for l in f if l.strip()]
+        self.significant_terms = set(terms)
         seed = cfg.get("seed", None)
         self.rng = np.random.default_rng(seed)
+
+    _STOPWORDS = {
+        "a", "an", "the", "is", "are", "was", "were", "be", "been", "being",
+        "to", "of", "in", "on", "at", "by", "for", "with", "and", "or", "but",
+        "it", "its", "this", "that", "these", "those", "as", "from", "into",
+    }
+
+    def _word_significance(self, tokens: List[str], span: List[int]) -> float:
+        """Masking-probability multiplier for a whole-word span."""
+        word = "".join(t.replace("##", "") for t in (tokens[i] for i in span))
+        if self.significant_terms:
+            return self.significant_boost if word in self.significant_terms \
+                else 1.0 / self.significant_boost
+        if word in self._STOPWORDS or len(word) <= 2:
+            return 1.0 / self.significant_boost
+        return self.significant_boost if len(word) >= 4 else 1.0
 
     # ------------------------------------------------------------------ public
     def __call__(
@@ -136,14 +162,17 @@ class MaskedTokenProcessor(BaseProcessor):
     def _mask(self, tokens: List[str], prob: float):
         tokens = list(tokens)
         labels = [LM_IGNORE_INDEX] * len(tokens)
-        if self.whole_word_masking:
+        if self.whole_word_masking or self.significant_masking:
             candidates = [self._word_span(tokens, i) for i in self._word_starts(tokens)]
         else:
             candidates = [
                 [i] for i, t in enumerate(tokens) if t not in ("[CLS]", "[SEP]")
             ]
         for span in candidates:
-            if self.rng.random() >= prob:
+            p = prob
+            if self.significant_masking:
+                p = min(1.0, prob * self._word_significance(tokens, span))
+            if self.rng.random() >= p:
                 continue
             for i in span:
                 labels[i] = self.tokenizer.convert_tokens_to_ids([tokens[i]])[0]

@@ -101,3 +101,27 @@ def test_whole_word_masking_spans():
     # all pieces of the word masked together
     n_pieces = int((raw["input_mask"] == 1).sum()) - 2
     assert (out["lm_label_ids"] != -1).sum() == n_pieces
+
+
+def test_significant_semantic_masking():
+    """SNP-S3: content words masked preferentially over stopwords."""
+    proc = MaskedTokenProcessor(
+        {"vocab_file": VOCAB, "max_seq_length": 32, "mask_probability": 0.3,
+         "seed": 0, "significant_masking": True,
+         "significant_terms": ["gymnastics", "girl"], "significant_boost": 3.0})
+    text = "the girl does gymnastics in the gym"
+    sig_hits = 0
+    stop_hits = 0
+    raw = proc({"text": text}, probability=0.0)
+    toks = proc.tokenizer.convert_ids_to_tokens(raw["input_ids"].tolist())
+    for trial in range(60):
+        out = proc({"text": text})
+        for pos in np.where(out["lm_label_ids"] != -1)[0]:
+            orig = proc.tokenizer.convert_ids_to_tokens(
+                [int(out["lm_label_ids"][pos])])[0]
+            if orig.replace("##", "") in ("gym", "##nas", "gymnastics", "girl",
+                                          "gymnast", "##nastics"):
+                sig_hits += 1
+            if orig == "the":
+                stop_hits += 1
+    assert sig_hits > stop_hits * 2, (sig_hits, stop_hits)
