@@ -69,6 +69,10 @@ def attention_core(
     use_pallas: bool = True,
 ) -> jnp.ndarray:
     core = select_core(use_pallas, q.shape, k.shape)
+    # the flash kernel only supports key-padding biases (broadcast over
+    # queries); query-dependent biases (causal masks) must use the XLA core
+    if bias is not None and bias.ndim == 4 and bias.shape[-2] > 1:
+        core = "xla"
     if core == "pallas":
         from antmmf_tpu.ops.pallas.flash_attention import flash_attention
 
