@@ -94,3 +94,19 @@ def test_adv_trainer_generate_adversarial_data(tmp_path):
 
     rows = [json.loads(l) for l in open(out_path)]
     assert all("pseudo_label" in r for r in rows)
+
+
+def test_m2_encoder_project_local_config(tmp_path):
+    m2_cfg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "projects", "m2_encoder", "configs", "m2_encoder.local.yml")
+    cfg = build_config(m2_cfg, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.seed", "2",
+    ])
+    t = build_trainer(cfg)
+    t.load()
+    t.train()
+    scalars = t.meter.get_scalar_dict()
+    assert any("contrastive_loss" in k for k in scalars)
+    assert any("moe_aux_loss" in k for k in scalars)
