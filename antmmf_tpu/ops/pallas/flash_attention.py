@@ -31,11 +31,17 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                block_k, causal):
     q = q_ref[0]  # [BQ, D] — input dtype (bf16 on TPU: full-rate MXU)
     Lk = k_ref.shape[1]
     BQ = q.shape[0]
     num_kb = Lk // block_k
+    qi = pl.program_id(1)
+    if causal:
+        # only k blocks intersecting the lower triangle of this q block
+        num_kb = jnp.minimum(num_kb,
+                             (qi * BQ + BQ + block_k - 1) // block_k)
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
@@ -45,6 +51,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK] fp32
         s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            rows = qi * BQ + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 0)
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
@@ -64,13 +76,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               *, scale, block_k):
+               *, scale, block_k, causal):
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0][:, 0]
     delta = delta_ref[0][:, 0]
     Lk = k_ref.shape[1]
+    BQ = q.shape[0]
     num_kb = Lk // block_k
+    qi = pl.program_id(1)
+    if causal:
+        num_kb = jnp.minimum(num_kb,
+                             (qi * BQ + BQ + block_k - 1) // block_k)
 
     def body(j, dq):
         kb = k_ref[0, pl.ds(j * block_k, block_k), :]
@@ -78,6 +95,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            rows = qi * BQ + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 0)
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -91,12 +114,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale, block_q):
+                dk_ref, dv_ref, *, scale, block_q, causal):
     kb = k_ref[0]  # [BK, D]
     vb = v_ref[0]
     bias = bias_ref[0, 0]  # [BK]
     Lq = q_ref.shape[1]
+    BK = kb.shape[0]
     num_qb = Lq // block_q
+    ki = pl.program_id(1)
+    start_qb = (ki * BK) // block_q if causal else 0
 
     def body(i, carry):
         dk, dv = carry
@@ -107,6 +133,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias[None, :]
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, BK), 0)
+            cols = ki * BK + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, BK), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])  # [BQ, BK] fp32
         dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
                                       (((0,), (0,)), ((), ())),
@@ -120,7 +152,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
     dk0 = jnp.zeros((kb.shape[0], kb.shape[1]), jnp.float32)
     dv0 = jnp.zeros((vb.shape[0], vb.shape[1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(start_qb, num_qb, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -135,7 +167,7 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     Lq_p = Lq + ((-Lq) % block_q)
@@ -147,7 +179,8 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
 
     grid = (B * H, Lq_p // block_q)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                          causal=causal),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
@@ -177,7 +210,8 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
     return out, lse
 
 
-def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
+def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret,
+               causal):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     Lq_p = Lq + ((-Lq) % block_q)
@@ -194,7 +228,8 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
                     keepdims=True)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=block_k),
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          causal=causal),
         grid=(B * H, Lq_p // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
@@ -219,7 +254,8 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
     )(qp, kp, vp, bias_p, dop, lsep, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=block_q),
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
+                          causal=causal),
         grid=(B * H, Lk_p // block_k),
         in_specs=[
             pl.BlockSpec((1, Lq_p, D), lambda bh, ki: (bh, 0, 0),
@@ -256,21 +292,23 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret):
-    out, _ = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret, causal):
+    out, _ = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret,
+                        causal)
     return out
 
 
-def _vjp_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
-    out, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+def _vjp_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
+    out, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret,
+                          causal)
     return out, (q, k, v, bias, out, lse)
 
 
-def _vjp_bwd(scale, block_q, block_k, interpret, res, g):
+def _vjp_bwd(scale, block_q, block_k, interpret, causal, res, g):
     q, k, v, bias, out, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k,
-                            interpret)
+                            interpret, causal)
     return dq, dk, dv, None
 
 
@@ -286,9 +324,11 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. ``bias`` must be a key-padding bias (broadcast over
-    queries); full [Lq, Lk] biases are not supported by this kernel."""
+    queries); use ``causal=True`` for decoder self-attention (block-skipped
+    lower-triangular masking — arbitrary [Lq, Lk] biases are not supported)."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     if bias is None:
@@ -301,4 +341,5 @@ def flash_attention(
     scale = scale if scale is not None else D ** -0.5
     block_q = min(block_q, max(8, Lq + ((-Lq) % 8)))
     block_k = min(block_k, max(8, Lk + ((-Lk) % 8)))
-    return _flash_attention(q, k, v, kv_bias, scale, block_q, block_k, interpret)
+    return _flash_attention(q, k, v, kv_bias, scale, block_q, block_k,
+                            interpret, causal)

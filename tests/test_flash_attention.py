@@ -62,3 +62,34 @@ def test_fully_masked_rows_are_safe():
     out = flash_attention(q, k, v, bias=_kv_bias(mask), interpret=True,
                           block_q=32, block_k=32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_causal_matches_xla():
+    B, H, L, D = 1, 2, 96, 16
+    q, k, v = _rand((B, H, L, D), 0), _rand((B, H, L, D), 1), _rand((B, H, L, D), 2)
+    causal_bias = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0,
+                            -1e30)[None, None]
+    ref = xla_attention_core(q, k, v, bias=causal_bias)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_causal_backward_matches_xla():
+    B, H, L, D = 1, 1, 64, 16
+    q, k, v = _rand((B, H, L, D), 0), _rand((B, H, L, D), 1), _rand((B, H, L, D), 2)
+    causal_bias = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0,
+                            -1e30)[None, None]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, interpret=True,
+                                       block_q=32, block_k=32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention_core(q, k, v, bias=causal_bias) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   err_msg=f"d{name}")
