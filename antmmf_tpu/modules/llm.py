@@ -73,13 +73,18 @@ def apply_rope_3d(
 
 
 class GQAttention(nn.Module):
-    """Grouped-query attention with rotary positions and causal+padding mask."""
+    """Grouped-query attention with rotary positions and causal+padding mask.
+
+    Long sequences (≥ the measured flash crossover) with head_dim 64/128 route
+    through the causal Pallas flash kernel; the additive ``bias`` must then be
+    a key-padding bias + causal (which the kernel applies itself)."""
 
     num_heads: int
     num_kv_heads: Optional[int] = None
     head_dim: Optional[int] = None
     rope_theta: float = 10000.0
     rope_3d: bool = False
+    use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -113,13 +118,28 @@ class GQAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (head_dim ** -0.5)
-        if bias is not None:
-            logits = logits + bias
-        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        use_flash = (
+            self.use_pallas
+            and jax.default_backend() in ("tpu", "axon")
+            and L * L >= 3072 * 3072
+            and head_dim in (64, 128)
+        )
+        if use_flash:
+            from antmmf_tpu.ops.pallas.flash_attention import flash_attention
+
+            # DecoderLM's bias = causal + key padding; the kernel applies the
+            # causal part itself, so pass only the key-padding row
+            kv_bias = bias[:, 0, -1, :] if bias is not None else None
+            out = flash_attention(q, k, v, bias=kv_bias, causal=True)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (head_dim ** -0.5)
+            if bias is not None:
+                logits = logits + bias
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
+                self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
         return dense(C, "o_proj")(out)
 
