@@ -269,3 +269,42 @@ def convert_to_config(obj: Any) -> Configuration:
     if isinstance(obj, Configuration):
         return obj
     return Configuration(obj)
+
+
+def dataclass_from_config(cls, config: Any, **overrides: Any):
+    """Instantiate a dataclass from a config mapping, keeping only known fields
+    (reference ``AntMMFConfig.create_from``, configuration.py:197-237)."""
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in dict(config or {}).items() if k in fields}
+    kwargs.update({k: v for k, v in overrides.items() if k in fields})
+    return cls(**kwargs)
+
+
+def get_zoo_config(
+    key: str,
+    zoo_config_path: str = "configs/zoo/models.yml",
+    variation: str = "defaults",
+):
+    """Resolve a model-zoo entry ``key`` → (version, resources) from a zoo yaml
+    (reference ``get_zoo_config``, configuration.py:178-194). Zoo format::
+
+        my_model:
+          defaults:
+            version: "1.0"
+            resources: [{url: ..., sha256: ...}]
+    """
+    if not os.path.exists(zoo_config_path):
+        return None, None
+    zoo = load_yaml_with_includes(zoo_config_path)
+    node = zoo
+    for part in key.split("."):
+        if not isinstance(node, dict) or part not in node:
+            return None, None
+        node = node[part]
+    if isinstance(node, dict) and variation in node:
+        node = node[variation]
+    if not isinstance(node, dict):
+        return None, None
+    return node.get("version"), node.get("resources")

@@ -69,3 +69,30 @@ def test_pretty_roundtrip(tmp_path):
     cfg.save(path)
     again = Configuration.from_file(path)
     assert again.to_dict() == cfg.to_dict()
+
+
+def test_dataclass_from_config():
+    import dataclasses
+
+    from antmmf_tpu.common.configuration import dataclass_from_config
+
+    @dataclasses.dataclass
+    class Head:
+        hidden: int = 8
+        dropout: float = 0.0
+
+    out = dataclass_from_config(Head, {"hidden": 32, "bogus": 1}, dropout=0.5)
+    assert out.hidden == 32 and out.dropout == 0.5
+
+
+def test_get_zoo_config(tmp_path):
+    from antmmf_tpu.common.configuration import get_zoo_config
+
+    zoo = tmp_path / "zoo.yml"
+    zoo.write_text(
+        "bert:\n  defaults:\n    version: '1.1'\n"
+        "    resources: [{url: http://x, sha256: abc}]\n")
+    version, resources = get_zoo_config("bert", str(zoo))
+    assert version == "1.1" and resources[0]["url"] == "http://x"
+    assert get_zoo_config("missing", str(zoo)) == (None, None)
+    assert get_zoo_config("x", str(tmp_path / "none.yml")) == (None, None)
