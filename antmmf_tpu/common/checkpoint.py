@@ -146,15 +146,24 @@ class Checkpoint:
             "rng": state.rng,
         }
 
-    def save(self, state, iteration: Optional[int] = None, tag: Optional[str] = None) -> str:
+    def save(self, state, iteration: Optional[int] = None, tag: Optional[str] = None,
+             block: bool = False) -> str:
+        """Async by default: Orbax writes in the background; the next save (or
+        ``finalize_writes``) joins the previous one, so snapshots never stall
+        the train loop."""
         iteration = int(iteration if iteration is not None else state.step)
         name = tag or f"model_{iteration}"
         path = os.path.join(self.models_dir, name)
+        self._ckpt.wait_until_finished()  # join any in-flight save
         self._ckpt.save(path, self._state_tree(state), force=True)
-        self._ckpt.wait_until_finished()
+        if block:
+            self._ckpt.wait_until_finished()
         if tag is None:
             self._gc()
         return path
+
+    def finalize_writes(self) -> None:
+        self._ckpt.wait_until_finished()
 
     def save_best(self, state) -> str:
         return self.save(state, tag="best")
@@ -195,6 +204,7 @@ class Checkpoint:
 
     def restore_state(self, state, path: Optional[str] = None):
         """Full resume: params+optimizer+step+rng with matching structure."""
+        self._ckpt.wait_until_finished()  # join in-flight async saves
         path = path or self.latest_path()
         if path is None:
             return state, False

@@ -451,6 +451,7 @@ class BaseTrainer:
                 self.checkpoint.save_best(self.state)
         self.checkpoint.save(self.state, iteration)
         self.checkpoint.save_final_weights(self.state, self.model_name)
+        self.checkpoint.finalize_writes()
         self.writer.write(f"training done @ iter {iteration}; "
                           f"early stopping: {self.early_stopping.summary()}")
         if "inference" in self.run_type or "predict" in self.run_type:
