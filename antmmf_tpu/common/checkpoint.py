@@ -180,14 +180,22 @@ class Checkpoint:
         import re
         import shutil
 
-        entries = []
+        # in-flight async saves appear as model_<n>.orbax-checkpoint-tmp* —
+        # count them toward the keep budget but never delete tmp dirs
+        nums: Dict[int, list] = {}
         for d in os.listdir(self.models_dir):
-            m = re.fullmatch(r"model_(\d+)", d)
+            m = re.match(r"model_(\d+)", d)
             if m:
-                entries.append((int(m.group(1)), d))
-        entries.sort()
-        for _, d in entries[: max(0, len(entries) - int(self.max_to_keep))]:
-            shutil.rmtree(os.path.join(self.models_dir, d), ignore_errors=True)
+                nums.setdefault(int(m.group(1)), []).append(d)
+        keep = set(sorted(nums)[-int(self.max_to_keep):])
+        for n, dirs in nums.items():
+            if n in keep:
+                continue
+            for d in dirs:
+                if ".orbax-checkpoint-tmp" in d:
+                    continue
+                shutil.rmtree(os.path.join(self.models_dir, d),
+                              ignore_errors=True)
 
     # ---------------------------------------------------------------- restore
     def latest_path(self) -> Optional[str]:
