@@ -90,6 +90,7 @@ def test_checkpoint_gc_and_best(tmp_path):
         state = state.replace(step=jnp.asarray(it))
         ckpt.save(state, it)
     ckpt.save_best(state)
+    ckpt.finalize_writes()  # saves are async; join before listing
     names = sorted(os.listdir(os.path.join(str(tmp_path), "models")))
     assert "model_1" not in names  # GC'd
     assert "model_2" in names and "model_3" in names and "best" in names
