@@ -1,0 +1,84 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from antmmf_tpu.datasets.database.video_database import (
+    KeyFramesDatabase,
+    MultiSourceLoader,
+)
+from antmmf_tpu.modules.fusions import CosineFusion, EncoderFusion, SimpleLinearFusion
+from antmmf_tpu.structures.boxes import Boxes, pairwise_iou
+from antmmf_tpu.structures.nested_tensor import NestedTensor
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def keyframes_root(tmp_path):
+    import cv2
+
+    d = tmp_path / "clip1"
+    d.mkdir()
+    for i in range(6):
+        img = np.full((20, 30, 3), i * 30, np.uint8)
+        cv2.imwrite(str(d / f"frame_{i:03d}.jpg"), img)
+    return str(tmp_path)
+
+
+def test_keyframes_database(keyframes_root):
+    db = KeyFramesDatabase(keyframes_root)
+    clips = db.get("clip1", n_clips=2, frames_per_clip=2)
+    assert clips.shape == (2, 2, 20, 30, 3)
+    # uniform sampling: second clip's frames come later in the sequence
+    assert clips[1].mean() > clips[0].mean()
+
+
+def test_multi_source_loader_dispatch(keyframes_root):
+    loader = MultiSourceLoader(keyframes_root, source="keyframes")
+    clips = loader.get("clip1", n_clips=1, frames_per_clip=3)
+    assert clips.shape[:2] == (1, 3)
+    with pytest.raises(ValueError):
+        MultiSourceLoader(keyframes_root, source="bogus")
+
+
+def test_nested_tensor_padding():
+    imgs = [np.ones((4, 6, 3), np.float32), np.ones((8, 5, 3), np.float32)]
+    nt = NestedTensor.from_list(imgs)
+    tensors, mask = nt.decompose()
+    assert tensors.shape == (2, 8, 6, 3)
+    assert not mask[0, :4, :6].any() and mask[0, 4:, :].all()
+    assert not mask[1, :8, :5].any() and mask[1, :, 5:].all()
+    nt2 = NestedTensor.from_list(imgs, pad_to=(10, 10))
+    assert nt2.tensors.shape == (2, 10, 10, 3)
+
+
+def test_boxes_container():
+    b = Boxes(np.array([[0, 0, 4, 4], [2, 2, 6, 6]], np.float32))
+    np.testing.assert_allclose(np.asarray(b.area()), [16.0, 16.0])
+    iou = b.iou(b)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(iou)), 1.0)
+    assert float(iou[0, 1]) == pytest.approx(4 / 28)
+    clipped = b.clip(5, 5)
+    assert float(clipped.tensor[1, 2]) == 5.0
+    xywh = Boxes(np.array([[1, 1, 2, 2]], np.float32), mode="xywh")
+    np.testing.assert_allclose(np.asarray(xywh.tensor), [[1, 1, 3, 3]])
+    np.testing.assert_allclose(np.asarray(xywh.convert("cxcywh")), [[2, 2, 2, 2]])
+
+
+def test_fusion_modules():
+    a, b = jnp.ones((2, 8)), jnp.ones((2, 8)) * 2
+    f = SimpleLinearFusion(out_dim=4)
+    params = f.init(KEY, a, b)
+    assert f.apply(params, a, b).shape == (2, 4)
+
+    streams = (jnp.ones((2, 3, 16)), jnp.ones((2, 5, 16)))
+    ef = EncoderFusion(num_layers=1, num_heads=2)
+    params = ef.init(KEY, *streams)
+    assert ef.apply(params, *streams).shape == (2, 8, 16)
+
+    cf = CosineFusion(scale=10.0)
+    sim = cf.apply(cf.init(KEY, a, b), a, b)
+    np.testing.assert_allclose(np.asarray(sim), 10.0, rtol=1e-5)
