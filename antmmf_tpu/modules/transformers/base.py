@@ -70,8 +70,22 @@ class TransformerLayer(nn.Module):
         return x
 
 
+class _ScanLayerBody(TransformerLayer):
+    """TransformerLayer in scan calling convention: carry → (carry, None)."""
+
+    def __call__(self, carry, bias=None, kv=None, deterministic=True):
+        return super().__call__(carry, bias, kv, deterministic), None
+
+
 class TransformerEncoder(nn.Module):
-    """N identical layers; optional final LN (pre-LN style) and remat."""
+    """N identical layers; optional final LN (pre-LN style) and remat.
+
+    ``scan_layers`` folds the stack into one ``nn.scan`` — a single compiled
+    layer body regardless of depth (the compile-time lever for 24–48-layer
+    1B/10B configs). Params then carry a leading stage dim (``layers/...``
+    [N, ...]) instead of per-layer names, so keep it off when importing
+    per-layer external checkpoints; drop_path is uniform under scan.
+    """
 
     num_layers: int
     num_heads: int
@@ -83,6 +97,7 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-5
     final_norm: bool = True
     remat: bool = False
+    scan_layers: bool = False
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -97,16 +112,28 @@ class TransformerEncoder(nn.Module):
         layer_cls = TransformerLayer
         if self.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(4,))
-        # linearly scaled stochastic depth across layers
-        for i in range(self.num_layers):
-            rate = self.drop_path * i / max(1, self.num_layers - 1)
-            x = layer_cls(
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout, drop_path=rate, activation=self.activation,
-                norm_style=self.norm_style, layer_norm_eps=self.layer_norm_eps,
-                use_pallas=self.use_pallas, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"layer_{i}",
-            )(x, bias, None, deterministic)
+        common = dict(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout, activation=self.activation,
+            norm_style=self.norm_style, layer_norm_eps=self.layer_norm_eps,
+            use_pallas=self.use_pallas, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.scan_layers:
+            scanned = nn.scan(
+                _ScanLayerBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(drop_path=self.drop_path, name="layers", **common)
+            x, _ = scanned(x, bias, None, deterministic)
+        else:
+            # linearly scaled stochastic depth across layers
+            for i in range(self.num_layers):
+                rate = self.drop_path * i / max(1, self.num_layers - 1)
+                x = layer_cls(drop_path=rate, name=f"layer_{i}", **common)(
+                    x, bias, None, deterministic)
         if self.final_norm and self.norm_style == "pre":
             x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="final_norm")(x)

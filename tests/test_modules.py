@@ -101,3 +101,22 @@ def test_attention_bias_blocks_padding():
     bias = make_attention_mask(jnp.array([[1, 1, 0]]))
     assert bias.shape == (1, 1, 1, 3)
     assert float(bias[0, 0, 0, 2]) < -1e30 and float(bias[0, 0, 0, 0]) == 0.0
+
+
+def test_scan_layers_matches_loop():
+    """scan-over-layers output matches the unrolled loop when weights are
+    copied across (same per-layer params)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    loop_enc = TransformerEncoder(num_layers=3, num_heads=2, dtype=F32,
+                                  final_norm=False)
+    scan_enc = TransformerEncoder(num_layers=3, num_heads=2, dtype=F32,
+                                  final_norm=False, scan_layers=True)
+    lp = loop_enc.init(jax.random.PRNGKey(1), x)["params"]
+    # stack loop params [layer_0, layer_1, layer_2] into the scan layout
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves),
+        *[lp[f"layer_{i}"] for i in range(3)])
+    out_loop = loop_enc.apply({"params": lp}, x)
+    out_scan = scan_enc.apply({"params": {"layers": stacked}}, x)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
+                               atol=1e-5)
