@@ -44,6 +44,7 @@ class BertEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     add_pooler: bool = True
     remat: bool = False
+    scan_layers: bool = False
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -60,7 +61,8 @@ class BertEncoder(nn.Module):
             num_layers=self.num_layers, num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio, dropout=self.dropout, norm_style="post",
             layer_norm_eps=self.layer_norm_eps, activation="gelu_exact",
-            final_norm=False, remat=self.remat, use_pallas=self.use_pallas,
+            final_norm=False, remat=self.remat,
+            scan_layers=self.scan_layers, use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         if self.add_pooler:

@@ -41,6 +41,7 @@ class VisionTransformer(nn.Module):
     output_dim: Optional[int] = None  # projection dim (CLIP-style); None = no proj
     quick_gelu: bool = True
     remat: bool = False
+    scan_layers: bool = False
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
@@ -62,7 +63,8 @@ class VisionTransformer(nn.Module):
             mlp_ratio=self.mlp_ratio, dropout=self.dropout,
             drop_path=self.drop_path, norm_style="pre",
             activation="quick_gelu" if self.quick_gelu else "gelu",
-            final_norm=True, remat=self.remat, use_pallas=self.use_pallas,
+            final_norm=True, remat=self.remat,
+            scan_layers=self.scan_layers, use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
         )(x, deterministic=deterministic)
         pooled = x[:, 0]
