@@ -171,10 +171,52 @@ class VQAAccuracyEvaluator(BaseEvaluator):
         return {"vqa_accuracy": float(np.mean(self._scores))}
 
 
+class CaptioningEvaluator(BaseEvaluator):
+    """Corpus BLEU-4 + ROUGE-L over generated vs reference token sequences.
+
+    collect() accepts output["generated_ids"] (int) + batch reference ids
+    (``caption_raw_input_ids``), or pre-tokenised lists via metadata.
+    """
+
+    def __init__(self, params: Optional[Mapping[str, Any]] = None):
+        self.params = dict(params or {})
+        self.pad_ids = set(self.params.get("pad_ids", [0, 101, 102]))
+        self.reset()
+
+    def reset(self) -> None:
+        self._cands: List[List[int]] = []
+        self._refs: List[List[int]] = []
+
+    def _strip(self, seq) -> List[int]:
+        return [int(t) for t in np.asarray(seq).reshape(-1)
+                if int(t) not in self.pad_ids]
+
+    def collect(self, batch: Mapping, output: Mapping) -> None:
+        gen = output.get("generated_ids")
+        ref = batch.get("caption_raw_input_ids", batch.get("targets"))
+        if gen is None or ref is None:
+            return
+        for g, r in zip(np.asarray(gen), np.asarray(ref)):
+            self._cands.append(self._strip(g))
+            self._refs.append(self._strip(r))
+
+    def summarize(self) -> Dict[str, float]:
+        if not self._cands:
+            return {}
+        from antmmf_tpu.modules.metrics.extended import bleu4, rouge_l
+
+        return {
+            "bleu4": bleu4(self._cands, self._refs),
+            "rouge_l": float(np.mean([
+                rouge_l(c, r) for c, r in zip(self._cands, self._refs)])),
+        }
+
+
 EVALUATORS = {
     "global_retrieval_recall": GlobalRetrievalRecallEvaluator,
     "classification": ClassificationEvaluator,
     "vqa_accuracy": VQAAccuracyEvaluator,
+    "captioning": CaptioningEvaluator,
 }
 
 
