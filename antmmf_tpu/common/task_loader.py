@@ -55,20 +55,29 @@ class TaskLoader:
                 )
         num_workers = int(tp.get("num_workers", 0))
 
+        from antmmf_tpu.datasets.base_dataset import BaseIterableDataset
+        from antmmf_tpu.datasets.streaming_dataset import StreamingLoader
+
         for dataset_type, tasks in self.tasks.items():
             self.loaders[dataset_type] = []
             per_host_bs = (global_bs if dataset_type == "train" else test_bs) // nproc
             for task in tasks:
                 for dataset in task.get_datasets():
-                    sampler = self._build_sampler(dataset, dataset_type)
-                    loader = DataLoader(
-                        dataset,
-                        batch_size=per_host_bs,
-                        sampler=sampler,
-                        collate_fn=dataset.collate_fn,
-                        num_workers=num_workers,
-                        drop_last=(dataset_type == "train"),
-                    )
+                    if isinstance(dataset, BaseIterableDataset):
+                        loader = StreamingLoader(
+                            dataset, batch_size=per_host_bs,
+                            drop_last=(dataset_type == "train"),
+                            collate_fn=dataset.collate_fn)
+                    else:
+                        sampler = self._build_sampler(dataset, dataset_type)
+                        loader = DataLoader(
+                            dataset,
+                            batch_size=per_host_bs,
+                            sampler=sampler,
+                            collate_fn=dataset.collate_fn,
+                            num_workers=num_workers,
+                            drop_last=(dataset_type == "train"),
+                        )
                     self.loaders[dataset_type].append(loader)
 
     def _build_sampler(self, dataset, dataset_type: str):
@@ -84,8 +93,11 @@ class TaskLoader:
     # ------------------------------------------------------------------ epochs
     def seed_sampler(self, dataset_type: str, epoch: int) -> None:
         for loader in self.loaders.get(dataset_type, []):
-            if loader.sampler is not None and hasattr(loader.sampler, "set_epoch"):
-                loader.sampler.set_epoch(epoch)
+            sampler = getattr(loader, "sampler", None)
+            if sampler is not None and hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(epoch)
+            elif hasattr(loader.dataset, "set_epoch"):
+                loader.dataset.set_epoch(epoch)
 
     def get_loaders(self, dataset_type: str) -> List[DataLoader]:
         return self.loaders.get(dataset_type, [])

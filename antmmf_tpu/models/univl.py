@@ -186,6 +186,43 @@ class UnivlVideoBase(nn.Module):
             cross["cross_pooled"].astype(jnp.float32))[..., 0]
 
 
+def _univl_dispatch(config):
+    """The reference's ``Univl`` model dispatches on its task config
+    (univl_model.py:16). ``training_stage`` picks the concrete family:
+    pretraining | retrieval | classification | mcqa | caption | roi."""
+    from antmmf_tpu.common.registry import registry as _r
+
+    stage = dict(config or {}).get("training_stage", "retrieval")
+    name = {
+        "pretraining": "univl_pretrain",
+        "pretrain": "univl_pretrain",
+        "retrieval": "univl_retrieval",
+        "classification": "univl_classification",
+        "mcqa": "univl_mcqa",
+        "caption": "univl_caption",
+        "generation": "univl_caption",
+        "roi": "univl_roi",
+    }.get(stage)
+    if name is None:
+        raise KeyError(f"Unknown univl training_stage {stage!r}")
+    cls = _r.get_model_class(name)
+    cfg = {k: v for k, v in dict(config).items() if k != "training_stage"}
+    return cls.from_config(cfg)
+
+
+@registry.register_model("univl_auto")
+class UnivlDispatch(BaseModel):
+    """Config-dispatched UniVL entry point (see ``_univl_dispatch``)."""
+
+    @classmethod
+    def from_config(cls, config):
+        return _univl_dispatch(config)
+
+    @classmethod
+    def for_test(cls, config):
+        return _univl_dispatch(config)
+
+
 @registry.register_model("univl_retrieval")
 @registry.register_model("univl")
 class UnivlForVideoTextRetrieval(BaseModel):
