@@ -44,10 +44,18 @@ class BaseTask:
         self._init_proportions(config)
         return self
 
+    @staticmethod
+    def _size_of(dataset) -> int:
+        try:
+            return max(1, len(dataset))
+        except TypeError:  # iterable-only (streaming) datasets
+            return 1
+
     def _init_proportions(self, config) -> None:
         if not self.datasets:
             return
-        sizes = np.asarray([max(1, len(d)) for d in self.datasets], dtype=np.float64)
+        sizes = np.asarray([self._size_of(d) for d in self.datasets],
+                           dtype=np.float64)
         if bool(config.get("task_size_proportional_sampling", True)):
             self._proportions = sizes / sizes.sum()
         else:
@@ -70,7 +78,7 @@ class BaseTask:
         return self.datasets[self._current]
 
     def __len__(self) -> int:
-        return sum(len(d) for d in self.datasets)
+        return sum(self._size_of(d) for d in self.datasets)
 
     def get_datasets(self) -> List[Any]:
         return self.datasets
