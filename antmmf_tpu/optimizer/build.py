@@ -91,6 +91,59 @@ def build_lr_schedule(tp: Mapping[str, Any], base_lr: float):
     return schedule
 
 
+def make_group_labels(params, groups: Sequence[Mapping[str, Any]]):
+    """Label each param by the first matching group pattern (else 'default')."""
+    compiled = [(re.compile(g["pattern"]), f"group_{i}")
+                for i, g in enumerate(groups)]
+
+    def decide(path, leaf) -> str:
+        p = _path_str(path)
+        for pat, label in compiled:
+            if pat.search(p):
+                return label
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def build_combined_optimizer(
+    params,
+    cfg: Mapping[str, Any],
+    tp: Mapping[str, Any],
+) -> tuple:
+    """Per-group optimizer types (reference ``CombinedOptimizer``,
+    optimizer/combine_optimizers.py:16-131)::
+
+        optimizer_attributes:
+          type: combined
+          groups:
+            - {pattern: "img_encoder", type: sgd, params: {lr: 0.01}}
+            - {pattern: ".*", type: adam_w, params: {lr: 1.0e-4}}
+    """
+    groups = list(cfg.get("groups", []))
+    transforms = {}
+    schedules = {}
+    for i, g in enumerate(groups):
+        tx, sched = build_optimizer(params, {
+            "type": g.get("type", "adam_w"), "params": g.get("params", {})},
+            {})  # per-group chains exclude global clip/accum (applied outside)
+        transforms[f"group_{i}"] = tx
+        schedules[f"group_{i}"] = sched
+    transforms["default"], schedules["default"] = build_optimizer(
+        params, {"type": "adam_w", "params": {"lr": 1e-4}}, {})
+    labels = make_group_labels(params, groups)
+    core = optax.multi_transform(transforms, labels)
+    chain = []
+    if bool(tp.get("clip_gradients", False)):
+        chain.append(optax.clip_by_global_norm(float(tp.get("max_grad_l2_norm", 1.0))))
+    chain.append(core)
+    tx = optax.chain(*chain)
+    accum = int(tp.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, schedules.get("group_0", schedules["default"])
+
+
 def build_optimizer(
     params,
     optimizer_attributes: Mapping[str, Any],
@@ -106,6 +159,8 @@ def build_optimizer(
     cfg = convert_to_config(optimizer_attributes or {})
     tp = convert_to_config(training_parameters or {})
     name = cfg.get("type", "adam_w")
+    if name == "combined":
+        return build_combined_optimizer(params, cfg, tp)
     p = dict(cfg.get("params", {}))
     lr = float(p.pop("lr", p.pop("learning_rate", 1e-4)))
     schedule = build_lr_schedule(tp, lr)

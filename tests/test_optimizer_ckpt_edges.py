@@ -117,3 +117,23 @@ def test_merge_params_pretrained_mapping():
     merged, report = merge_params_tolerant(
         target, loaded, pretrained_mapping={"teacher": "student"})
     np.testing.assert_allclose(merged["student"]["kernel"], 1.0)
+
+
+def test_combined_optimizer_per_group_types():
+    params = {"img_encoder": {"kernel": jnp.ones((2, 2))},
+              "head": {"kernel": jnp.ones((2, 2))}}
+    tx, sched = build_optimizer(params, {
+        "type": "combined",
+        "groups": [
+            {"pattern": "img_encoder", "type": "sgd",
+             "params": {"lr": 0.5, "momentum": 0.0}},
+            {"pattern": "head", "type": "sgd",
+             "params": {"lr": 0.1, "momentum": 0.0}},
+        ]}, {"clip_gradients": False})
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    s = tx.init(params)
+    upd, _ = tx.update(grads, s, params)
+    new = optax.apply_updates(params, upd)
+    # different lrs per group applied
+    np.testing.assert_allclose(np.asarray(new["img_encoder"]["kernel"]), 0.5)
+    np.testing.assert_allclose(np.asarray(new["head"]["kernel"]), 0.9)
