@@ -84,3 +84,23 @@ def test_data_updater_rewrites_annotations(tmp_path):
     assert FakeDB.data[0]["pseudo_label"] == 1
     assert FakeDB.data[1]["pseudo_label"] == 0
     assert os.path.exists(out_path)
+
+
+def test_remote_trainer_submission(tmp_path):
+    from antmmf_tpu.trainers.remote_trainer import RemoteTrainer
+
+    tmpl = tmp_path / "job.tmpl"
+    tmpl.write_text("config: ${CONFIG_PATH}\ntopology: ${TPU_TOPOLOGY}\n")
+    t = RemoteTrainer({"training_parameters": {"remote": {
+        "submit_command": "cat {job_spec}",
+        "job_spec_template": str(tmpl),
+        "env": {"TPU_TOPOLOGY": "4x4"},
+    }}})
+    t.load()
+    assert t.train() == 0
+
+    bad = RemoteTrainer({"training_parameters": {}})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="submit_command"):
+        bad.load()
