@@ -42,7 +42,7 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = BATCH if on_tpu else 4
+    batch = BATCH if on_tpu else max(8, n_chips)  # keep divisible by devices
     frames = FRAMES if on_tpu else 2
     size = SIZE if on_tpu else 64
     steps = STEPS if on_tpu else 2
