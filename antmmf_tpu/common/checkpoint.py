@@ -233,11 +233,18 @@ class Checkpoint:
         merged, report = merge_params_tolerant(
             state.variables, loaded_vars, pretrained_mapping, self.logger
         )
-        # preserve leaf types/shardings of the target
-        merged = jax.tree_util.tree_map(
-            lambda t, m: jax.numpy.asarray(m, dtype=getattr(t, "dtype", None)),
-            state.variables, merged,
-        )
+        # preserve leaf dtypes AND shardings of the target: a plain asarray
+        # would hand back replicated host arrays, silently dropping FSDP/TP
+        # layouts after a weights-only restore (unlike restore_state, which
+        # restores into the sharded target structure directly)
+        def _place(t, m):
+            arr = jax.numpy.asarray(m, dtype=getattr(t, "dtype", None))
+            sharding = getattr(t, "sharding", None)
+            if sharding is not None:
+                arr = jax.device_put(arr, sharding)
+            return arr
+
+        merged = jax.tree_util.tree_map(_place, state.variables, merged)
         return state.replace(variables=merged), report
 
     def resume(self, state, tp: Optional[Mapping] = None):

@@ -70,8 +70,10 @@ def attention_core(
 ) -> jnp.ndarray:
     core = select_core(use_pallas, q.shape, k.shape)
     # the flash kernel only supports key-padding biases (broadcast over
-    # queries); query-dependent biases (causal masks) must use the XLA core
-    if bias is not None and bias.ndim == 4 and bias.shape[-2] > 1:
+    # queries AND heads); query- or head-dependent biases (causal masks,
+    # per-head relative biases) must use the XLA core
+    if bias is not None and bias.ndim == 4 and (
+            bias.shape[-2] > 1 or bias.shape[1] > 1):
         core = "xla"
     if core == "pallas":
         from antmmf_tpu.ops.pallas.flash_attention import flash_attention

@@ -336,7 +336,13 @@ def flash_attention(
     elif bias.ndim == 2:
         kv_bias = bias.astype(jnp.float32)
     else:
-        # [B, 1|H, 1|Lq, Lk]: must be query-independent; take query row 0
+        # [B, 1, 1, Lk]: must be query- AND head-independent (key padding).
+        # Reject head-varying biases instead of silently using head 0.
+        if bias.shape[1] != 1 or bias.shape[2] != 1:
+            raise ValueError(
+                "flash_attention only supports key-padding biases "
+                f"[B, 1, 1, Lk]; got {bias.shape}. Query- or head-dependent "
+                "biases must route to the XLA attention core.")
         kv_bias = bias[:, 0, 0, :].astype(jnp.float32)
     scale = scale if scale is not None else D ** -0.5
     block_q = min(block_q, max(8, Lq + ((-Lq) % 8)))

@@ -164,6 +164,17 @@ def build_optimizer(
     p = dict(cfg.get("params", {}))
     lr = float(p.pop("lr", p.pop("learning_rate", 1e-4)))
     schedule = build_lr_schedule(tp, lr)
+    accum = int(tp.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        # MultiSteps advances the inner optimizer count once per k micro-
+        # batches; warmup_iterations / lr_steps are configured in trainer
+        # iterations, so rescale the count the inner schedule consumes.
+        # The returned `schedule` stays in trainer-iteration units (used by
+        # the trainer's lr logging), and schedule(i) == inner(i // k).
+        outer_schedule = schedule
+        inner_schedule = lambda c: outer_schedule(c * accum)  # noqa: E731
+    else:
+        inner_schedule = schedule
 
     weight_decay = float(p.pop("weight_decay", 0.0))
     betas = p.pop("betas", None)
@@ -175,28 +186,28 @@ def build_optimizer(
 
     custom = registry.get_optimizer_class(name, default=None)
     if custom is not None:
-        core = custom(learning_rate=schedule, **p)
+        core = custom(learning_rate=inner_schedule, **p)
     elif name in ("adam_w", "adamw"):
-        core = optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+        core = optax.adamw(inner_schedule, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay,
                            mask=make_weight_decay_mask(params))
     elif name == "adam":
-        core = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+        core = optax.adam(inner_schedule, b1=b1, b2=b2, eps=eps)
     elif name == "sgd":
-        core = optax.sgd(schedule, momentum=float(p.pop("momentum", 0.9)))
+        core = optax.sgd(inner_schedule, momentum=float(p.pop("momentum", 0.9)))
     elif name == "radam":
-        core = optax.radam(schedule, b1=b1, b2=b2, eps=eps)
+        core = optax.radam(inner_schedule, b1=b1, b2=b2, eps=eps)
     elif name == "adan":
         # Adan ≈ adamw with Nesterov-style momentum; optax.adan exists ≥0.2
         adan = getattr(optax, "adan", None)
         if adan is not None:
-            core = adan(schedule, eps=eps, weight_decay=weight_decay)
+            core = adan(inner_schedule, eps=eps, weight_decay=weight_decay)
         else:  # fallback
-            core = optax.adamw(schedule, weight_decay=weight_decay)
+            core = optax.adamw(inner_schedule, weight_decay=weight_decay)
     elif name in ("adafactor",):
-        core = optax.adafactor(schedule)
+        core = optax.adafactor(inner_schedule)
     elif name == "lion":
-        core = optax.lion(schedule, weight_decay=weight_decay,
+        core = optax.lion(inner_schedule, weight_decay=weight_decay,
                           mask=make_weight_decay_mask(params))
     else:
         raise KeyError(f"Unknown optimizer {name!r}")
@@ -210,7 +221,6 @@ def build_optimizer(
         chain.append(scale_by_multipliers(make_lr_multiplier_mask(params, mults)))
     tx = optax.chain(*chain)
 
-    accum = int(tp.get("gradient_accumulation_steps", 1))
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule

@@ -157,9 +157,18 @@ class BaseTrainer:
             self.max_iterations = int(self.max_iterations)
         self.max_epochs = self.tp.get("max_epochs")
         if self.max_epochs is not None:
-            epoch_len = sum(len(l) for l in self.task_loader.get_loaders("train")) or 1
-            self.max_iterations = min(self.max_iterations,
-                                      int(self.max_epochs) * epoch_len)
+            sized = [l for l in self.task_loader.get_loaders("train")
+                     if hasattr(l, "__len__")]
+            if len(sized) < len(self.task_loader.get_loaders("train")):
+                # streaming loaders have no length; epochs are then bounded by
+                # the loop's own epoch counter, not an iteration budget
+                self.writer.write(
+                    "max_epochs with streaming datasets: epoch length unknown, "
+                    "bounding by epoch count only", level="warning")
+            else:
+                epoch_len = sum(len(l) for l in sized) or 1
+                self.max_iterations = min(self.max_iterations,
+                                          int(self.max_epochs) * epoch_len)
         self.log_interval = int(self.tp.get("log_interval", 100))
         self.snapshot_interval = int(self.tp.get("snapshot_interval", 1000))
         self.evaluator = build_evaluator(self.tp.get("evaluator", None))

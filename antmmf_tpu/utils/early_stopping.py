@@ -53,8 +53,12 @@ class EarlyStopping:
                 elif self.enabled and iteration - self.best_iteration > self.patience:
                     self.activated = True
                     stop = 1.0
+        # Broadcast BOTH decisions: checkpoint.save_best is a collective Orbax
+        # save, so every process must take the same is_best branch or the pod
+        # deadlocks at the commit barrier (reference broadcasts only the stop
+        # flag, base_trainer.py:785, because its save is rank0-only).
         stop = coll.broadcast_scalar(stop)
-        self._last_is_best = is_best
+        self._last_is_best = bool(coll.broadcast_scalar(1.0 if is_best else 0.0) > 0.5)
         return bool(stop > 0.5)
 
     @property

@@ -25,12 +25,14 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 UNIGRAMS = "abcdefghijklmnopqrstuvwxyz0123456789"
+# must match the reference table exactly for feature compatibility
+# (/root/reference/antmmf/utils/phoc/src/cphoc.c:29)
 BIGRAMS = [
     "th", "he", "in", "er", "an", "re", "es", "on", "st", "nt",
     "en", "at", "ed", "nd", "to", "or", "ea", "ti", "ar", "te",
     "ng", "al", "it", "as", "is", "ha", "et", "se", "ou", "of",
-    "le", "sa", "ve", "ro", "ra", "ri", "hi", "me", "di", "ch",
-    "co", "ao", "ta", "de", "io", "we", "be", "li", "ne", "nc",
+    "le", "sa", "ve", "ro", "ra", "ri", "hi", "ne", "me", "de",
+    "co", "ta", "ec", "si", "ll", "so", "na", "li", "la", "el",
 ]
 _LEVELS = (2, 3, 4, 5)
 
@@ -75,15 +77,19 @@ def _build_phoc_py(token: str) -> np.ndarray:
     if n == 0:
         return out
 
+    f32 = np.float32
+
     def in_region(clo, chi, r, L):
-        lo, hi = max(clo, r / L), min(chi, (r + 1) / L)
-        return (hi - lo) / (chi - clo) >= 0.5
+        # single-precision on purpose: matches the reference's float math
+        # at exact-0.5 overlap boundaries (cphoc.c:56-61)
+        lo, hi = max(clo, f32(r) / f32(L)), min(chi, f32(r + 1) / f32(L))
+        return f32(hi - lo) / f32(chi - clo) >= f32(0.5)
 
     for i, ch in enumerate(token):
         ci = UNIGRAMS.find(ch)
         if ci < 0:
             continue
-        clo, chi = i / n, (i + 1) / n
+        clo, chi = f32(i) / f32(n), f32(i + 1) / f32(n)
         offset = 0
         for L in _LEVELS:
             for r in range(L):
@@ -95,7 +101,7 @@ def _build_phoc_py(token: str) -> np.ndarray:
         bg = token[i:i + 2]
         if bg in BIGRAMS:
             b = BIGRAMS.index(bg)
-            clo, chi = i / n, (i + 2) / n
+            clo, chi = f32(i) / f32(n), f32(i + 2) / f32(n)
             for r in range(2):
                 if in_region(clo, chi, r, 2):
                     out[base + r * len(BIGRAMS) + b] = 1.0

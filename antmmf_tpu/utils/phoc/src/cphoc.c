@@ -20,12 +20,14 @@
 
 static const char *UNIGRAMS = "abcdefghijklmnopqrstuvwxyz0123456789";
 
+/* table must match the reference exactly for feature compatibility
+ * (/root/reference/antmmf/utils/phoc/src/cphoc.c:29) */
 static const char *BIGRAMS[N_BIGRAMS] = {
     "th", "he", "in", "er", "an", "re", "es", "on", "st", "nt",
     "en", "at", "ed", "nd", "to", "or", "ea", "ti", "ar", "te",
     "ng", "al", "it", "as", "is", "ha", "et", "se", "ou", "of",
-    "le", "sa", "ve", "ro", "ra", "ri", "hi", "me", "di", "ch",
-    "co", "ao", "ta", "de", "io", "we", "be", "li", "ne", "nc"
+    "le", "sa", "ve", "ro", "ra", "ri", "hi", "ne", "me", "de",
+    "co", "ta", "ec", "si", "ll", "so", "na", "li", "la", "el"
 };
 
 static int unigram_index(char c) {
@@ -34,16 +36,20 @@ static int unigram_index(char c) {
     return (p && c != '\0') ? (int)(p - UNIGRAMS) : -1;
 }
 
-static double occupancy_lo(int i, int n) { return (double)i / (double)n; }
-static double occupancy_hi(int i, int n) { return (double)(i + 1) / (double)n; }
+static float occupancy_lo(int i, int n) { return (float)i / (float)n; }
+static float occupancy_hi(int i, int n) { return (float)(i + 1) / (float)n; }
 
-static int in_region(double clo, double chi, int region, int level) {
-    double rlo = (double)region / (double)level;
-    double rhi = (double)(region + 1) / (double)level;
-    double lo = clo > rlo ? clo : rlo;
-    double hi = chi < rhi ? chi : rhi;
-    double overlap = hi - lo;
-    return overlap / (chi - clo) >= 0.5 ? 1 : 0;
+/* single-precision on purpose: the reference computes region overlap in
+ * float (cphoc.c:56-61), and boundary spans that land exactly on 0.5
+ * round differently in double — feature compatibility requires matching
+ * its rounding bit-for-bit */
+static int in_region(float clo, float chi, int region, int level) {
+    float rlo = (float)region / (float)level;
+    float rhi = (float)(region + 1) / (float)level;
+    float lo = clo > rlo ? clo : rlo;
+    float hi = chi < rhi ? chi : rhi;
+    float ratio = (hi - lo) / (chi - clo);
+    return ratio >= 0.5f ? 1 : 0;
 }
 
 void build_phoc(const char *token, float *out) {
@@ -57,7 +63,7 @@ void build_phoc(const char *token, float *out) {
     for (int i = 0; i < n; i++) {
         int ci = unigram_index(token[i]);
         if (ci < 0) continue;
-        double clo = occupancy_lo(i, n), chi = occupancy_hi(i, n);
+        float clo = occupancy_lo(i, n), chi = occupancy_hi(i, n);
         int offset = 0;
         for (int li = 0; li < 4; li++) {
             int L = levels[li];
@@ -77,9 +83,9 @@ void build_phoc(const char *token, float *out) {
         if (hi_c >= 'A' && hi_c <= 'Z') hi_c = (char)(hi_c - 'A' + 'a');
         for (int b = 0; b < N_BIGRAMS; b++) {
             if (BIGRAMS[b][0] == lo_c && BIGRAMS[b][1] == hi_c) {
-                double clo = occupancy_lo(i, n), chi = occupancy_hi(i + 1, n) ;
                 /* span of the bigram = [i/n, (i+2)/n] */
-                chi = (double)(i + 2) / (double)n;
+                float clo = occupancy_lo(i, n);
+                float chi = (float)(i + 2) / (float)n;
                 for (int r = 0; r < 2; r++) {
                     if (in_region(clo, chi, r, 2))
                         out[base + r * N_BIGRAMS + b] = 1.0f;

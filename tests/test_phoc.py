@@ -41,3 +41,23 @@ def test_phoc_semantics():
 
 def test_case_insensitive():
     np.testing.assert_array_equal(build_phoc("Hello"), build_phoc("hello"))
+
+
+def test_matches_reference_vectors():
+    """Bit-identical to the reference CPython extension.
+
+    Fixture vectors were computed by compiling and running the reference
+    /root/reference/antmmf/utils/phoc/src/cphoc.c (same bigram table, same
+    single-precision overlap math) — regenerate with that extension if the
+    contract ever changes.
+    """
+    import os
+
+    fixture = os.path.join(os.path.dirname(__file__), "data",
+                           "phoc_ref_vectors.npz")
+    ref = np.load(fixture)
+    for word in ref.files:
+        np.testing.assert_array_equal(build_phoc(word), ref[word],
+                                      err_msg=word)
+        np.testing.assert_array_equal(_build_phoc_py(word), ref[word],
+                                      err_msg=word)

@@ -32,7 +32,9 @@ def test_loss_decreases(trained):
     trainer, _ = trained
     series = trainer.meter.meters.get("train/total_loss")
     assert series is not None and series.count >= 2
-    assert np.isfinite(series.get_latest())
+    first, last = series.deque[0], series.get_latest()
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
 def test_checkpoints_written(trained):
