@@ -1,0 +1,241 @@
+"""UniVL retrieval — reference-architecture mode (bit-parity with the torch model).
+
+This variant mirrors the reference ``UnivlForVideoTextRetrieval`` exactly so
+torch checkpoints can be imported and MSR-VTT rankings validated 1:1:
+
+  * towers (``univl_video_base.py:56-166``): BERT text tower with HF pooler →
+    L2-normalized pooled; PVT-v2 grid encoder + 1×1 output proj
+    (``visual_encoder.py:402-444`` DetrBatchPVT) → masked mean over
+    frames×spatial per clip (:91-97) → img_fc 2-layer MLP (:111-114) →
+    L2-normalized clip feature;
+  * L1 similarity (``univl_video_ret.py:199-226,345-355``): text·clipᵀ per
+    clip, logsumexp over clips — no temperature;
+  * L2 cross-encoder (``univl_video_base.py:168-271``): caption ids through the
+    *shared* BERT embeddings (type 0), clip tokens + SEP word-embedding through
+    the same embeddings (type 1), concatenated through the shared BERT layers,
+    separate cross_pooler, similarity_dense MLP scoring each pair
+    (``univl_video_ret.py:33-89``);
+  * MIL-NCE loss in the reference's exact form (``univl_video_ret.py:146-197``).
+
+The TPU-native deltas are purely structural: frames fold into the batch dim for
+the PVT pass (one compiled program instead of a per-frame python loop), and the
+pair grid is one batched cross pass instead of chunked CPU offload — the math
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from antmmf_tpu.common.registry import registry
+from antmmf_tpu.models.base_model import BaseModel
+from antmmf_tpu.modules.encoders.text_encoder import BertEncoder
+from antmmf_tpu.modules.vision.pvt import PVTv2
+
+Dtype = Any
+
+SEP_TOKEN_ID = 102
+
+
+def _l2norm_torch(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize(p=2, dim=-1) semantics: x / max(||x||, eps)."""
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def reference_mil_nce(sim: jnp.ndarray, batch_size: int, n_pair: int = 1,
+                      weight_vector: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The reference ``get_mil_nce_loss`` (univl_video_ret.py:146-197) verbatim:
+    rows are (video then text) negatives concatenated, positives kron-eye."""
+    sim = sim.astype(jnp.float32)
+    eye = jnp.eye(batch_size, dtype=jnp.float32)
+    mm_mask = jnp.kron(eye, jnp.ones((n_pair, n_pair), jnp.float32))
+    from_text = sim + mm_mask * -1e12
+    from_video = sim.T
+    new_sim = jnp.concatenate([from_video, from_text], axis=-1)
+    logpt = jax.nn.log_softmax(new_sim, axis=-1)
+    mask_cat = jnp.concatenate([mm_mask, jnp.zeros_like(mm_mask)], axis=-1)
+    masked = logpt + (1.0 - mask_cat) * -1e12
+    new_logpt = -jax.nn.logsumexp(masked, axis=-1)
+    mark = jnp.arange(batch_size) * n_pair + (n_pair // 2)
+    picked = new_logpt[mark]
+    if weight_vector is not None:
+        picked = picked * weight_vector
+    return picked.mean()
+
+
+@registry.register_model("univl_ref_retrieval")
+class UnivlRefRetrieval(BaseModel):
+    """Reference-parity UniVL video-text retrieval (see module docstring)."""
+
+    # text tower (BERT)
+    bert_num_layers: int = 12
+    bert_num_heads: int = 12
+    hidden_size: int = 768
+    vocab_size: int = 30522
+    # visual tower
+    pvt_preset: str = "pvt_v2_b0"
+    n_clips: int = 1
+    # stages
+    training_stage: str = "stage1+stage2"
+    dtype_str: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_str)
+
+    def setup(self) -> None:
+        self.text_encoder = BertEncoder(
+            vocab_size=self.vocab_size, hidden_size=self.hidden_size,
+            num_layers=self.bert_num_layers, num_heads=self.bert_num_heads,
+            mlp_ratio=4.0, dropout=0.0, dtype=self.dtype,
+        )
+        self.img_encoder = PVTv2(preset=self.pvt_preset, dtype=self.dtype)
+        self.output_proj = nn.Conv(self.hidden_size, (1, 1), dtype=self.dtype,
+                                   param_dtype=jnp.float32, name="output_proj")
+        # img_fc: Linear → ReLU → Linear at hidden size (univl_video_base.py:38-46)
+        self.img_fc_0 = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="img_fc_0")
+        self.img_fc_1 = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="img_fc_1")
+        if "stage2" in self.training_stage:
+            self.cross_pooler = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                         param_dtype=jnp.float32,
+                                         name="cross_pooler")
+            self.similarity_dense_0 = nn.Dense(
+                self.hidden_size * 2, dtype=self.dtype,
+                param_dtype=jnp.float32, name="similarity_dense_0")
+            self.similarity_dense_1 = nn.Dense(
+                1, dtype=self.dtype, param_dtype=jnp.float32,
+                name="similarity_dense_1")
+
+    # -------------------------------------------------------------- towers
+    def forward_img_encoder(self, image_data: jnp.ndarray,
+                            image_pad_mask: Optional[jnp.ndarray] = None,
+                            deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """image_data float[B, N, H, W, 3] (N = n_clips × n_frames, NHWC)."""
+        B, N = image_data.shape[:2]
+        flat = image_data.reshape((B * N,) + image_data.shape[2:])
+        grid = self.img_encoder(flat, deterministic=deterministic)["grid"]
+        grid = self.output_proj(grid)  # [B*N, h, w, hidden]
+        h, w, C = grid.shape[1:]
+        grid = grid.reshape(B, N, h, w, C)
+
+        if image_pad_mask is not None:
+            m = jax.image.resize(image_pad_mask.astype(jnp.float32),
+                                 (B, N, h, w), method="nearest") > 0.5
+        else:
+            m = jnp.zeros((B, N, h, w), bool)
+
+        n_clips = self.n_clips
+        n_frames = N // n_clips
+        # masked mean over frames × spatial per clip (univl_video_base.py:91-97)
+        g = grid.reshape(B * n_clips, n_frames * h * w, C).astype(jnp.float32)
+        valid = (~m).reshape(B * n_clips, n_frames * h * w, 1).astype(jnp.float32)
+        clip_feature = (g * valid).sum(1) / jnp.maximum(valid.sum(1), 1.0)
+        clip_tokens = clip_feature.reshape(B, n_clips, C)  # pre-img_fc (for L2)
+
+        fc = self.img_fc_1(nn.relu(self.img_fc_0(clip_feature.astype(self.dtype))))
+        clip_feature = _l2norm_torch(fc)  # [B*n_clips, hidden] (for L1)
+        return {"clip_tokens": clip_tokens, "clip_feature": clip_feature,
+                "grid_mask": m}
+
+    def forward_text_encoder(self, input_ids, input_mask,
+                             deterministic: bool = True):
+        out = self.text_encoder(input_ids, input_mask,
+                                jnp.zeros_like(input_ids),
+                                deterministic=deterministic)
+        return {"sequence_output": out["sequence_output"],
+                "pooled_output": _l2norm_torch(out["pooled_output"])}
+
+    # ------------------------------------------------------ cross encoder (L2)
+    def _cross_embed_text(self, input_ids, deterministic: bool = True):
+        return self.text_encoder.embeddings(
+            input_ids, jnp.zeros_like(input_ids), deterministic=deterministic)
+
+    def _cross_embed_visual(self, clip_tokens, deterministic: bool = True):
+        B, nc, C = clip_tokens.shape
+        sep_ids = jnp.full((B, 1), SEP_TOKEN_ID, jnp.int32)
+        sep = self.text_encoder.embeddings(sep_ids, word_only=True)
+        vis_in = jnp.concatenate([clip_tokens.astype(sep.dtype), sep], axis=1)
+        type_ids = jnp.ones((B, nc + 1), jnp.int32)
+        embedded = self.text_encoder.embeddings(
+            None, type_ids, inputs_embeds=vis_in, deterministic=deterministic)
+        mask = jnp.ones((B, nc + 1), jnp.int32)
+        return embedded, mask
+
+    def _cross_scores(self, cap_embed, cap_mask, vis_embed, vis_mask,
+                      deterministic: bool = True) -> jnp.ndarray:
+        """One batched pass of the pair splice → similarity_dense score [P]."""
+        x = jnp.concatenate([cap_embed, vis_embed], axis=1)
+        mask = jnp.concatenate([cap_mask, vis_mask], axis=1)
+        bias = ((1.0 - mask.astype(jnp.float32)) * -10000.0)[:, None, None, :]
+        seq = self.text_encoder.encoder(x, bias=bias,
+                                        deterministic=deterministic)
+        pooled = jnp.tanh(self.cross_pooler(seq[:, 0]))
+        h = nn.relu(self.similarity_dense_0(pooled))
+        return self.similarity_dense_1(h).astype(jnp.float32)[..., 0]
+
+    def cross_similarity_grid(self, cap_embed, cap_mask, vis_embed, vis_mask,
+                              deterministic: bool = True) -> jnp.ndarray:
+        """All Bt×Bv pairs (the reference's chunked _cross_similarity,
+        univl_video_ret.py:33-89, as one folded batch)."""
+        Bt, Bv = cap_embed.shape[0], vis_embed.shape[0]
+        t = jnp.repeat(cap_embed, Bv, axis=0)
+        tm = jnp.repeat(cap_mask, Bv, axis=0)
+        v = jnp.tile(vis_embed, (Bt, 1, 1))
+        vm = jnp.tile(vis_mask, (Bt, 1))
+        return self._cross_scores(t, tm, v, vm, deterministic).reshape(Bt, Bv)
+
+    # ------------------------------------------------------------------ forward
+    def __call__(self, batch: Mapping[str, Any],
+                 deterministic: bool = True) -> Dict[str, Any]:
+        raw_ids = batch.get("caption_raw_input_ids", batch["caption_input_ids"])
+        text = self.forward_text_encoder(
+            raw_ids, batch["caption_input_mask"], deterministic)
+        video = self.forward_img_encoder(
+            batch["image_data"], batch.get("image_pad_mask"), deterministic)
+
+        text_l1 = text["pooled_output"]      # [Bt, C]
+        video_l1 = video["clip_feature"]     # [Bv*nc, C]
+        Bt = text_l1.shape[0]
+        nc = self.n_clips
+        Bv = video_l1.shape[0] // nc
+
+        # [Bt, Bv, nc] clip-level sims → logsumexp (univl_video_ret.py:199-226)
+        sims = jnp.einsum("vcd,td->tvc",
+                          video_l1.reshape(Bv, nc, -1).astype(jnp.float32),
+                          text_l1.astype(jnp.float32))
+        l1_simi = jax.nn.logsumexp(sims, axis=-1)
+
+        output: Dict[str, Any] = {
+            "l1_simi": l1_simi, "sim": l1_simi, "logits": l1_simi,
+            "text_embed": text_l1,
+            "visual_embed": video_l1.reshape(Bv, nc, -1).mean(axis=1),
+        }
+        losses: Dict[str, jnp.ndarray] = {}
+        if Bt == Bv:
+            # reference reshape (univl_video_ret.py:373-379): [Bt, Bv, nc] →
+            # unsqueeze(1).repeat(nc).view(Bt*nc, Bv*nc) — replicated rows,
+            # clip-interleaved columns
+            mil = jnp.reshape(
+                jnp.tile(sims[:, None], (1, nc, 1, 1)), (Bt * nc, Bv * nc))
+            losses["level1_similarity_loss"] = reference_mil_nce(mil, Bt, nc)
+
+        if "stage2" in self.training_stage:
+            cap_embed = self._cross_embed_text(batch["caption_input_ids"],
+                                               deterministic)
+            cap_mask = batch["caption_input_mask"]
+            vis_embed, vis_mask = self._cross_embed_visual(
+                video["clip_tokens"], deterministic)
+            l2_simi = self.cross_similarity_grid(
+                cap_embed, cap_mask, vis_embed, vis_mask, deterministic)
+            output["l2_simi"] = l2_simi
+            if Bt == Bv:
+                losses["level2_similarity_loss"] = reference_mil_nce(
+                    l2_simi, Bt, 1)
+        return {**output, "losses": losses}

@@ -34,14 +34,27 @@ class TextEmbeddings(nn.Module):
     @nn.compact
     def __call__(
         self,
-        input_ids: jnp.ndarray,  # int[B, L]
+        input_ids: Optional[jnp.ndarray] = None,  # int[B, L]
         segment_ids: Optional[jnp.ndarray] = None,
         position_ids: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        inputs_embeds: Optional[jnp.ndarray] = None,  # float[B, L, C]
+        word_only: bool = False,
     ) -> jnp.ndarray:
-        B, L = input_ids.shape
+        """Pass ``inputs_embeds`` to skip the word lookup — the HF
+        inputs_embeds path the reference's cross-encoder splice relies on
+        (univl_video_base.py:198-200: visual tokens through BERT embeddings).
+        ``word_only=True`` returns the raw word-table rows for ``input_ids``
+        (no position/type/LN — the SEP-token splice lookup,
+        univl_video_base.py:186-189)."""
+        if inputs_embeds is not None:
+            B, L = inputs_embeds.shape[:2]
+        else:
+            B, L = input_ids.shape
         word = nn.Embed(self.vocab_size, self.hidden_size, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="word_embeddings")
+        if word_only:
+            return word(input_ids)
         pos = nn.Embed(self.max_position_embeddings, self.hidden_size,
                        dtype=self.dtype, param_dtype=self.param_dtype,
                        name="position_embeddings")
@@ -50,8 +63,10 @@ class TextEmbeddings(nn.Module):
         if position_ids is None:
             position_ids = jnp.arange(L)[None, :]
         if segment_ids is None:
-            segment_ids = jnp.zeros_like(input_ids)
-        x = word(input_ids) + pos(position_ids) + typ(segment_ids)
+            segment_ids = jnp.zeros((B, L), jnp.int32)
+        base = (word(input_ids) if inputs_embeds is None
+                else inputs_embeds.astype(self.dtype))
+        x = base + pos(position_ids) + typ(segment_ids)
         x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="layer_norm")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

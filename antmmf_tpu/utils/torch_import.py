@@ -185,3 +185,95 @@ def clip_vit_state_dict_to_params(
     if "proj" in sd:
         _set(p, "proj/kernel", np.asarray(sd["proj"]))
     return p
+
+
+def pvt_v2_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], preset: str = "pvt_v2_b0",
+) -> Dict[str, Any]:
+    """Reference PVT-v2 state_dict (antmmf pvt.py:119-266) → our PVTv2 tree."""
+    from antmmf_tpu.modules.vision.pvt import V2_PRESETS
+
+    depths = V2_PRESETS[preset]["depths"]
+    p: Dict[str, Any] = {}
+    ln = "LayerNorm_0"
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    def TC(v):  # conv [out, in, kh, kw] → [kh, kw, in, out]
+        return np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0)))
+
+    for si, depth in enumerate(depths):
+        t = si + 1  # torch stages are 1-indexed
+        _set(p, f"patch_embed{si}/kernel", TC(sd[f"patch_embed{t}.proj.weight"]))
+        _set(p, f"patch_embed{si}/bias", sd[f"patch_embed{t}.proj.bias"])
+        _set(p, f"embed_norm{si}/{ln}/scale", sd[f"patch_embed{t}.norm.weight"])
+        _set(p, f"embed_norm{si}/{ln}/bias", sd[f"patch_embed{t}.norm.bias"])
+        for bi in range(depth):
+            src = f"block{t}.{bi}"
+            dst = f"stage{si}_block{bi}"
+            _set(p, f"{dst}/norm1/{ln}/scale", sd[f"{src}.norm1.weight"])
+            _set(p, f"{dst}/norm1/{ln}/bias", sd[f"{src}.norm1.bias"])
+            _set(p, f"{dst}/norm2/{ln}/scale", sd[f"{src}.norm2.weight"])
+            _set(p, f"{dst}/norm2/{ln}/bias", sd[f"{src}.norm2.bias"])
+            att = f"{dst}/attention"
+            _set(p, f"{att}/q/kernel", T(sd[f"{src}.attn.q.weight"]))
+            _set(p, f"{att}/q/bias", sd[f"{src}.attn.q.bias"])
+            _set(p, f"{att}/kv/kernel", T(sd[f"{src}.attn.kv.weight"]))
+            _set(p, f"{att}/kv/bias", sd[f"{src}.attn.kv.bias"])
+            _set(p, f"{att}/proj/kernel", T(sd[f"{src}.attn.proj.weight"]))
+            _set(p, f"{att}/proj/bias", sd[f"{src}.attn.proj.bias"])
+            if f"{src}.attn.sr.weight" in sd:
+                _set(p, f"{att}/sr/kernel", TC(sd[f"{src}.attn.sr.weight"]))
+                _set(p, f"{att}/sr/bias", sd[f"{src}.attn.sr.bias"])
+                _set(p, f"{att}/sr_norm/{ln}/scale", sd[f"{src}.attn.norm.weight"])
+                _set(p, f"{att}/sr_norm/{ln}/bias", sd[f"{src}.attn.norm.bias"])
+            mlp = f"{dst}/mlp"
+            _set(p, f"{mlp}/fc1/kernel", T(sd[f"{src}.mlp.fc1.weight"]))
+            _set(p, f"{mlp}/fc1/bias", sd[f"{src}.mlp.fc1.bias"])
+            _set(p, f"{mlp}/fc2/kernel", T(sd[f"{src}.mlp.fc2.weight"]))
+            _set(p, f"{mlp}/fc2/bias", sd[f"{src}.mlp.fc2.bias"])
+            _set(p, f"{mlp}/dwconv/kernel",
+                 TC(sd[f"{src}.mlp.dwconv.dwconv.weight"]))
+            _set(p, f"{mlp}/dwconv/bias", sd[f"{src}.mlp.dwconv.dwconv.bias"])
+        _set(p, f"stage_norm{si}/{ln}/scale", sd[f"norm{t}.weight"])
+        _set(p, f"stage_norm{si}/{ln}/bias", sd[f"norm{t}.bias"])
+    return p
+
+
+def univl_ref_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], bert_layers: int,
+    pvt_preset: str = "pvt_v2_b0",
+) -> Dict[str, Any]:
+    """Reference ``UnivlForVideoTextRetrieval`` state_dict → our
+    ``UnivlRefRetrieval`` param tree (models/univl_ref.py)."""
+
+    def sub(prefix: str) -> Dict[str, np.ndarray]:
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    p: Dict[str, Any] = {}
+    p["text_encoder"] = bert_state_dict_to_params(
+        sub("module.text_encoder.module."), bert_layers)
+    p["img_encoder"] = pvt_v2_state_dict_to_params(
+        sub("module.img_encoder.model."), pvt_preset)
+    conv = sd["module.img_encoder.output_proj.weight"]  # [out, in, 1, 1]
+    _set(p, "output_proj/kernel",
+         np.ascontiguousarray(np.transpose(conv, (2, 3, 1, 0))))
+    _set(p, "output_proj/bias", sd["module.img_encoder.output_proj.bias"])
+    _set(p, "img_fc_0/kernel", T(sd["module.img_encoder.img_fc.0.weight"]))
+    _set(p, "img_fc_0/bias", sd["module.img_encoder.img_fc.0.bias"])
+    _set(p, "img_fc_1/kernel", T(sd["module.img_encoder.img_fc.2.weight"]))
+    _set(p, "img_fc_1/bias", sd["module.img_encoder.img_fc.2.bias"])
+    if "module.cross_pooler.dense.weight" in sd:
+        _set(p, "cross_pooler/kernel", T(sd["module.cross_pooler.dense.weight"]))
+        _set(p, "cross_pooler/bias", sd["module.cross_pooler.dense.bias"])
+    if "similarity_dense.0.weight" in sd:
+        _set(p, "similarity_dense_0/kernel", T(sd["similarity_dense.0.weight"]))
+        _set(p, "similarity_dense_0/bias", sd["similarity_dense.0.bias"])
+        _set(p, "similarity_dense_1/kernel", T(sd["similarity_dense.2.weight"]))
+        _set(p, "similarity_dense_1/bias", sd["similarity_dense.2.bias"])
+    return p
