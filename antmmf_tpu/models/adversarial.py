@@ -147,6 +147,81 @@ class FreeLB(BaseAdversarial):
         return loss, grads, scalars
 
 
+@registry.register_adversarial("mm_hotflip")
+class MMHotFlip(BaseAdversarial):
+    """HotFlip discrete token attack (reference mm_adversarial.py:283).
+
+    The reference flips the input token whose embedding-gradient L2 norm is
+    largest, replacing it with the vocabulary entry that maximises the
+    first-order loss change, one position per step, never re-flipping a
+    position. Used by the ``adversarial_*_generate`` run types to rewrite
+    dataset annotations.
+
+    TPU-native form: a pure jittable function over the batch. The caller
+    supplies ``embed_loss_fn(inputs_embeds) -> scalar`` (any model whose text
+    embeddings accept ``inputs_embeds`` — see TextEmbeddings — can build one)
+    and the word-embedding ``table`` [V, C].
+    """
+
+    def __init__(self, params: Optional[Mapping[str, Any]] = None):
+        super().__init__(params)
+        p = dict(params or {})
+        # +1 = untargeted (increase loss / move away from target), the
+        # reference's away_from_target default
+        self.sign = 1.0 if p.get("away_from_target", True) else -1.0
+
+    def attack(
+        self,
+        embed_loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+        table: jnp.ndarray,   # [V, C]
+        input_ids: jnp.ndarray,  # int[B, L]
+        input_mask: Optional[jnp.ndarray] = None,  # int[B, L] 1 = real token
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Returns (flipped_ids, info). ``self.steps`` positions are flipped."""
+        B, L = input_ids.shape
+        if input_mask is None:
+            input_mask = jnp.ones_like(input_ids)
+        neg_inf = jnp.finfo(jnp.float32).min
+        flipped = jnp.zeros((B, L), bool)
+        ids = input_ids
+        rows = jnp.arange(B)
+        last_loss = jnp.asarray(0.0, jnp.float32)
+
+        for _ in range(self.steps):  # small static int — unrolls under jit
+            embeds = jnp.take(table, ids, axis=0)
+            loss, g = jax.value_and_grad(
+                lambda e: embed_loss_fn(e).astype(jnp.float32))(embeds)
+            last_loss = loss
+            g = g.astype(jnp.float32)
+            norms = jnp.sum(g * g, axis=-1)  # [B, L]
+            norms = jnp.where((input_mask > 0) & ~flipped, norms, neg_inf)
+            pos = jnp.argmax(norms, axis=-1)  # [B]
+            g_pos = g[rows, pos]  # [B, C]
+            old = ids[rows, pos]  # [B]
+            # first-order flip score: sign · g·(E[v] − E[old])
+            scores = self.sign * (
+                g_pos @ table.astype(jnp.float32).T
+                - jnp.sum(g_pos * jnp.take(table, old, axis=0)
+                          .astype(jnp.float32), -1, keepdims=True))
+            scores = scores.at[rows, old].set(neg_inf)
+            new_tok = jnp.argmax(scores, axis=-1).astype(ids.dtype)
+            # rows whose every position is already flipped give up (norms all
+            # -inf → keep the old token)
+            can_flip = norms[rows, pos] > neg_inf / 2
+            new_tok = jnp.where(can_flip, new_tok, old)
+            ids = ids.at[rows, pos].set(new_tok)
+            flipped = flipped.at[rows, pos].set(
+                flipped[rows, pos] | can_flip)
+        return ids, {"adv_loss": last_loss,
+                     "n_flipped": flipped.sum().astype(jnp.int32)}
+
+    def grads(self, loss_fn, params):
+        raise NotImplementedError(
+            "mm_hotflip is a discrete input attack for adversarial data "
+            "generation — use .attack(embed_loss_fn, table, ids, mask); it "
+            "does not produce training gradients")
+
+
 @registry.register_adversarial("ema")
 class EMA:
     """Exponential moving average of parameters (nlp_adversarial.py:128) —

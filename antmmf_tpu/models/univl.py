@@ -242,6 +242,11 @@ class UnivlForVideoTextRetrieval(BaseModel):
     n_clips: int = 1
     with_cross_encoder: bool = False
     cross_layers: int = 2
+    # in-step hard-negative mining for the L2 cross-encoder: each text row
+    # cross-encodes only its positive + (k-1) hardest L1 negatives — B·k pairs
+    # instead of the B² grid (reference _cross_similarity_hard_mining,
+    # univl_video_ret.py:91-144, re_sample_method=top_k). 0 = full grid.
+    hard_mining_k: int = 0
     dropout: float = 0.0
     loss_type: str = "cross_en"  # cross_en | mil_nce | neg_nce
     neg_nce_margin: float = 0.0
@@ -363,9 +368,6 @@ class UnivlForVideoTextRetrieval(BaseModel):
             losses["level1_similarity_loss"] = symmetric_cross_en(sim)
 
         if self.with_cross_encoder:
-            # L2: the full B×B pair grid through the cross encoder (folded into
-            # the batch dim — the reference's _cross_similarity, chunked there
-            # on CPU, univl_video_ret.py:33), scored by the trained sim head.
             B = text["sequence_output"].shape[0]
             vis_tokens = video["visual_tokens"]  # [B, F, Lv, C]
             F_, Lv = vis_tokens.shape[1], vis_tokens.shape[2]
@@ -374,15 +376,43 @@ class UnivlForVideoTextRetrieval(BaseModel):
                 "video_mask", jnp.ones((B, F_), jnp.int32)), Lv, axis=1)
             text_seq = text["sequence_output"]
             text_mask = batch["caption_input_mask"]
-            t_rep = jnp.repeat(text_seq, B, axis=0)      # pair (i, j) = i*B+j
-            tm_rep = jnp.repeat(text_mask, B, axis=0)
-            v_til = jnp.tile(vis_seq, (B, 1, 1))
-            vm_til = jnp.tile(vis_mask, (B, 1))
-            l2 = self.base.cross_pair_scores(
-                t_rep, tm_rep, v_til, vm_til,
-                deterministic=deterministic).reshape(B, B)
-            output["l2_simi"] = l2
+            k = min(self.hard_mining_k, B) if self.hard_mining_k > 0 else 0
+            if not deterministic and k > 1:
+                # L2 training with hard-negative mining: pair row i with its
+                # positive + (k-1) hardest L1 negatives (stop-gradient sims).
+                neg_inf = jnp.finfo(jnp.float32).min
+                ranking = jax.lax.stop_gradient(sim)
+                masked = ranking + jnp.eye(B) * neg_inf  # exclude the positive
+                _, hard_idx = jax.lax.top_k(masked, k - 1)  # [B, k-1]
+                cols = jnp.concatenate(
+                    [jnp.arange(B)[:, None], hard_idx], axis=1)  # [B, k]
+                t_rep = jnp.repeat(text_seq, k, axis=0)
+                tm_rep = jnp.repeat(text_mask, k, axis=0)
+                flat = cols.reshape(-1)
+                v_sel = jnp.take(vis_seq, flat, axis=0)
+                vm_sel = jnp.take(vis_mask, flat, axis=0)
+                scores = self.base.cross_pair_scores(
+                    t_rep, tm_rep, v_sel, vm_sel,
+                    deterministic=deterministic).reshape(B, k)
+                # positive sits in column 0 of each mined row
+                logp = jax.nn.log_softmax(scores, axis=-1)
+                losses["level2_similarity_loss"] = -jnp.mean(logp[:, 0])
+                output["l2_pair_scores"] = scores
+                output["l2_pair_cols"] = cols
+            else:
+                # full B×B pair grid through the cross encoder (folded into
+                # the batch dim — the reference's _cross_similarity, chunked
+                # there on CPU, univl_video_ret.py:33). Used for eval and as
+                # the training fallback when mining is off.
+                t_rep = jnp.repeat(text_seq, B, axis=0)  # pair (i, j) = i*B+j
+                tm_rep = jnp.repeat(text_mask, B, axis=0)
+                v_til = jnp.tile(vis_seq, (B, 1, 1))
+                vm_til = jnp.tile(vis_mask, (B, 1))
+                l2 = self.base.cross_pair_scores(
+                    t_rep, tm_rep, v_til, vm_til,
+                    deterministic=deterministic).reshape(B, B)
+                output["l2_simi"] = l2
+                losses["level2_similarity_loss"] = symmetric_cross_en(l2)
             output["text_seq"] = text_seq
             output["visual_tokens"] = vis_tokens
-            losses["level2_similarity_loss"] = symmetric_cross_en(l2)
         return {**output, "losses": losses}

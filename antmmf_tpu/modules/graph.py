@@ -171,6 +171,12 @@ class CompGCNModel(nn.Module):
         edge_index = batch["edge_index"]
         edge_type = batch["edge_type"]
         edge_mask = batch.get("edge_mask")
+        if edge_index.ndim == 3:
+            # batched samples share one static graph (GraphLinkPredictionDataset
+            # stacks identical copies) — use the first
+            edge_index = edge_index[0]
+            edge_type = edge_type[0]
+            edge_mask = edge_mask[0] if edge_mask is not None else None
         for i in range(self.num_layers):
             x, rel = CompGCNConv(out_dim=self.embed_dim,
                                  composition=self.composition,

@@ -220,11 +220,22 @@ EVALUATORS = {
 }
 
 
+def _register_detection() -> None:
+    # late import: detection.py imports BaseEvaluator from this module
+    from antmmf_tpu.modules.metrics.detection import DetectionEvaluator
+
+    EVALUATORS["detection"] = DetectionEvaluator
+    EVALUATORS["bbox_ap"] = DetectionEvaluator
+
+
 def build_evaluator(config: Optional[Mapping[str, Any]]) -> Optional[BaseEvaluator]:
     if not config:
         return None
     if isinstance(config, str):
         config = {"type": config}
+    if config["type"] in ("detection", "bbox_ap") and \
+            "detection" not in EVALUATORS:
+        _register_detection()
     cls = EVALUATORS.get(config["type"])
     if cls is None:
         raise KeyError(f"Unknown evaluator {config['type']!r}; known: {sorted(EVALUATORS)}")

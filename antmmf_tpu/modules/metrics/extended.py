@@ -1,10 +1,10 @@
 """Extended metric battery — completes the reference's ~40-metric registry.
 
 Reference parity (SURVEY.md §2.1, ``/root/reference/antmmf/modules/metrics/``):
-f1 family, roc_auc, recall@k family, mean_r / mean_rr, bleu4, bbox_ap, SpanF1,
-global_retrieval_recall (in evaluators.py). Batch-plane implementations are
-jittable; corpus-level ones (roc_auc, map) are numpy host metrics usable in the
-evaluator plane too.
+f1 family, roc_auc, recall@k family, mean_r / mean_rr, bleu4, SpanF1;
+global_retrieval_recall lives in evaluators.py and the COCO-protocol ``bbox_ap``
+in detection.py. Batch-plane implementations are jittable; corpus-level ones
+(roc_auc, detection mAP) are numpy host metrics usable in the evaluator plane.
 """
 
 from __future__ import annotations

@@ -1,0 +1,177 @@
+"""Round-2 components: graph DB (+comp_gcn end-to-end), bbox_ap, MMHotFlip,
+MRC head — the four absent components named in round 1."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------------------------------------------------------ graph DB
+def test_graph_database_loads_triples():
+    from antmmf_tpu.datasets.database.graph_database import GraphDatabase
+
+    db = GraphDatabase(os.path.join(DATA, "graph", "triples_train.jsonl"))
+    assert len(db) == 48
+    assert db.num_entities <= 20 and db.num_relations == 3
+    s = db[0]
+    assert s["edge_index"].shape[0] == 2
+    assert s["edge_mask"].sum() == 48
+    assert 0 <= int(s["targets"]) < db.num_entities
+
+
+def test_graph_database_subgraph_static_shapes():
+    from antmmf_tpu.datasets.database.graph_database import GraphDatabase
+
+    db = GraphDatabase(os.path.join(DATA, "graph", "triples_train.jsonl"))
+    sg = db.sample_subgraph(0, hops=2, max_nodes=16, max_edges=32)
+    assert sg["node_ids"].shape == (16,) and sg["edge_index"].shape == (2, 32)
+    assert sg["node_mask"][0] and int(sg["node_ids"][0]) == 0
+    # local edge endpoints must index valid nodes
+    n_valid = int(sg["node_mask"].sum())
+    used = sg["edge_index"][:, sg["edge_mask"]]
+    assert used.size == 0 or used.max() < n_valid
+
+
+def test_comp_gcn_trains_from_graph_db_end_to_end(tmp_path):
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.trainers.build import build_trainer
+
+    cfg = build_config(
+        os.path.join(ROOT, "projects", "graph", "configs",
+                     "kg_link_prediction.local.yml"),
+        opts=["training_parameters.save_dir", str(tmp_path),
+              "training_parameters.seed", "3"])
+    trainer = build_trainer(cfg)
+    trainer.load()
+    trainer.train()
+    series = trainer.meter.meters.get("train/total_loss")
+    assert series is not None and np.isfinite(series.get_latest())
+    assert series.get_latest() < series.deque[0]  # overfits the 48 triples
+
+
+# ------------------------------------------------------------------- bbox_ap
+def test_bbox_ap_perfect_predictions():
+    from antmmf_tpu.modules.metrics.detection import DetectionEvaluator
+
+    ev = DetectionEvaluator()
+    gt = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)
+    det = np.concatenate([gt, [[0.9], [0.8]] * np.ones((2, 1), np.float32),
+                          [[1], [2]]], axis=1)
+    ev.collect({"image_id": [0],
+                "gt_boxes": [gt], "gt_classes": [np.array([1, 2])]},
+               {"bbox_output": [det]})
+    m = ev.summarize()
+    assert m["map"] == pytest.approx(1.0, abs=1e-6)
+    assert m["map@0.5"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bbox_ap_half_wrong():
+    from antmmf_tpu.modules.metrics.detection import DetectionEvaluator
+
+    ev = DetectionEvaluator()
+    gt = np.array([[10, 10, 50, 50]], np.float32)
+    det = np.array([[100, 100, 140, 140, 0.9, 1],   # miss
+                    [10, 10, 50, 50, 0.8, 1]],      # hit (lower score)
+                   np.float32)
+    ev.collect({"image_id": [0], "gt_boxes": [gt],
+                "gt_classes": [np.array([1])]},
+               {"bbox_output": [det]})
+    m = ev.summarize()
+    # precision at the hit is 1/2, AP ≈ 0.5 (101-pt interp)
+    assert 0.4 < m["map@0.5"] < 0.6
+
+
+def test_bbox_ap_registered_and_iou_localization():
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.modules.metrics.detection import DetectionEvaluator
+
+    assert registry.get_metric_class("bbox_ap") is not None
+    ev = DetectionEvaluator()
+    gt = np.array([[0, 0, 100, 100]], np.float32)
+    # IoU = 0.68: counts at 0.5/0.65 but not at 0.70+
+    det = np.array([[0, 0, 100, 68, 0.9, 1]], np.float32)
+    ev.collect({"image_id": [0], "gt_boxes": [gt],
+                "gt_classes": [np.array([1])]},
+               {"bbox_output": [det]})
+    m = ev.summarize()
+    assert m["map@0.5"] == pytest.approx(1.0, abs=1e-6)
+    assert m["map@0.75"] == pytest.approx(0.0, abs=1e-6)
+    assert 0.0 < m["map"] < 1.0
+
+
+# ----------------------------------------------------------------- MMHotFlip
+def test_mm_hotflip_flips_hardest_tokens():
+    from antmmf_tpu.models.adversarial import MMHotFlip
+
+    V, C, B, L = 50, 8, 2, 6
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((V, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, (B, L)))
+    target = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+
+    def embed_loss(e):
+        # loss grows when embeddings align with `target`
+        return jnp.mean(e @ target)
+
+    atk = MMHotFlip({"steps": 3})
+    flipped, info = atk.attack(embed_loss, table, ids, jnp.ones((B, L)))
+    assert flipped.shape == ids.shape
+    assert int(info["n_flipped"]) == B * 3
+    n_changed = int((np.asarray(flipped) != np.asarray(ids)).sum())
+    assert n_changed == B * 3  # each step flips a fresh position
+    # attack increases the loss
+    before = float(embed_loss(jnp.take(table, ids, axis=0)))
+    after = float(embed_loss(jnp.take(table, flipped, axis=0)))
+    assert after > before
+
+
+def test_mm_hotflip_respects_mask_and_registry():
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.models.adversarial import MMHotFlip
+
+    assert registry.get_adversarial_class("mm_hotflip") is MMHotFlip
+    V, C, B, L = 20, 4, 1, 5
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.standard_normal((V, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, V, (B, L)))
+    mask = jnp.asarray([[1, 1, 0, 0, 0]])
+
+    atk = MMHotFlip({"steps": 4})
+    flipped, info = atk.attack(
+        lambda e: jnp.sum(e ** 2), table, ids, mask)
+    changed = np.asarray(flipped) != np.asarray(ids)
+    assert not changed[0, 2:].any()  # padding never flipped
+    assert int(info["n_flipped"]) == 2  # gives up after real tokens exhausted
+
+
+# ------------------------------------------------------------------ MRC head
+def test_mrc_head_loss_and_acc():
+    from antmmf_tpu.modules.transformers.heads.mrc import MRCHead
+
+    B, R, C, V = 2, 5, 16, 7
+    head = MRCHead(vocab_size=V, hidden_size=C, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    seq = jnp.asarray(rng.standard_normal((B, R, C)), jnp.float32)
+    variables = head.init(jax.random.PRNGKey(0), seq)
+    logits = head.apply(variables, seq)
+    assert logits.shape == (B, R, V)
+
+    dist = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, R, V)), jnp.float32), -1)
+    to_predict = jnp.asarray(rng.integers(0, 2, (B, R)))
+    out = head.apply(variables, logits, to_predict, dist,
+                     method=head.loss_metric)
+    loss = out["losses"]["masked_region_classification"]
+    assert np.isfinite(float(loss)) and float(loss) >= 0.0
+    assert 0.0 <= float(out["metrics"]["mrc_acc"]) <= 1.0
+    # perfect prediction → KL ≈ 0, acc = 1
+    out2 = head.apply(variables, jnp.log(dist), to_predict, dist,
+                      method=head.loss_metric)
+    assert float(out2["losses"]["masked_region_classification"]) < 1e-5
+    assert float(out2["metrics"]["mrc_acc"]) == pytest.approx(1.0)
