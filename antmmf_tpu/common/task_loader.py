@@ -77,6 +77,10 @@ class TaskLoader:
                             collate_fn=dataset.collate_fn,
                             num_workers=num_workers,
                             drop_last=(dataset_type == "train"),
+                            # eval: wrap-pad the final short batch so the
+                            # global batch stays divisible by the mesh data
+                            # axis (reference DistributedSampler padding)
+                            pad_last=(dataset_type != "train"),
                         )
                     self.loaders[dataset_type].append(loader)
 

@@ -29,6 +29,7 @@ class DataLoader:
         num_workers: int = 0,
         drop_last: bool = False,
         prefetch_batches: int = 2,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -38,6 +39,11 @@ class DataLoader:
         )
         self.num_workers = int(num_workers)
         self.drop_last = bool(drop_last)
+        # pad_last wrap-pads the final short batch to full batch_size (the
+        # reference DistributedSampler's pad behavior) so eval batches always
+        # satisfy the mesh data-axis divisibility; duplicated rows should be
+        # deduped by corpus evaluators via sample ids
+        self.pad_last = bool(pad_last)
         self.prefetch_batches = max(1, int(prefetch_batches))
 
     def __len__(self) -> int:
@@ -57,6 +63,9 @@ class DataLoader:
                 yield batch
                 batch = []
         if batch and not self.drop_last:
+            if self.pad_last and len(batch) < self.batch_size:
+                wrap = batch * (-(-self.batch_size // len(batch)))
+                batch = wrap[: self.batch_size]
             yield batch
 
     def _make_batch(self, idx_batch: list, pool: Optional[ThreadPoolExecutor]):

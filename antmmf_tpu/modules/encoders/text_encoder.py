@@ -28,6 +28,8 @@ PRESETS = {
     "bert_chinese_base": dict(num_layers=12, hidden_size=768, num_heads=12,
                               vocab_size=21128),
     "bert_tiny_test": dict(num_layers=2, hidden_size=64, num_heads=2, vocab_size=30522),
+    "bert_chinese_tiny_test": dict(num_layers=2, hidden_size=64, num_heads=2,
+                                   vocab_size=21128),
 }
 
 

@@ -51,3 +51,119 @@ def patchify(img: np.ndarray, patch: int) -> np.ndarray:
     x = img[: h * patch, : w * patch]
     x = x.reshape(h, patch, w, patch, -1).transpose(0, 2, 1, 3, 4)
     return x.reshape(h * w, -1)
+
+
+# ----------------------------------------------------------------------------
+# Augmentation library for the custom_transforms processor (reference
+# image_ops.py / dataset_utils.py function zoo). All functions take and return
+# float HWC arrays; randomized ones accept an optional numpy Generator.
+
+
+class ImageLongsideScaleAndPad:
+    """Scale the long side to ≤ max_size (optionally jittered), optional pad to
+    square — the transform named in the reference retrieval configs
+    (finetune_retrieval/base.yml)."""
+
+    def __init__(self, max_size: int = 448, random_scale: bool = False,
+                 pad: bool = False):
+        self.max_size = int(max_size)
+        self.random_scale = bool(random_scale)
+        self.pad = bool(pad)
+
+    def __call__(self, img: np.ndarray,
+                 rng: "np.random.Generator" = None) -> np.ndarray:
+        h, w = img.shape[:2]
+        target = self.max_size
+        if self.random_scale:
+            rng = rng or np.random.default_rng()
+            target = int(round(self.max_size * rng.uniform(0.8, 1.0)))
+        scale = target / max(h, w)
+        img = resize_image(img, (max(1, round(h * scale)),
+                                 max(1, round(w * scale))))
+        if self.pad:
+            img, _ = pad_to_shape(img, target, target)
+        return img
+
+
+class GroupNormalize:
+    """Channel-mean/std normalization (torchvision GroupNormalize analogue)."""
+
+    def __init__(self, mean: Sequence[float], std: Sequence[float]):
+        self.mean = np.asarray(mean, np.float32).reshape(1, 1, -1)
+        self.std = np.asarray(std, np.float32).reshape(1, 1, -1)
+
+    def __call__(self, img: np.ndarray, rng=None) -> np.ndarray:
+        return (img.astype(np.float32) - self.mean) / self.std
+
+
+def random_crop(img: np.ndarray, four_side_ratios: Sequence[float] = (0.1,),
+                rng: "np.random.Generator" = None) -> np.ndarray:
+    """Crop up to ratio r from each of the four sides independently."""
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    r = float(rng.choice(np.asarray(four_side_ratios, np.float64)))
+    top = int(h * r * rng.uniform())
+    bot = int(h * r * rng.uniform())
+    left = int(w * r * rng.uniform())
+    right = int(w * r * rng.uniform())
+    return img[top: h - bot if bot else h, left: w - right if right else w]
+
+
+def random_flip(img: np.ndarray, prob: float = 0.5,
+                rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    if rng.uniform() < prob:
+        return np.ascontiguousarray(np.flip(img, axis=1))
+    return img
+
+
+def random_black(img: np.ndarray, max_ratio: float = 0.2,
+                 rng: "np.random.Generator" = None) -> np.ndarray:
+    """Blank a random rectangle (cutout)."""
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    bh, bw = int(h * max_ratio * rng.uniform()), int(w * max_ratio * rng.uniform())
+    if bh and bw:
+        y, x = rng.integers(0, h - bh + 1), rng.integers(0, w - bw + 1)
+        img = img.copy()
+        img[y: y + bh, x: x + bw] = 0.0
+    return img
+
+
+def random_gray(img: np.ndarray, prob: float = 0.2,
+                rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    if img.shape[-1] == 3 and rng.uniform() < prob:
+        gray = img @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        return np.repeat(gray[..., None], 3, axis=-1)
+    return img
+
+
+def random_noise(img: np.ndarray, sigma: float = 0.02,
+                 rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    return img + rng.normal(0, sigma, img.shape).astype(img.dtype)
+
+
+def random_blur(img: np.ndarray, prob: float = 0.3,
+                rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    if rng.uniform() >= prob:
+        return img
+    # 3×3 box blur without cv2 dependency
+    pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = np.zeros_like(img)
+    for dy in range(3):
+        for dx in range(3):
+            out += pad[dy: dy + img.shape[0], dx: dx + img.shape[1]]
+    return out / 9.0
+
+
+def random_color2(img: np.ndarray, strength: float = 0.2,
+                  rng: "np.random.Generator" = None) -> np.ndarray:
+    """Brightness/contrast jitter."""
+    rng = rng or np.random.default_rng()
+    b = 1.0 + rng.uniform(-strength, strength)
+    c = 1.0 + rng.uniform(-strength, strength)
+    mean = img.mean()
+    return np.clip((img - mean) * c + mean * b, 0.0, None)
