@@ -255,6 +255,12 @@ class UnivlForVideoTextRetrieval(BaseModel):
     # univl_video_ret.py:263-312): stale embeddings enlarge the negative set
     with_queue: bool = False
     queue_size: int = 4096
+    # full MoCo: keys come from EMA momentum towers (reference moco_utils
+    # momentum_update_key_encoder). The trainer owns the momentum param copy
+    # (state.variables["momentum"]) and injects the key embeddings as
+    # batch["_moco_key_text"/"_moco_key_video"]; EMA rate below.
+    with_momentum: bool = False
+    momentum: float = 0.999
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     remat: bool = False
     use_pallas: bool = True
@@ -279,10 +285,12 @@ class UnivlForVideoTextRetrieval(BaseModel):
 
             self.text_queue = self.variable(
                 "moco", "text_queue",
-                lambda: moco.init_queue(self.queue_size, self.embed_dim))
+                lambda: moco.init_queue(self.queue_size, self.embed_dim,
+                                        random_init=self.with_momentum, seed=1))
             self.video_queue = self.variable(
                 "moco", "video_queue",
-                lambda: moco.init_queue(self.queue_size, self.embed_dim))
+                lambda: moco.init_queue(self.queue_size, self.embed_dim,
+                                        random_init=self.with_momentum, seed=2))
 
     def encode_text(self, batch: Mapping, deterministic: bool = True):
         return self.base.forward_text_encoder(
@@ -335,25 +343,37 @@ class UnivlForVideoTextRetrieval(BaseModel):
 
             scale = jnp.exp(jnp.clip(self.logit_scale, 0.0, jnp.log(100.0)))
             v_mean = clip_embed.mean(axis=1)
+            # full-MoCo keys from the momentum towers when the trainer injects
+            # them (univl_video_ret.py:270-312); else keys = online embeds
+            key_text = batch.get("_moco_key_text")
+            key_video = batch.get("_moco_key_video")
+            if key_text is None:
+                key_text = text_embed
+            if key_video is None:
+                key_video = v_mean
+            key_text = jax.lax.stop_gradient(key_text.astype(jnp.float32))
+            key_video = jax.lax.stop_gradient(key_video.astype(jnp.float32))
             tq, vq = self.text_queue, self.video_queue
             neg_inf = jnp.finfo(jnp.float32).min
 
-            def ce_with_queue(rows, queue_state):
+            def moco_infonce(q, k_pos, queue_state):
+                """q vs (its positive key + queue negatives) — the reference
+                moco_loss form (pos logits column 0)."""
                 negs, valid = moco.queue_negatives(queue_state)
-                extra = (rows.astype(jnp.float32) @ negs.T.astype(jnp.float32)
-                         ) * scale
-                extra = jnp.where(valid[None, :], extra, neg_inf)
-                base = sim if rows is text_embed else sim.T
-                logits = jnp.concatenate([base, extra], axis=1)
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                return -jnp.mean(jnp.diagonal(logp[:, : base.shape[1]]))
+                pos = jnp.sum(q.astype(jnp.float32) * k_pos, axis=-1,
+                              keepdims=True) * scale
+                neg = (q.astype(jnp.float32) @ negs.T.astype(jnp.float32)
+                       ) * scale
+                neg = jnp.where(valid[None, :], neg, neg_inf)
+                logits = jnp.concatenate([pos, neg], axis=1)
+                return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
 
             losses["level1_similarity_loss"] = 0.5 * (
-                ce_with_queue(text_embed, vq.value)
-                + ce_with_queue(v_mean, tq.value))
+                moco_infonce(text_embed, key_video, vq.value)
+                + moco_infonce(v_mean, key_text, tq.value))
             if not deterministic:
-                tq.value = moco.enqueue(tq.value, text_embed)
-                vq.value = moco.enqueue(vq.value, v_mean)
+                tq.value = moco.enqueue(tq.value, key_text)
+                vq.value = moco.enqueue(vq.value, key_video)
         elif self.loss_type == "mil_nce":
             eye = jnp.eye(sim.shape[0], sim.shape[1])
             losses["level1_similarity_loss"] = 0.5 * (

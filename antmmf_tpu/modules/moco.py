@@ -27,7 +27,16 @@ def momentum_update(momentum_params: Any, params: Any, momentum: float = 0.999) 
         momentum_params, params)
 
 
-def init_queue(queue_size: int, dim: int, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+def init_queue(queue_size: int, dim: int, dtype=jnp.float32,
+               random_init: bool = False, seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """``random_init`` fills the queue with L2-normalized gaussian keys (the
+    reference MocoUtils buffer init, moco_utils.py:38-52) so negatives exist
+    from step 0; otherwise slots are masked until filled."""
+    if random_init:
+        q = jax.random.normal(jax.random.PRNGKey(seed), (queue_size, dim), dtype)
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return {"queue": q, "ptr": jnp.zeros((), jnp.int32),
+                "filled": jnp.full((), queue_size, jnp.int32)}
     return {
         "queue": jnp.zeros((queue_size, dim), dtype),
         "ptr": jnp.zeros((), jnp.int32),

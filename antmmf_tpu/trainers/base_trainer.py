@@ -134,6 +134,22 @@ class BaseTrainer:
 
     def load_extras(self) -> None:
         self.rng, state_rng = jax.random.split(self.rng)
+        # full-MoCo momentum towers (reference moco_utils.py:13-56): the EMA
+        # copy of the tower params lives as a `momentum` collection in the
+        # train state; the jitted step computes key embeddings with it and
+        # EMA-updates it
+        self._moco_m = 0.0
+        if getattr(self.shell.module, "with_momentum", False):
+            from antmmf_tpu.modules import moco as moco_mod
+
+            names = getattr(self.shell.module, "momentum_modules", None) or \
+                [k for k in ("base",) if k in self._init_variables["params"]]
+            src = {k: self._init_variables["params"][k] for k in names} \
+                if names else dict(self._init_variables["params"])
+            self._init_variables = dict(self._init_variables)
+            self._init_variables["momentum"] = \
+                moco_mod.init_momentum_params(src)
+            self._moco_m = float(getattr(self.shell.module, "momentum", 0.999))
         state = TrainState.create(self._init_variables, self.tx, state_rng)
         rules = self.tp.get("param_sharding_rules", None)
         self.state = shard_state(state, self.mesh, rules)
@@ -181,13 +197,34 @@ class BaseTrainer:
     def compile_steps(self) -> None:
         shell = self.shell
         tx = self.tx
+        moco_m = self._moco_m if hasattr(self, "_moco_m") else 0.0
 
         def train_step(state: TrainState, batch: Mapping[str, jnp.ndarray]):
             step_rng = jax.random.fold_in(state.rng, state.step)
 
+            if moco_m > 0.0 and "momentum" in state.variables:
+                # key forward with the momentum towers (stop-gradient): splice
+                # the EMA subtrees over the online params
+                mom = state.variables["momentum"]
+                key_params = {**state.variables["params"], **mom}
+                key_vars = {k: v for k, v in state.variables.items()
+                            if k != "momentum"}
+                key_vars["params"] = key_params
+                key_out = shell.apply(key_vars, batch, deterministic=True)
+                batch = dict(batch)
+                if "text_embed" in key_out:
+                    batch["_moco_key_text"] = jax.lax.stop_gradient(
+                        key_out["text_embed"])
+                if "visual_embed" in key_out:
+                    batch["_moco_key_video"] = jax.lax.stop_gradient(
+                        key_out["visual_embed"])
+
             def loss_of(p):
+                variables = {k: v for k, v in state.variables.items()
+                             if k != "momentum"}
+                variables["params"] = p
                 loss, (output, scalars) = shell.loss_fn(
-                    {**state.variables, "params": p}, batch,
+                    variables, batch,
                     rngs={"dropout": step_rng}, deterministic=False,
                 )
                 updated = output.get("_updated_collections", {})
@@ -199,6 +236,15 @@ class BaseTrainer:
             if updated:  # thread MoCo queues / batch stats functionally
                 new_vars = dict(new_state.variables)
                 new_vars.update(updated)
+                new_state = new_state.replace(variables=new_vars)
+            if moco_m > 0.0 and "momentum" in state.variables:
+                from antmmf_tpu.modules import moco as moco_mod
+
+                mom = state.variables["momentum"]
+                new_mom = moco_mod.momentum_update(
+                    mom, {k: new_state.params[k] for k in mom}, moco_m)
+                new_vars = dict(new_state.variables)
+                new_vars["momentum"] = new_mom
                 new_state = new_state.replace(variables=new_vars)
             scalars["grad_norm"] = optax_global_norm(grads)
             return new_state, scalars

@@ -1,0 +1,57 @@
+"""SNP-S3 pretraining on fixtures: dual-level MLM + significant masking
+(reference prj/snps3_vtp; VERDICT round-1 item 7)."""
+
+import os
+
+import numpy as np
+
+from antmmf_tpu.common.build import build_config
+from antmmf_tpu.trainers.build import build_trainer
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(ROOT, "projects", "snps3_vtp", "configs",
+                   "snps3_pretrain.local.yml")
+
+
+def test_snps3_trains_with_dual_mlm_and_s3_masking(tmp_path):
+    cfg = build_config(CFG, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.seed", "13",
+    ])
+    # the config enables the S3 masking knobs end-to-end
+    text_cfg = cfg["task_attributes"]["univl_task"]["dataset_attributes"][
+        "video_text_pretrain"]["text"]
+    assert bool(text_cfg["significant_masking"])
+
+    trainer = build_trainer(cfg)
+    trainer.load()
+    trainer.train()
+    scalars = trainer.meter.get_scalar_dict()
+    assert any("masked_lm_loss" in k for k in scalars), scalars.keys()
+    assert any("vtc_loss" in k for k in scalars)
+    assert np.isfinite(trainer.meter.meters["train/total_loss"].get_latest())
+
+
+def test_s3_masking_prefers_content_words():
+    from antmmf_tpu.datasets.processors.text_processors import (
+        MaskedTokenProcessor,
+    )
+
+    proc = MaskedTokenProcessor({
+        "vocab_file": os.path.join(ROOT, "tests", "data", "vocabs",
+                                   "bert-base-uncased_30522_vocab.txt"),
+        "max_seq_length": 16, "mask_probability": 0.3, "wwm": True,
+        "significant_masking": True, "significant_boost": 3.0, "seed": 0})
+    text = "the girl is doing gymnastics in the gym"
+    content_hits = stop_hits = 0
+    for _ in range(200):
+        out = proc({"text": text})
+        for pos in np.nonzero(out["lm_label_ids"] != -1)[0]:
+            # the label id IS the original token id — recover the word
+            word = proc.tokenizer.convert_ids_to_tokens(
+                [int(out["lm_label_ids"][pos])])[0].replace("##", "")
+            if word in ("the", "is", "in"):
+                stop_hits += 1
+            else:
+                content_hits += 1
+    assert content_hits > 2 * stop_hits, (content_hits, stop_hits)
