@@ -69,6 +69,9 @@ class UnivlVideoBase(nn.Module):
     dropout: float = 0.0
     remat: bool = False
     use_pallas: bool = True
+    # sequence parallelism for the visual token stream over the mesh `seq`
+    # axis (projects/base_vtp/configs/long_video.yml)
+    sequence_parallel: str = "none"
     dtype_str: str = "bfloat16"
 
     @property
@@ -79,7 +82,8 @@ class UnivlVideoBase(nn.Module):
         vit_kw = dict(VIT_PRESETS[self.vit_preset])
         self.img_encoder = VisionTransformer(
             image_size=self.image_size, dropout=self.dropout, remat=self.remat,
-            use_pallas=self.use_pallas, dtype=self.dtype, **vit_kw,
+            use_pallas=self.use_pallas,
+            sequence_parallel=self.sequence_parallel, dtype=self.dtype, **vit_kw,
         )
         bert_kw = dict(BERT_PRESETS[self.bert_preset])
         hidden = bert_kw.pop("hidden_size")
@@ -106,7 +110,10 @@ class UnivlVideoBase(nn.Module):
                 num_layers=self.cross_layers,
                 num_heads=max(1, width // 64),
                 norm_style="post", final_norm=False, dropout=self.dropout,
-                remat=self.remat, use_pallas=self.use_pallas, dtype=self.dtype,
+                remat=self.remat, use_pallas=self.use_pallas,
+                # the L2 pair stream (Lt + F·Lv tokens) is where long-video
+                # sequence parallelism pays off
+                sequence_parallel=self.sequence_parallel, dtype=self.dtype,
             )
             self.cross_pooler = nn.Dense(width, dtype=self.dtype,
                                          param_dtype=jnp.float32)
@@ -264,6 +271,7 @@ class UnivlForVideoTextRetrieval(BaseModel):
     init_logit_scale: float = 2.6592  # ln(1/0.07)
     remat: bool = False
     use_pallas: bool = True
+    sequence_parallel: str = "none"
     dtype_str: str = "bfloat16"
     training_head_only: bool = False  # freeze towers (linear-probe style)
 
@@ -274,7 +282,8 @@ class UnivlForVideoTextRetrieval(BaseModel):
             embed_dim=self.embed_dim, n_clips=self.n_clips,
             with_cross_encoder=self.with_cross_encoder,
             cross_layers=self.cross_layers, dropout=self.dropout,
-            remat=self.remat, use_pallas=self.use_pallas, dtype_str=self.dtype_str,
+            remat=self.remat, use_pallas=self.use_pallas,
+            sequence_parallel=self.sequence_parallel, dtype_str=self.dtype_str,
         )
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(self.init_logit_scale), (),

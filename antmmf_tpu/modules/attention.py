@@ -90,9 +90,24 @@ class MultiHeadAttention(nn.Module):
     head_dim: Optional[int] = None
     dropout: float = 0.0
     use_pallas: bool = True
+    # sequence parallelism over the mesh `seq` axis: "none" | "ulysses" |
+    # "ring". Engages only when the active mesh (registry key "mesh") has a
+    # seq axis > 1 and the call is self-attention with a key-padding bias —
+    # the long-video config's knob (projects/base_vtp/configs/long_video.yml).
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     out_dim: Optional[int] = None
+
+    def _sp_mesh(self):
+        if self.sequence_parallel == "none":
+            return None
+        from antmmf_tpu.common.registry import registry as _reg
+
+        mesh = _reg.get("mesh", default=None)
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            return mesh
+        return None
 
     @nn.compact
     def __call__(
@@ -118,7 +133,21 @@ class MultiHeadAttention(nn.Module):
         k = heads(dense(inner, name="k_proj")(kv))
         v = heads(dense(inner, name="v_proj")(kv))
 
-        out = attention_core(q, k, v, bias=bias, use_pallas=self.use_pallas)
+        sp_mesh = self._sp_mesh()
+        kv_bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                                      and bias.shape[2] == 1)
+        if sp_mesh is not None and kv is x and kv_bias_ok:
+            from antmmf_tpu.parallel.long_context import (
+                ring_attention,
+                ulysses_attention,
+            )
+
+            fn = ulysses_attention if self.sequence_parallel == "ulysses" \
+                else ring_attention
+            out = fn(q, k, v, sp_mesh, bias=bias)
+        else:
+            out = attention_core(q, k, v, bias=bias,
+                                 use_pallas=self.use_pallas)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         B, H, Lq, D = out.shape

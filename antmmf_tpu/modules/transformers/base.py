@@ -31,6 +31,7 @@ class TransformerLayer(nn.Module):
     norm_style: str = "pre"  # pre (ViT/CLIP) | post (BERT)
     layer_norm_eps: float = 1e-5
     use_pallas: bool = True
+    sequence_parallel: str = "none"  # none | ulysses | ring (seq mesh axis)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -44,6 +45,7 @@ class TransformerLayer(nn.Module):
     ) -> jnp.ndarray:
         attn = MultiHeadAttention(
             num_heads=self.num_heads, dropout=self.dropout, use_pallas=self.use_pallas,
+            sequence_parallel=self.sequence_parallel,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )
         mlp = Mlp(
@@ -99,6 +101,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     use_pallas: bool = True
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -116,7 +119,8 @@ class TransformerEncoder(nn.Module):
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             dropout=self.dropout, activation=self.activation,
             norm_style=self.norm_style, layer_norm_eps=self.layer_norm_eps,
-            use_pallas=self.use_pallas, dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            sequence_parallel=self.sequence_parallel, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         if self.scan_layers:

@@ -43,6 +43,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     use_pallas: bool = True
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -65,6 +66,7 @@ class VisionTransformer(nn.Module):
             activation="quick_gelu" if self.quick_gelu else "gelu",
             final_norm=True, remat=self.remat,
             scan_layers=self.scan_layers, use_pallas=self.use_pallas,
+            sequence_parallel=self.sequence_parallel,
             dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
         )(x, deterministic=deterministic)
         pooled = x[:, 0]

@@ -34,6 +34,25 @@ def _local_attention(q, k, v, bias):
     return xla_attention_core(q, k, v, bias=bias)
 
 
+def _pad_seq_to_axis(q, k, v, bias, n):
+    """Pad L up to a multiple of the axis size; padded keys get -1e30 bias.
+    Returns (q, k, v, bias, original_L); callers slice [:original_L] after."""
+    L = q.shape[2]
+    pad = (-L) % n
+    if pad == 0 and bias is not None:
+        return q, k, v, bias, L
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], 1, 1, L), jnp.float32)
+    if pad:
+        padt = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, padt)
+        k = jnp.pad(k, padt)
+        v = jnp.pad(v, padt)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                       constant_values=-1e30)
+    return q, k, v, bias, L
+
+
 def ulysses_attention(
     q: jnp.ndarray,  # [B, H, L, D] — L sharded over `seq` outside shard_map
     k: jnp.ndarray,
@@ -42,7 +61,23 @@ def ulysses_attention(
     bias: Optional[jnp.ndarray] = None,  # [B, 1, 1, L] additive (kv padding)
     axis: str = "seq",
 ) -> jnp.ndarray:
-    """Sequence-parallel exact attention via head exchange."""
+    """Sequence-parallel exact attention via head exchange.
+
+    Head counts need not divide the ``seq`` axis: heads are zero-padded up to
+    the next multiple (padded heads attend over zero K/V and are sliced away),
+    so the flagship 12-head towers run on an 8-way sequence axis. Sequence
+    lengths are likewise padded (padded keys masked via the bias; padded query
+    rows sliced away), so any L works."""
+    n = mesh.shape[axis]
+    q, k, v, bias, L = _pad_seq_to_axis(q, k, v, bias, n)
+    H = q.shape[1]
+    pad_h = (-H) % n
+    if pad_h:
+        def padh(x):
+            return jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+
+        out = ulysses_attention(padh(q), padh(k), padh(v), mesh, bias, axis)
+        return out[:, :H, :L]
     P_qkv = P(None, None, axis, None)  # shard L
     P_bias = P(None, None, None, axis)
     has_bias = bias is not None
@@ -62,14 +97,16 @@ def ulysses_attention(
         return heads_to_seq(out)
 
     if has_bias:
-        return shard_map(
+        out = shard_map(
             inner, mesh=mesh, in_specs=(P_qkv, P_qkv, P_qkv, P_bias),
             out_specs=P_qkv, check_vma=False,
         )(q, k, v, bias)
-    return shard_map(
-        inner, mesh=mesh, in_specs=(P_qkv, P_qkv, P_qkv),
-        out_specs=P_qkv, check_vma=False,
-    )(q, k, v)
+    else:
+        out = shard_map(
+            inner, mesh=mesh, in_specs=(P_qkv, P_qkv, P_qkv),
+            out_specs=P_qkv, check_vma=False,
+        )(q, k, v)
+    return out[:, :, :L]
 
 
 def ring_attention(
@@ -80,10 +117,17 @@ def ring_attention(
     bias: Optional[jnp.ndarray] = None,  # [B, 1, 1, L]
     axis: str = "seq",
     scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Exact attention with K/V blocks rotating around the ICI ring; online
-    softmax merges block results, so no device ever holds the full sequence."""
+    softmax merges block results, so no device ever holds the full sequence.
+
+    ``causal=True`` applies position-correct causal masking as blocks rotate
+    (global key position = source-shard offset + local index), so the ring can
+    serve autoregressive decoders (caption LM) over sharded sequences. Any L
+    works: sequences pad to the axis size (masked keys, sliced queries)."""
     n = mesh.shape[axis]
+    q, k, v, bias, L = _pad_seq_to_axis(q, k, v, bias, n)
     P_qkv = P(None, None, axis, None)
     P_bias = P(None, None, None, axis)
     sc = scale if scale is not None else q.shape[-1] ** -0.5
@@ -92,11 +136,20 @@ def ring_attention(
         B, H, Lb, D = q.shape
         qf = q.astype(jnp.float32)
         perm = [(i, (i + 1) % n) for i in range(n)]
+        my = lax.axis_index(axis)
+        q_pos = my * Lb + jnp.arange(Lb)  # global query positions
 
-        def step(carry, _):
+        def step(carry, s_idx):
             m_prev, l_prev, acc, kb, vb, bb = carry
             s = jnp.einsum("bhqd,bhkd->bhqk", qf, kb.astype(jnp.float32)) * sc
             s = s + bb
+            if causal:
+                # after s_idx rotations this K/V block originated on shard
+                # (my - s_idx) mod n; mask keys beyond each query's position
+                src = (my - s_idx) % n
+                k_pos = src * Lb + jnp.arange(Lb)
+                future = k_pos[None, :] > q_pos[:, None]  # [Lb_q, Lb_k]
+                s = jnp.where(future[None, None], -1e30, s)
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new[..., None])
@@ -112,13 +165,14 @@ def ring_attention(
         l0 = jnp.zeros((B, H, Lb), jnp.float32)
         acc0 = jnp.zeros((B, H, Lb, D), jnp.float32)
         (m, l, acc, *_), _ = lax.scan(
-            step, (m0, l0, acc0, k, v, bias), None, length=n)
+            step, (m0, l0, acc0, k, v, bias), jnp.arange(n))
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
     bias_in = bias if bias is not None else jnp.zeros(
         (q.shape[0], 1, 1, q.shape[2]), jnp.float32)
-    return shard_map(
+    out = shard_map(
         inner, mesh=mesh,
         in_specs=(P_qkv, P_qkv, P_qkv, P_bias),
         out_specs=P_qkv, check_vma=False,
     )(q, k, v, bias_in)
+    return out[:, :, :L]

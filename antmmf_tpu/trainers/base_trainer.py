@@ -88,6 +88,8 @@ class BaseTrainer:
         self.seed = int(seed) if seed is not None else int.from_bytes(os.urandom(2), "little")
         self.rng = jax.random.PRNGKey(self.seed)
         self.mesh = build_mesh(self.tp.get("mesh", {"data": -1}))
+        # modules with a sequence_parallel knob resolve the active mesh here
+        registry.register("mesh", self.mesh)
         self.batch_sharding_ = jax.sharding.NamedSharding(self.mesh, batch_spec())
 
     def load_task(self) -> None:

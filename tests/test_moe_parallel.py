@@ -119,3 +119,71 @@ def test_ring_matches_dense(seq_mesh):
     ref = xla_attention_core(q, k, v, bias=bias)
     out = ring_attention(q, k, v, seq_mesh, bias=bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ulysses_head_padding_12_heads_on_8way(seq_mesh):
+    """Flagship head count (12) on an 8-way seq axis via head zero-padding."""
+    q, k, v = _qkv(H=12)
+    mask = jnp.ones((2, 32)).at[:, -5:].set(0)
+    bias = jnp.where(mask > 0, 0.0, -1e30)[:, None, None, :]
+    ref = xla_attention_core(q, k, v, bias=bias)
+    out = ulysses_attention(q, k, v, seq_mesh, bias=bias)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ulysses_odd_sequence_length(seq_mesh):
+    """L=37 is not divisible by the 8-way axis — seq padding handles it."""
+    q, k, v = _qkv(H=8, L=37)
+    ref = xla_attention_core(q, k, v)
+    out = ulysses_attention(q, k, v, seq_mesh)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_causal_matches_dense(seq_mesh):
+    """Causal ring attention == XLA attention with a causal mask."""
+    q, k, v = _qkv(H=2, L=32)
+    L = 32
+    causal_bias = jnp.where(
+        jnp.arange(L)[None, :] > jnp.arange(L)[:, None], -1e30, 0.0
+    )[None, None]
+    ref = xla_attention_core(q, k, v, bias=causal_bias)
+    out = ring_attention(q, k, v, seq_mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_causal_with_kv_padding(seq_mesh):
+    q, k, v = _qkv(H=2, L=32)
+    L = 32
+    mask = jnp.ones((2, L)).at[:, -4:].set(0)
+    kv_bias = jnp.where(mask > 0, 0.0, -1e30)[:, None, None, :]
+    causal = jnp.where(
+        jnp.arange(L)[None, :] > jnp.arange(L)[:, None], -1e30, 0.0
+    )[None, None]
+    ref = xla_attention_core(q, k, v, bias=kv_bias + causal)
+    out = ring_attention(q, k, v, seq_mesh, bias=kv_bias, causal=True)
+    # padded-key rows beyond the mask are irrelevant for the valid queries
+    np.testing.assert_allclose(np.asarray(out)[:, :, :28],
+                               np.asarray(ref)[:, :, :28], atol=2e-5)
+
+
+def test_sequence_parallel_knob_in_transformer(seq_mesh):
+    """MultiHeadAttention routes through ulysses when the registry mesh has a
+    seq axis and the module sets sequence_parallel."""
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.modules.attention import MultiHeadAttention
+
+    registry.register("mesh", seq_mesh)
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 33, 48), F32)
+        mha_sp = MultiHeadAttention(num_heads=12, dtype=F32,
+                                    sequence_parallel="ulysses")
+        mha = MultiHeadAttention(num_heads=12, dtype=F32)
+        variables = mha_sp.init(jax.random.PRNGKey(1), x)
+        out_sp = mha_sp.apply(variables, x)
+        out = mha.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out),
+                                   atol=2e-5)
+    finally:
+        registry.unregister("mesh")
