@@ -157,5 +157,11 @@ class DmaeForVideoTextRetrieval(BaseModel):
         return {
             "l1_simi": l1, "l3_simi": l3, "sim": l3, "logits": l3,
             "text_embed": t_pooled, "visual_embed": v_pooled,
+            # WTI components for the corpus-level L3 evaluation (the dmae
+            # monitored metric val/l3_simi_t2v-mean_recall; the retrieval
+            # trainer caches these and scores the full grid chunked)
+            "wti_text_tokens": text_tokens, "wti_text_weights": tw,
+            "wti_video_tokens": video_tokens, "wti_video_weights": vw,
+            "wti_text_mask": text_mask, "wti_video_mask": video_mask,
             "losses": losses,
         }

@@ -45,16 +45,36 @@ PRESETS = {
 
 
 class MultiwayBlock(nn.Module):
-    """Pre-LN block: shared attention, per-modality FFN experts (VLMo-style)."""
+    """Pre-LN block: shared attention, per-modality FFN experts (VLMo-style,
+    reference multiway_transformer.py:118-243).
+
+    Depth-parity features:
+      * separate post-attention LayerNorm per expert (norm2_text / norm2_imag /
+        norm2_vl in the reference);
+      * LayerScale gammas (gamma_1/gamma_2) when ``layerscale_init`` > 0;
+      * the FUSION stream: before ``with_vlffn`` engages, the first
+        ``text_len`` tokens route to the language expert and the rest to the
+        vision expert (reference :195-199); with_vlffn routes the whole fused
+        stream through a dedicated VL expert (:202).
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
     num_ffn_experts: int = 2  # vision + language (+ fusion when 3)
+    with_vlffn: bool = False
     moe: bool = False
     moe_num_experts: int = 8
+    layerscale_init: float = 0.0  # 0 disables LayerScale
     dropout: float = 0.0
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
+
+    def _ffn(self, x: jnp.ndarray, expert: int,
+             deterministic: bool) -> jnp.ndarray:
+        h = LayerNorm(dtype=self.dtype, name=f"norm2_expert_{expert}")(x)
+        return Mlp(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                   dropout=self.dropout, dtype=self.dtype,
+                   name=f"ffn_expert_{expert}")(h, deterministic=deterministic)
 
     @nn.compact
     def __call__(
@@ -63,26 +83,45 @@ class MultiwayBlock(nn.Module):
         modality: int,  # static expert index for this stream
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        text_len: int = 0,  # static split point for the fusion stream
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         aux: Dict[str, jnp.ndarray] = {}
+        C = x.shape[-1]
+        if self.layerscale_init > 0:
+            g1 = self.param("gamma_1", nn.initializers.constant(
+                self.layerscale_init), (C,), jnp.float32)
+            g2 = self.param("gamma_2", nn.initializers.constant(
+                self.layerscale_init), (C,), jnp.float32)
+        else:
+            g1 = g2 = None
+
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + MultiHeadAttention(
+        att = MultiHeadAttention(
             num_heads=self.num_heads, dropout=self.dropout,
             use_pallas=self.use_pallas, dtype=self.dtype, name="attention",
         )(h, bias=bias, deterministic=deterministic)
-        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if g1 is not None:
+            att = att * g1.astype(att.dtype)
+        x = x + att
+
         if self.moe:
+            h = LayerNorm(dtype=self.dtype, name="norm2_moe")(x)
             out, aux = MoELayer(
                 num_experts=self.moe_num_experts,
-                hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                hidden_dim=int(C * self.mlp_ratio),
                 dtype=self.dtype, name="moe_ffn",
             )(h, deterministic=deterministic)
+        elif modality == FUSION_EXPERT and not self.with_vlffn:
+            # early fused layers: segment-wise expert routing (:195-199)
+            t = self._ffn(x[:, :text_len], LANGUAGE_EXPERT, deterministic)
+            v = self._ffn(x[:, text_len:], VISION_EXPERT, deterministic)
+            out = jnp.concatenate([t, v], axis=1)
+        elif modality == FUSION_EXPERT:
+            out = self._ffn(x, FUSION_EXPERT, deterministic)
         else:
-            # modality-specific dense expert: static routing → plain submodule
-            out = Mlp(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
-                      dropout=self.dropout, dtype=self.dtype,
-                      name=f"ffn_expert_{modality}",
-                      )(h, deterministic=deterministic)
+            out = self._ffn(x, modality, deterministic)
+        if g2 is not None:
+            out = out * g2.astype(out.dtype)
         return x + out, aux
 
 
@@ -94,21 +133,31 @@ class MultiwayTransformer(nn.Module):
     moe_layers: Tuple[int, ...] = ()  # indices of blocks that use token-routed MoE
     moe_num_experts: int = 8
     num_ffn_experts: int = 2
+    # fused (VL) streams use the dedicated VL expert from this layer on
+    # (reference vlffn_start_layer_index, multiway_transformer.py:270-338);
+    # -1 = last quarter of the stack (the VLMo default shape: 10 of 12)
+    vlffn_start_layer: int = -1
+    layerscale_init: float = 0.0
     dropout: float = 0.0
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, modality: int, bias=None, deterministic: bool = True):
+    def __call__(self, x, modality: int, bias=None, deterministic: bool = True,
+                 text_len: int = 0):
+        vl_start = self.vlffn_start_layer if self.vlffn_start_layer >= 0 \
+            else max(0, self.num_layers - max(1, self.num_layers // 6))
         aux_total: Dict[str, jnp.ndarray] = {}
         for i in range(self.num_layers):
             x, aux = MultiwayBlock(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 num_ffn_experts=self.num_ffn_experts,
+                with_vlffn=(i >= vl_start),
                 moe=(i in self.moe_layers),
-                moe_num_experts=self.moe_num_experts, dropout=self.dropout,
+                moe_num_experts=self.moe_num_experts,
+                layerscale_init=self.layerscale_init, dropout=self.dropout,
                 use_pallas=self.use_pallas, dtype=self.dtype, name=f"block_{i}",
-            )(x, modality, bias, deterministic)
+            )(x, modality, bias, deterministic, text_len)
             for k, v in aux.items():
                 aux_total[k] = aux_total.get(k, 0.0) + v
         x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
@@ -133,6 +182,11 @@ class M2Encoder(BaseModel):
     use_chunked_loss: bool = False
     chunk_size: int = 1024
     init_logit_scale: float = 2.6592
+    # fused VL stream + ITM ranking head (VLMo's second pretraining task);
+    # vlffn_start_layer -1 = VLMo default shape (last ~1/6 of the stack)
+    with_itm: bool = False
+    vlffn_start_layer: int = -1
+    layerscale_init: float = 0.0
     dropout: float = 0.0
     use_pallas: bool = True
     dtype_str: str = "bfloat16"
@@ -150,10 +204,15 @@ class M2Encoder(BaseModel):
         self.encoder = MultiwayTransformer(
             embed_dim=self.width, num_layers=p["num_layers"],
             num_heads=p["num_heads"], moe_layers=self.moe_layers,
-            moe_num_experts=self.moe_num_experts, dropout=self.dropout,
+            moe_num_experts=self.moe_num_experts,
+            num_ffn_experts=3 if self.with_itm else 2,
+            vlffn_start_layer=self.vlffn_start_layer,
+            layerscale_init=self.layerscale_init, dropout=self.dropout,
             use_pallas=self.use_pallas, dtype=dtype)
         self.image_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         self.text_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
+        if self.with_itm:
+            self.itm_head = nn.Dense(2, dtype=jnp.float32)
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(self.init_logit_scale), (),
             jnp.float32)
@@ -168,6 +227,19 @@ class M2Encoder(BaseModel):
         bias = make_attention_mask(mask)
         x, aux = self.encoder(x, LANGUAGE_EXPERT, bias, deterministic)
         return l2_normalize(self.text_proj(x[:, 0])), aux
+
+    def encode_multimodal(self, ids, mask, images, deterministic: bool = True):
+        """Fused VL stream (reference Block fusion routing + vlffn): text then
+        patch tokens through one pass; returns the fused [CLS] state."""
+        t = self.text_embed(ids, deterministic=deterministic)
+        v = self.visual_embed(images, deterministic=deterministic)
+        x = jnp.concatenate([t, v.astype(t.dtype)], axis=1)
+        full_mask = jnp.concatenate(
+            [mask, jnp.ones(v.shape[:2], mask.dtype)], axis=1)
+        bias = make_attention_mask(full_mask)
+        x, aux = self.encoder(x, FUSION_EXPERT, bias, deterministic,
+                              text_len=t.shape[1])
+        return x[:, 0], aux
 
     def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
         img = batch.get("image", batch.get("image_data"))
@@ -189,13 +261,35 @@ class M2Encoder(BaseModel):
             sim = (txt_emb.astype(jnp.float32) @ img_emb.astype(jnp.float32).T
                    ) * scale
             losses["contrastive_loss"] = symmetric_cross_en(sim)
-        for aux in (aux_i, aux_t):
+        output: Dict[str, Any] = {}
+        if self.with_itm:
+            # ITM over matched pairs + rolled in-batch negatives (VLMo's
+            # second pretraining objective through the fused VL stream)
+            B = img.shape[0]
+            neg_img = jnp.roll(img, 1, axis=0)
+            pos_cls, aux_p = self.encode_multimodal(ids, mask, img,
+                                                    deterministic)
+            neg_cls, aux_n = self.encode_multimodal(ids, mask, neg_img,
+                                                    deterministic)
+            itm_logits = self.itm_head(jnp.concatenate(
+                [pos_cls, neg_cls], axis=0).astype(jnp.float32))
+            itm_targets = jnp.concatenate(
+                [jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.int32)])
+            logp = jax.nn.log_softmax(itm_logits, axis=-1)
+            losses["itm_loss"] = -jnp.mean(
+                jnp.take_along_axis(logp, itm_targets[:, None], axis=-1))
+            output["itm_logits"] = itm_logits
+            output["vl_cls"] = pos_cls
+            aux_list = (aux_i, aux_t, aux_p, aux_n)
+        else:
+            aux_list = (aux_i, aux_t)
+        for aux in aux_list:
             if "aux_loss" in aux:
                 losses["moe_aux_loss"] = losses.get("moe_aux_loss", 0.0) + \
                     self.aux_loss_weight * aux["aux_loss"]
             if "router_z_loss" in aux:
                 losses["router_z_loss"] = losses.get("router_z_loss", 0.0) + \
                     self.router_z_weight * aux["router_z_loss"]
-        return {"sim": sim, "l1_simi": sim, "logits": sim,
+        return {**output, "sim": sim, "l1_simi": sim, "logits": sim,
                 "text_embed": txt_emb, "visual_embed": img_emb,
                 "losses": losses}

@@ -43,7 +43,10 @@ class RetrievalTrainer(BaseTrainer):
                 "text_embed": out["text_embed"],
                 "visual_embed": out["visual_embed"],
             }
-            for extra in ("text_seq", "visual_tokens"):
+            for extra in ("text_seq", "visual_tokens",
+                          "wti_text_tokens", "wti_text_weights",
+                          "wti_video_tokens", "wti_video_weights",
+                          "wti_text_mask", "wti_video_mask"):
                 if extra in out:
                     keep[extra] = out[extra]
             return keep
@@ -69,6 +72,7 @@ class RetrievalTrainer(BaseTrainer):
         text_seqs: List[np.ndarray] = []
         text_masks: List[np.ndarray] = []
         vis_tokens: List[np.ndarray] = []
+        wti: Dict[str, List[np.ndarray]] = {}
         for batch in itertools.chain(*loaders):
             if batch.get_batch_size() == 0:
                 continue
@@ -82,6 +86,12 @@ class RetrievalTrainer(BaseTrainer):
                 text_seqs.append(np.asarray(host["text_seq"]))
                 text_masks.append(np.asarray(batch["caption_input_mask"]))
                 vis_tokens.append(np.asarray(host["visual_tokens"]))
+            for key in ("wti_text_tokens", "wti_text_weights",
+                        "wti_video_tokens", "wti_video_weights",
+                        "wti_text_mask", "wti_video_mask"):
+                if key in host:
+                    wti.setdefault(key, []).append(
+                        np.asarray(host[key], np.float32))
         if not texts:
             return {}
         t = np.concatenate(texts)
@@ -117,7 +127,43 @@ class RetrievalTrainer(BaseTrainer):
                 _ranks_with_multi_gt(l2, t2v_gt), "l2_simi_t2v-"))
             metrics.update(recall_metrics(
                 _ranks_with_multi_gt(l2.T, v2t_gt), "l2_simi_v2t-"))
+
+        if wti:  # dmae L3: corpus-level WTI grid (monitored metric family)
+            l3 = self._wti_grid(
+                {k: np.concatenate(v) for k, v in wti.items()}, video_rows)
+            metrics.update(recall_metrics(
+                _ranks_with_multi_gt(l3, t2v_gt), "l3_simi_t2v-"))
+            metrics.update(recall_metrics(
+                _ranks_with_multi_gt(l3.T, v2t_gt), "l3_simi_v2t-"))
+            metrics["l3_simi_t2v-mean_recall"] = float(np.mean([
+                metrics["l3_simi_t2v-r@1"], metrics["l3_simi_t2v-r@5"],
+                metrics["l3_simi_t2v-r@10"]]))
         return metrics
+
+    @staticmethod
+    def _wti_grid(w: Dict[str, np.ndarray], video_rows: np.ndarray,
+                  chunk: int = 256) -> np.ndarray:
+        """Full-corpus WTI sim grid, text-chunked on host (the reference's
+        CPU-offloaded chunked eval, retrieval_trainer.py:37-46)."""
+        tt, tw = w["wti_text_tokens"], w["wti_text_weights"]
+        tm = w["wti_text_mask"]
+        vt = w["wti_video_tokens"][video_rows]
+        vw = w["wti_video_weights"][video_rows]
+        vm = w["wti_video_mask"][video_rows]
+        N = tt.shape[0]
+        rows = []
+        for s in range(0, N, chunk):
+            sl = slice(s, min(s + chunk, N))
+            c = np.einsum("tld,vmd->tvlm", tt[sl], vt)
+            neg = np.float32(-1e30)
+            cm = np.where(vm[None, :, None, :] > 0, c, neg)
+            t2v = np.where(tm[sl][:, None, :] > 0, cm.max(-1), 0.0)
+            s_t2v = np.einsum("tvl,tl->tv", t2v, tw[sl])
+            c2 = np.where(tm[sl][:, None, :, None] > 0, c, neg)
+            v2t = np.where(vm[None, :, :] > 0, c2.max(-2), 0.0)
+            s_v2t = np.einsum("tvm,vm->tv", v2t, vw)
+            rows.append(0.5 * (s_t2v + s_v2t))
+        return np.concatenate(rows, axis=0)
 
     def _stage2_rescore(
         self,

@@ -82,3 +82,109 @@ def test_m2_encoder_chunked_loss_matches_dense():
     o2 = chunked.apply(v, b)
     np.testing.assert_allclose(float(o1["losses"]["contrastive_loss"]),
                                float(o2["losses"]["contrastive_loss"]), rtol=1e-5)
+
+
+def test_m2_multiway_fusion_stream_and_itm():
+    """VLMo depth: fused VL stream (segment routing → vl expert) + ITM head
+    + per-expert norms + LayerScale."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.models.m2_encoder import M2Encoder
+
+    model = M2Encoder(preset="m2_tiny_test", image_size=32, patch_size=16,
+                      max_text_len=8, embed_dim_out=16, with_itm=True,
+                      vlffn_start_layer=1, layerscale_init=0.1,
+                      dtype_str="float32")
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "image_data": rng.standard_normal((B, 32, 32, 3)).astype(np.float32),
+        "input_ids": rng.integers(0, 21128, (B, 8)).astype(np.int64),
+        "input_mask": np.ones((B, 8), np.int64),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch, deterministic=True)
+    assert out["itm_logits"].shape == (2 * B, 2)
+    assert "itm_loss" in out["losses"]
+    assert np.isfinite(float(out["losses"]["itm_loss"]))
+    # param structure proves the multiway depth: 3 experts with separate
+    # norms appear in the vlffn block; layerscale gammas exist
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    paths = {"/".join(str(getattr(p, "key", p)) for p in path)
+             for path, _ in flat}
+    assert any("block_1/ffn_expert_2" in p for p in paths), "no VL expert"
+    assert any("norm2_expert_0" in p for p in paths)
+    assert any("norm2_expert_1" in p for p in paths)
+    assert any("gamma_1" in p for p in paths)
+
+
+def test_m2_fusion_segment_routing_before_vlffn():
+    """Before vlffn_start_layer the fused stream routes text/image segments
+    through their own experts — gradients from a text-segment loss must reach
+    the language expert of block 0, not the vision expert's weights only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.models.m2_encoder import M2Encoder
+
+    model = M2Encoder(preset="m2_tiny_test", image_size=32, patch_size=16,
+                      max_text_len=8, embed_dim_out=16, with_itm=True,
+                      vlffn_start_layer=1, dtype_str="float32")
+    rng = np.random.default_rng(1)
+    B = 2
+    batch = {
+        "image_data": rng.standard_normal((B, 32, 32, 3)).astype(np.float32),
+        "input_ids": rng.integers(0, 21128, (B, 8)).astype(np.int64),
+        "input_mask": np.ones((B, 8), np.int64),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss(params):
+        out = model.apply({"params": params}, batch, deterministic=True)
+        return out["losses"]["itm_loss"]
+
+    grads = jax.grad(loss)(variables["params"])
+    b0 = grads["encoder"]["block_0"]
+    g_lang = sum(float(jnp.abs(x).sum()) for x in
+                 jax.tree_util.tree_leaves(b0[f"ffn_expert_1"]))
+    g_vis = sum(float(jnp.abs(x).sum()) for x in
+                jax.tree_util.tree_leaves(b0[f"ffn_expert_0"]))
+    assert g_lang > 0 and g_vis > 0
+
+
+def test_dmae_l3_corpus_metric_and_early_stopping(tmp_path):
+    """The dmae monitored metric val/l3_simi_t2v-mean_recall flows end-to-end:
+    WTI components cached by the retrieval trainer -> corpus L3 grid ->
+    EarlyStopping tracks it (round-1 Weak #10)."""
+    import os
+
+    import numpy as np
+
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.trainers.build import build_trainer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = build_config(
+        os.path.join(root, "projects", "dmae_vtp", "configs",
+                     "msrvtt_retrieval.local.yml"),
+        opts=["training_parameters.save_dir", str(tmp_path),
+              "training_parameters.max_iterations", "4",
+              "training_parameters.snapshot_interval", "4",
+              "training_parameters.monitored_metric", "l3_simi_t2v-mean_recall",
+              "training_parameters.metric_minimize", "false",
+              "training_parameters.seed", "5"])
+    trainer = build_trainer(cfg)
+    trainer.load()
+    trainer.train()
+    metrics = trainer.evaluate_set("val")
+    assert "l3_simi_t2v-mean_recall" in metrics, sorted(metrics)
+    assert "l3_simi_t2v-r@1" in metrics and "l3_simi_v2t-r@1" in metrics
+    assert 0.0 <= metrics["l3_simi_t2v-mean_recall"] <= 100.0
+    # early stopping actually consumed the monitored metric
+    assert trainer.early_stopping.monitored_metric == \
+        "val/l3_simi_t2v-mean_recall"
+    assert np.isfinite(trainer.early_stopping.best_value)
+    assert trainer.early_stopping.best_value > -np.inf

@@ -82,3 +82,39 @@ def test_fusion_modules():
     cf = CosineFusion(scale=10.0)
     sim = cf.apply(cf.init(KEY, a, b), a, b)
     np.testing.assert_allclose(np.asarray(sim), 10.0, rtol=1e-5)
+
+
+def test_sized_data_structure_fields_and_slicing():
+    import numpy as np
+
+    from antmmf_tpu.structures.base import SizedDataStructure
+
+    s = SizedDataStructure(np.arange(12).reshape(3, 4))
+    s.score = np.array([0.1, 0.2, 0.3])
+    assert len(s) == 3 and s.has_field("score")
+    one = s[1]
+    assert one.tensor.shape == (1, 4) and float(one.score[0]) == 0.2
+    some = s[[0, 2]]
+    assert some.tensor.shape == (2, 4)
+    assert [float(x) for x in some.score] == [0.1, 0.3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.bad = np.zeros(5)
+    clone = s.clone()
+    clone.tensor[0, 0] = 99
+    assert s.tensor[0, 0] == 0  # deep copy
+
+
+def test_image_list_padding_and_divisibility():
+    import numpy as np
+
+    from antmmf_tpu.structures.images import ImageList
+
+    ims = [np.ones((30, 40, 3), np.float32), np.ones((50, 20, 3), np.float32)]
+    il = ImageList.from_tensors(ims, size_divisibility=32)
+    assert il.tensor.shape == (2, 64, 64, 3)
+    np.testing.assert_array_equal(il.image_sizes, [[30, 40], [50, 20]])
+    masks = il.pad_masks()
+    assert masks.shape == (2, 64, 64)
+    assert not masks[0, :30, :40].any() and masks[0, 30:, :].all()
