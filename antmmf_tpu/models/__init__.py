@@ -6,6 +6,7 @@ from antmmf_tpu.models import layoutlm  # noqa: F401
 from antmmf_tpu.models import m2_encoder  # noqa: F401
 from antmmf_tpu.models import m2_omni  # noqa: F401
 from antmmf_tpu.models import pink  # noqa: F401
+from antmmf_tpu.models import pipelined_lm  # noqa: F401
 from antmmf_tpu.models import simple  # noqa: F401
 from antmmf_tpu.models import univl  # noqa: F401
 from antmmf_tpu.models import univl_caption  # noqa: F401
