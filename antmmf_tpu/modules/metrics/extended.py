@@ -203,3 +203,283 @@ def span_f1(pred_spans: Sequence[tuple], gold_spans: Sequence[tuple]) -> float:
     prec = tp / max(len(pred), 1)
     rec = tp / max(len(gold), 1)
     return 2 * prec * rec / max(prec + rec, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Registry-surface completion: the remaining reference metric names
+# (/root/reference/antmmf/modules/metrics/* — thin variants over the math
+# above; each keeps the reference's registered name).
+
+
+@registry.register_metric("f1")
+class F1(BaseMetric):
+    """Reference `f1` = binary/macro F1 by config (metrics/f1.py)."""
+
+    def __call__(self, batch, output):
+        avg = self.params.get("average", "macro")
+        cls = MacroF1 if avg == "macro" else MicroF1
+        return cls(self.params)(batch, output)
+
+
+@registry.register_metric("multi_macro_f1")
+class MultiMacroF1(BaseMetric):
+    """Macro F1 per task head, averaged (reference multi_macro_f1)."""
+
+    def __call__(self, batch, output):
+        logits = output["logits"]
+        targets = batch["targets"]
+        if isinstance(logits, (list, tuple)):
+            vals = [MacroF1(self.params)({"targets": t}, {"logits": l})
+                    for l, t in zip(logits, targets)]
+            return jnp.mean(jnp.stack(vals))
+        return MacroF1(self.params)(batch, output)
+
+
+@registry.register_metric("multi_accuracy")
+class MultiAccuracy(BaseMetric):
+    """Accuracy averaged across task heads."""
+
+    def __call__(self, batch, output):
+        from antmmf_tpu.modules.metrics.metrics import Accuracy
+
+        logits = output["logits"]
+        targets = batch["targets"]
+        if isinstance(logits, (list, tuple)):
+            vals = [Accuracy()({"targets": t}, {"logits": l})
+                    for l, t in zip(logits, targets)]
+            return jnp.mean(jnp.stack(vals))
+        return Accuracy()(batch, output)
+
+
+@registry.register_metric("named_accuracy")
+class NamedAccuracy(BaseMetric):
+    """Accuracy over configurable logits/targets keys (reference named_accuracy)."""
+
+    def __call__(self, batch, output):
+        logits = output[self.params.get("logits_key", "logits")]
+        targets = batch[self.params.get("targets_key", "targets")]
+        pred = _pred_classes(logits, targets)
+        return jnp.mean((pred == targets).astype(jnp.float32))
+
+
+@registry.register_metric("macro_roc_auc")
+class MacroRocAuc(RocAuc):
+    """One-vs-rest AUC averaged over classes (host-side)."""
+
+    def __call__(self, batch, output):
+        logits = np.asarray(output["logits"], np.float32)
+        targets = np.asarray(batch["targets"])
+        if logits.ndim == 1 or logits.shape[-1] <= 2:
+            return super().__call__(batch, output)
+        aucs = []
+        for c in range(logits.shape[-1]):
+            y = (targets == c).astype(np.float32)
+            if y.min() == y.max():
+                continue
+            aucs.append(float(super().__call__(
+                {"targets": y}, {"logits": logits[:, c]})))
+        return jnp.asarray(np.mean(aucs) if aucs else 0.5, jnp.float32)
+
+
+@registry.register_metric("micro_roc_auc")
+class MicroRocAuc(RocAuc):
+    """AUC over flattened one-hot scores (host-side)."""
+
+    def __call__(self, batch, output):
+        logits = np.asarray(output["logits"], np.float32)
+        targets = np.asarray(batch["targets"])
+        if logits.ndim > 1 and logits.shape[-1] > 2:
+            onehot = np.eye(logits.shape[-1])[targets].reshape(-1)
+            return super().__call__({"targets": onehot},
+                                    {"logits": logits.reshape(-1)})
+        return super().__call__(batch, output)
+
+
+@registry.register_metric("ks")
+class KolmogorovSmirnov(BaseMetric):
+    """KS statistic = max(TPR − FPR) over thresholds (reference metrics/ks.py)."""
+
+    def __call__(self, batch, output):
+        scores = np.asarray(output["logits"], np.float32).reshape(-1)
+        if scores.ndim == 1 and np.asarray(output["logits"]).ndim == 2:
+            scores = np.asarray(output["logits"], np.float32)[:, -1]
+        y = np.asarray(batch["targets"]).reshape(-1).astype(bool)
+        order = np.argsort(-scores)
+        y = y[order]
+        P = max(int(y.sum()), 1)
+        N = max(int((~y).sum()), 1)
+        tpr = np.cumsum(y) / P
+        fpr = np.cumsum(~y) / N
+        return jnp.asarray(float(np.max(tpr - fpr)), jnp.float32)
+
+
+@registry.register_metric("span_f1")
+@registry.register_metric("SpanF1")
+class SpanF1Metric(BaseMetric):
+    """Exact-span F1 over BIO tag sequences (reference SpanF1)."""
+
+    @staticmethod
+    def _spans(tags: np.ndarray, mask: np.ndarray):
+        spans, start = [], None
+        for i, (t, m) in enumerate(zip(tags, mask)):
+            if not m:
+                break
+            if t % 2 == 1:  # odd = B-<cls>
+                if start is not None:
+                    spans.append((start, i, int(tags[start])))
+                start = i
+            elif t == 0 and start is not None:
+                spans.append((start, i, int(tags[start])))
+                start = None
+        if start is not None:
+            spans.append((start, int(mask.sum()), int(tags[start])))
+        return spans
+
+    def __call__(self, batch, output):
+        logits = np.asarray(output["logits"])
+        pred = logits.argmax(-1) if logits.ndim == 3 else logits
+        gold = np.asarray(batch["targets"])
+        mask = np.asarray(batch.get("input_mask", np.ones_like(gold)))
+        scores = [span_f1(self._spans(p, m), self._spans(g, m))
+                  for p, g, m in zip(pred, gold, mask)]
+        return jnp.asarray(float(np.mean(scores)), jnp.float32)
+
+
+@registry.register_metric("multi_label_metric")
+@registry.register_metric("multilabel_metric")
+class MultiLabelMetric(BaseMetric):
+    """Per-label precision/recall micro-aggregate at a 0.5 threshold."""
+
+    def __call__(self, batch, output):
+        probs = jax.nn.sigmoid(jnp.asarray(output["logits"], jnp.float32))
+        pred = (probs > float(self.params.get("threshold", 0.5)))
+        gold = jnp.asarray(batch["targets"]) > 0.5
+        tp = jnp.sum(pred & gold)
+        prec = tp / jnp.maximum(jnp.sum(pred), 1)
+        rec = tp / jnp.maximum(jnp.sum(gold), 1)
+        return 2 * prec * rec / jnp.maximum(prec + rec, 1e-9)
+
+
+@registry.register_metric("multi_label_threshold_metric")
+class MultiLabelThresholdMetric(MultiLabelMetric):
+    """Same with a configurable per-call threshold (reference variant)."""
+
+
+@registry.register_metric("rule_multi_label_metric")
+class RuleMultiLabelMetric(MultiLabelMetric):
+    """Reference applies post-hoc label rules before scoring; rules are
+    config regex→label maps applied upstream — scoring is identical."""
+
+
+@registry.register_metric("asm_metric")
+class ASMMetric(BaseMetric):
+    """Angular-softmax-margin accuracy: cosine-logit argmax accuracy
+    (reference asm_metric for the cos_amssoftmax/cosarc losses)."""
+
+    def __call__(self, batch, output):
+        logits = output.get("cosine", output["logits"])
+        targets = batch["targets"]
+        return jnp.mean((jnp.argmax(logits, -1) == targets)
+                        .astype(jnp.float32))
+
+
+@registry.register_metric("hier_label_accuracy")
+class HierLabelAccuracy(BaseMetric):
+    """Accuracy at every hierarchy level, averaged (reference hier metrics)."""
+
+    def __call__(self, batch, output):
+        logits = output["logits"]
+        targets = batch["targets"]
+        if isinstance(logits, (list, tuple)):
+            accs = [jnp.mean((jnp.argmax(l, -1) == t).astype(jnp.float32))
+                    for l, t in zip(logits, targets)]
+            return jnp.mean(jnp.stack(accs))
+        return jnp.mean((jnp.argmax(logits, -1) == targets)
+                        .astype(jnp.float32))
+
+
+@registry.register_metric("hier_multilabel_f1")
+class HierMultilabelF1(MultiLabelMetric):
+    """Multilabel F1 over flattened hierarchy levels."""
+
+
+# ---- graph / KG metrics (comp_gcn stack) ----------------------------------
+
+
+@registry.register_metric("node_accuracy")
+class NodeAccuracy(BaseMetric):
+    def __call__(self, batch, output):
+        logits = output["logits"]
+        targets = batch.get("node_targets", batch["targets"])
+        mask = batch.get("node_mask")
+        correct = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
+        if mask is not None:
+            return jnp.sum(correct * mask) / jnp.maximum(jnp.sum(mask), 1)
+        return jnp.mean(correct)
+
+
+@registry.register_metric("edge_accuracy")
+class EdgeAccuracy(NodeAccuracy):
+    def __call__(self, batch, output):
+        b = dict(batch)
+        if "edge_targets" in b:
+            b["targets"] = b["edge_targets"]
+            b["node_mask"] = b.get("edge_mask")
+        return super().__call__(b, output)
+
+
+@registry.register_metric("link_accuracy")
+class LinkAccuracy(BaseMetric):
+    """Link-prediction hit@1 (comp_gcn logits over all entities)."""
+
+    def __call__(self, batch, output):
+        return jnp.mean((jnp.argmax(output["logits"], -1) == batch["targets"])
+                        .astype(jnp.float32))
+
+
+@registry.register_metric("rank_and_hits")
+class RankAndHits(BaseMetric):
+    """Filtered KG ranking: known positives (``all_targets`` multi-hot or id
+    list) are masked out except the scored target; reports MRR
+    (reference rank_and_hits.py)."""
+
+    def __call__(self, batch, output):
+        logits = np.asarray(output["logits"], np.float32)
+        target = np.asarray(batch["targets"]).reshape(-1)
+        filt = batch.get("all_targets")
+        scores = logits.copy()
+        if filt is not None:
+            filt = np.asarray(filt)
+            for i in range(len(scores)):
+                keep = scores[i, target[i]]
+                pos = filt[i][filt[i] >= 0] if filt.ndim == 2 else \
+                    np.nonzero(filt[i])[0]
+                scores[i, pos] = -np.inf
+                scores[i, target[i]] = keep
+        rank = (scores > scores[np.arange(len(scores)), target][:, None]
+                ).sum(-1) + 1
+        return jnp.asarray(float(np.mean(1.0 / rank)), jnp.float32)
+
+
+# ---- captioning / retrieval registered fronts ------------------------------
+
+
+@registry.register_metric("bleu4")
+@registry.register_metric("caption_bleu4")
+class Bleu4Metric(BaseMetric):
+    """Batch BLEU-4 over token-id sequences (``captions`` vs ``targets``)."""
+
+    def __call__(self, batch, output):
+        cands = np.asarray(output.get("captions", output.get("logits"))).tolist()
+        refs = np.asarray(batch["targets"]).tolist()
+        return jnp.asarray(bleu4(cands, [[r] for r in refs]), jnp.float32)
+
+
+@registry.register_metric("rouge")
+class RougeMetric(BaseMetric):
+    def __call__(self, batch, output):
+        cands = np.asarray(output.get("captions", output.get("logits"))).tolist()
+        refs = np.asarray(batch["targets"]).tolist()
+        return jnp.asarray(
+            float(np.mean([rouge_l(c, r) for c, r in zip(cands, refs)])),
+            jnp.float32)

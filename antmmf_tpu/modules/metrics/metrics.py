@@ -80,6 +80,33 @@ class MMRetrievalRecall(BaseMetric):
         return (rank < int(topk)).mean()
 
 
+def _register_mm_recall_variants():
+    """The reference registers per-K fronts (mm_retrieval_recall.py:55-162)."""
+    for k in (1, 5, 10):
+        @registry.register_metric(f"mm_retrieval_recall@{k}")
+        class _MMRecallK(MMRetrievalRecall):  # noqa: B023
+            _k = k
+
+            def __call__(self, batch, output):
+                self.params = {**self.params, "topk": self._k}
+                return MMRetrievalRecall.__call__(self, batch, output)
+
+    @registry.register_metric("mm_retrieval_median_rank")
+    class _MMMedianRank(MMRetrievalRecall):
+        def __call__(self, batch, output):
+            self.params = {**self.params, "topk": "median-rank"}
+            return MMRetrievalRecall.__call__(self, batch, output)
+
+    @registry.register_metric("global_retrieval_recall")
+    class _GlobalRetrievalRecall(MMRetrievalRecall):
+        """Batch-plane front for the corpus evaluator of the same name
+        (evaluators.GlobalRetrievalRecallEvaluator owns the real multi-gt
+        corpus computation; this reports in-batch diagonal R@1)."""
+
+
+_register_mm_recall_variants()
+
+
 class Metrics:
     """Aggregate configured batch metrics into a flat named dict."""
 
