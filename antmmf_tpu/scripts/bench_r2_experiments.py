@@ -296,13 +296,20 @@ def main():
 
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "backend": jax.default_backend()}), flush=True)
-    run_retrieval(32, "retrieval_b32_baseline")
-    run_retrieval(64, "retrieval_b64")
-    run_retrieval(128, "retrieval_b128")
-    run_retrieval(32, "retrieval_b32_ln_bf16", ln_bf16=True)
-    run_pretrain(32)
-    run_cross_mining(32, 8)
-    run_loader_fed(8)
+    for fn in (
+        lambda: run_retrieval(32, "retrieval_b32_baseline"),
+        lambda: run_retrieval(64, "retrieval_b64"),
+        lambda: run_retrieval(128, "retrieval_b128"),
+        lambda: run_retrieval(32, "retrieval_b32_ln_bf16", ln_bf16=True),
+        lambda: run_pretrain(32),
+        lambda: run_cross_mining(16, 4),
+        lambda: run_loader_fed(8),
+    ):
+        try:
+            fn()
+        except Exception as e:  # keep going; record the failure
+            print(json.dumps({"exp_error": type(e).__name__,
+                              "msg": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

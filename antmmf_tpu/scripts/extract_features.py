@@ -45,6 +45,14 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--pack_lmdb", default=None,
                         help="optional output .lmdb path")
+    parser.add_argument(
+        "--mode", default="grid", choices=("grid", "regions"),
+        help="grid: [h*w, C] token features; regions: .npz with pooled "
+        "region features + absolute xyxy boxes + conf (the FRCNN-output "
+        "format the reference's region pipeline consumes — grid-cell "
+        "regions per 'In Defense of Grid Features', detr_processor class)")
+    parser.add_argument("--num_regions", type=int, default=36,
+                        help="regions mode: k*k grid cells (36 = 6x6)")
     args = parser.parse_args(argv)
 
     db = ImageDatabase(args.image_dir)
@@ -67,12 +75,44 @@ def main(argv=None) -> None:
         B, h, w, C = gf.shape
         return gf.reshape(B, h * w, C)
 
+    k = max(1, int(round(args.num_regions ** 0.5)))
+
+    @jax.jit
+    def extract_regions(imgs):
+        out = enc.apply(variables, imgs)
+        gf = out["grid_feature"][:, 0]  # [B, h, w, C]
+        B, h, w, C = gf.shape
+        # pool h×w grid into k×k region cells (mean) — grid-cell regions
+        ph, pw = h // k, w // k
+        cells = gf[:, : ph * k, : pw * k].reshape(B, k, ph, k, pw, C)
+        feats = cells.mean(axis=(2, 4)).reshape(B, k * k, C)
+        return feats
+
+    def region_boxes() -> np.ndarray:
+        s = args.image_size / k
+        boxes = np.array([[x * s, y * s, (x + 1) * s, (y + 1) * s]
+                          for y in range(k) for x in range(k)], np.float32)
+        return boxes
+
     for batch_names in iter_batches(names, args.batch_size):
         imgs = np.stack([proc.transform_array(db(n)) for n in batch_names])
-        feats = np.asarray(extract(imgs[:, None]))
-        for name, feat in zip(batch_names, feats):
-            np.save(os.path.join(args.out_dir,
-                                 os.path.splitext(name)[0] + ".npy"), feat)
+        if args.mode == "regions":
+            # fp32 on disk: npy/npz can't represent bfloat16 portably
+            feats = np.asarray(extract_regions(imgs[:, None]),
+                               dtype=np.float32)
+            boxes = region_boxes()
+            for name, feat in zip(batch_names, feats):
+                np.savez(
+                    os.path.join(args.out_dir,
+                                 os.path.splitext(name)[0] + ".npz"),
+                    features=feat, boxes=boxes,
+                    conf=np.ones(len(boxes), np.float32),
+                    image_size=np.array([args.image_size] * 2, np.int64))
+        else:
+            feats = np.asarray(extract(imgs[:, None]), dtype=np.float32)
+            for name, feat in zip(batch_names, feats):
+                np.save(os.path.join(args.out_dir,
+                                     os.path.splitext(name)[0] + ".npy"), feat)
     print(f"extracted {len(names)} feature files to {args.out_dir}")
 
     if args.pack_lmdb:

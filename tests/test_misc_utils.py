@@ -104,3 +104,54 @@ def test_remote_trainer_submission(tmp_path):
 
     with _pytest.raises(ValueError, match="submit_command"):
         bad.load()
+
+
+def test_extract_vocabulary_script(tmp_path):
+    import json
+
+    from antmmf_tpu.scripts.extract_vocabulary import extract_vocabulary
+
+    ann = tmp_path / "train.jsonl"
+    rows = [{"caption": "a little girl does gymnastics"},
+            {"caption": "a girl runs"}]
+    ann.write_text("\n".join(json.dumps(r) for r in rows))
+    path = extract_vocabulary([str(ann)], str(tmp_path), min_freq=1,
+                              text_key="caption")
+    words = open(path).read().split()
+    assert "girl" in words and "gymnastics" in words
+    # min_freq filter
+    path2 = extract_vocabulary([str(ann)], str(tmp_path), min_freq=2,
+                               vocab_file_name="v2.txt", text_key="caption")
+    words2 = open(path2).read().split()
+    assert words2 == ["a", "girl"]
+
+
+def test_extract_features_regions_mode(tmp_path, data_dir):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from antmmf_tpu.scripts.extract_features import main as extract_main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    shutil.copy(os.path.join(data_dir, "image", "dog.jpg"),
+                img_dir / "dog.jpg")
+    out = tmp_path / "feats"
+    extract_main(["--image_dir", str(img_dir), "--out_dir", str(out),
+                  "--encoder", "vit", "--preset", "vit_tiny_test",
+                  "--image_size", "64", "--batch_size", "1",
+                  "--mode", "regions", "--num_regions", "4"])
+    data = np.load(out / "dog.npz")
+    assert data["features"].shape[0] == 4
+    assert data["boxes"].shape == (4, 4)
+    # boxes tile the image
+    assert float(data["boxes"][-1][2]) == 64.0
+    # FeaturesDatabase reads it back
+    from antmmf_tpu.datasets.database.features_database import FeaturesDatabase
+
+    db = FeaturesDatabase(str(out), max_regions=4)
+    item = db("dog")
+    assert item["image_feature"].shape[0] == 4
+    assert item["image_feature_mask"].sum() == 4
