@@ -106,7 +106,15 @@ class MultiSourceLoader:
     """Dispatch clip loads across source kinds: video files, keyframe dirs, or LMDB
     (reference video_database.py:289-335)."""
 
-    def __init__(self, root: str, source: str = "video", **kwargs: Any):
+    def __init__(self, root: str, source: str = "auto", **kwargs: Any):
+        if source == "auto":
+            # thin-host fast path: pre-extracted keyframe dirs decode ~10×
+            # faster than mp4 seeks (BASELINE.md host-decode row); prefer them
+            # automatically when a sibling `<root>_keyframes` tree exists
+            kf_root = root.rstrip("/") + "_keyframes"
+            source = "keyframes" if os.path.isdir(kf_root) else "video"
+            if source == "keyframes":
+                root = kf_root
         self.source = source
         if source == "video":
             self.db: Any = VideoClipsDatabase(root, **kwargs)

@@ -19,7 +19,7 @@ from antmmf_tpu.common.registry import registry
 from antmmf_tpu.datasets.base_dataset import BaseDataset
 from antmmf_tpu.datasets.base_dataset_builder import BaseDatasetBuilder
 from antmmf_tpu.datasets.database.annotated import AnnotatedDatabase
-from antmmf_tpu.datasets.database.video_database import VideoClipsDatabase
+from antmmf_tpu.datasets.database.video_database import MultiSourceLoader
 from antmmf_tpu.datasets.processors.image_processors import NormalizedImageProcessor
 from antmmf_tpu.datasets.processors.text_processors import MaskedTokenProcessor
 from antmmf_tpu.structures.sample import Sample
@@ -33,8 +33,9 @@ class MultiChoiceQADataset(BaseDataset):
         ann = cfg.get("annotations", {}).get(dataset_type) or \
             cfg.get("annotations", {}).get("train")
         self.annotations = AnnotatedDatabase(os.path.join(root, ann))
-        self.video_db = VideoClipsDatabase(
-            os.path.join(root, cfg.get("video_root", "")), seed=cfg.get("seed", 0))
+        self.video_db = MultiSourceLoader(
+            os.path.join(root, cfg.get("video_root", "")),
+            source=cfg.get("video_source", "auto"), seed=cfg.get("seed", 0))
         self.n_clips = int(cfg.get("n_clips", 1))
         self.frames_per_clip = int(cfg.get("frames_per_clip", 4))
         self.n_options = int(cfg.get("n_options", 5))

@@ -27,7 +27,7 @@ from antmmf_tpu.common.registry import registry
 from antmmf_tpu.datasets.base_dataset import BaseDataset
 from antmmf_tpu.datasets.base_dataset_builder import BaseDatasetBuilder
 from antmmf_tpu.datasets.database.annotated import AnnotatedDatabase
-from antmmf_tpu.datasets.database.video_database import VideoClipsDatabase
+from antmmf_tpu.datasets.database.video_database import MultiSourceLoader
 from antmmf_tpu.datasets.database.image_database import ImageDatabase
 from antmmf_tpu.datasets.processors.image_processors import NormalizedImageProcessor
 from antmmf_tpu.datasets.processors.text_processors import MaskedTokenProcessor
@@ -47,8 +47,11 @@ class VideoTextDataset(BaseDataset):
         self.media_format = cfg.get("media_format", "video")  # video | image | mixed
         media_root = os.path.join(root, cfg.get("video_root", cfg.get("image_root", "")))
         if self.media_format in ("video", "mixed"):
-            self.video_db = VideoClipsDatabase(media_root,
-                                               seed=cfg.get("seed", 0))
+            # source=auto prefers a sibling <root>_keyframes tree (decode-free
+            # thin-host fast path) and falls back to mp4 sparse sampling
+            self.video_db = MultiSourceLoader(
+                media_root, source=cfg.get("video_source", "auto"),
+                seed=cfg.get("seed", 0))
         if self.media_format in ("image", "mixed"):
             img_root = os.path.join(root, cfg.get("image_root", "")) \
                 if cfg.get("image_root") is not None else media_root

@@ -1,0 +1,67 @@
+"""Offline keyframe extraction: mp4 tree → `<root>_keyframes/<clip>/NNN.jpg`.
+
+The thin-host input-pipeline fast path (BASELINE.md): mp4 seek-decode costs
+~8 clips/s/core while jpeg keyframe reads are ~10× cheaper; extracting frames
+once offline lets ``MultiSourceLoader(source="auto")`` skip video decode at
+train time entirely (reference ``KeyFramesDatabase``,
+video_database.py:230-245).
+
+Usage::
+
+    python -m antmmf_tpu.scripts.extract_keyframes \
+        --video_root data/mp4 --frames 32 [--out_root data/mp4_keyframes]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+_VID_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm")
+
+
+def extract_keyframes(video_root: str, out_root: str = None,
+                      frames: int = 32, quality: int = 92) -> int:
+    import cv2
+
+    from antmmf_tpu.utils.video_utils import VideoReader
+
+    out_root = out_root or video_root.rstrip("/") + "_keyframes"
+    count = 0
+    for dirpath, _, files in os.walk(video_root):
+        for f in sorted(files):
+            if not f.lower().endswith(_VID_EXTS):
+                continue
+            src = os.path.join(dirpath, f)
+            rel = os.path.relpath(src, video_root)
+            clip = os.path.splitext(rel)[0]
+            dst = os.path.join(out_root, clip)
+            os.makedirs(dst, exist_ok=True)
+            with VideoReader(src) as vr:
+                n = min(frames, vr.num_frames)
+                idx = np.linspace(0, vr.num_frames - 1, n).astype(int)
+                imgs = vr.read_frames(idx)
+            for i, img in enumerate(imgs):
+                cv2.imwrite(os.path.join(dst, f"{i:04d}.jpg"),
+                            img[:, :, ::-1],
+                            [cv2.IMWRITE_JPEG_QUALITY, quality])
+            count += 1
+    print(f"extracted keyframes for {count} clips into {out_root}")
+    return count
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--video_root", required=True)
+    parser.add_argument("--out_root", default=None)
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--quality", type=int, default=92)
+    args = parser.parse_args(argv)
+    extract_keyframes(args.video_root, args.out_root, args.frames,
+                      args.quality)
+
+
+if __name__ == "__main__":
+    main()

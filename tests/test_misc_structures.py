@@ -118,3 +118,46 @@ def test_image_list_padding_and_divisibility():
     masks = il.pad_masks()
     assert masks.shape == (2, 64, 64)
     assert not masks[0, :30, :40].any() and masks[0, 30:, :].all()
+
+
+def test_multisource_auto_prefers_keyframes(tmp_path, data_dir):
+    """source=auto uses <root>_keyframes when present (thin-host fast path)
+    and falls back to mp4 decode otherwise."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+
+    from antmmf_tpu.datasets.database.video_database import MultiSourceLoader
+    from antmmf_tpu.scripts.extract_keyframes import extract_keyframes
+
+    src = os.path.join(data_dir, "video", "data", "mp4")
+    video_root = str(tmp_path / "mp4")
+    shutil.copytree(src, video_root)
+
+    # no keyframes yet → auto = video decode
+    loader = MultiSourceLoader(video_root)
+    assert loader.source == "video"
+    clips_v = loader.get("video9770", n_clips=1, frames_per_clip=4)
+    assert clips_v.shape[:2] == (1, 4)
+
+    n = extract_keyframes(video_root, frames=8)
+    assert n >= 2
+
+    loader2 = MultiSourceLoader(video_root)
+    assert loader2.source == "keyframes"
+    clips_k = loader2.get("video9770", n_clips=1, frames_per_clip=4)
+    assert clips_k.shape[:2] == (1, 4)
+    assert clips_k.shape[2:] == clips_v.shape[2:]
+
+    # keyframe reads are faster than mp4 seek-decode
+    t0 = time.perf_counter()
+    for _ in range(3):
+        loader2.get("video9770", n_clips=1, frames_per_clip=4)
+    t_kf = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        loader.get("video9770", n_clips=1, frames_per_clip=4)
+    t_mp4 = time.perf_counter() - t0
+    assert t_kf < t_mp4
