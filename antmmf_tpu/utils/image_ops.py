@@ -167,3 +167,75 @@ def random_color2(img: np.ndarray, strength: float = 0.2,
     c = 1.0 + rng.uniform(-strength, strength)
     mean = img.mean()
     return np.clip((img - mean) * c + mean * b, 0.0, None)
+
+
+def random_affine2(img: np.ndarray, max_shift: float = 0.1,
+                   max_scale: float = 0.1,
+                   rng: "np.random.Generator" = None) -> np.ndarray:
+    """Small translate+scale affine (reference random_affine_v2): implemented
+    as a crop-shift + resize back, dependency-free."""
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    s = 1.0 + rng.uniform(0, max_scale)
+    ch, cw = max(1, int(h / s)), max(1, int(w / s))
+    dy = int(rng.uniform(0, max_shift) * (h - ch))
+    dx = int(rng.uniform(0, max_shift) * (w - cw))
+    return resize_image(img[dy: dy + ch, dx: dx + cw], (h, w))
+
+
+def salt_pepper_noise(img: np.ndarray, amount: float = 0.02,
+                      salt_vs_pepper: float = 0.5,
+                      rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    out = img.copy()
+    mask = rng.uniform(size=img.shape[:2])
+    hi = float(img.max()) if img.size else 1.0
+    out[mask < amount * salt_vs_pepper] = hi
+    out[(mask >= amount * salt_vs_pepper) & (mask < amount)] = 0.0
+    return out
+
+
+def poisson_noise(img: np.ndarray,
+                  rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    scaled = np.clip(img, 0.0, 1.0) * 255.0
+    return (rng.poisson(scaled) / 255.0).astype(np.float32)
+
+
+def speckle_noise(img: np.ndarray, sigma: float = 0.1,
+                  rng: "np.random.Generator" = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    return img * (1.0 + rng.normal(0, sigma, img.shape).astype(img.dtype))
+
+
+def rand_text(img: np.ndarray, rng: "np.random.Generator" = None,
+              text: str = None) -> np.ndarray:
+    """Overlay random text (watermark-robustness aug, reference randText)."""
+    rng = rng or np.random.default_rng()
+    try:
+        import cv2
+    except Exception:
+        return img
+    h, w = img.shape[:2]
+    if text is None:
+        letters = "abcdefghijklmnopqrstuvwxyz0123456789 "
+        text = "".join(letters[i] for i in
+                       rng.integers(0, len(letters), rng.integers(4, 12)))
+    org = (int(rng.uniform(0, 0.6) * w), int(rng.uniform(0.2, 0.95) * h))
+    # cv2.putText needs uint8; draw on a scaled copy and convert back
+    was_float = np.issubdtype(img.dtype, np.floating)
+    hi = float(img.max()) if was_float and img.size else 1.0
+    canvas = (np.clip(img / max(hi, 1e-9), 0, 1) * 255).astype(np.uint8) \
+        if was_float else np.ascontiguousarray(img)
+    color = tuple(int(c) for c in rng.integers(0, 256, 3))
+    cv2.putText(canvas, text, org, cv2.FONT_HERSHEY_SIMPLEX,
+                float(rng.uniform(0.4, 1.2)), color, 1, cv2.LINE_AA)
+    if was_float:
+        return canvas.astype(np.float32) / 255.0 * max(hi, 1e-9)
+    return canvas
+
+
+# reference-name aliases (dataset_utils.py function zoo)
+randText = rand_text
+random_affine = random_affine2
+random_color = random_color2

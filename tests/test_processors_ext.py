@@ -215,3 +215,17 @@ def test_detr_processor_boxes_and_scales():
     # box scaled by the resize ratio
     ratio = w1 / 120
     np.testing.assert_allclose(tgt["boxes"][0][0], 10 * ratio, rtol=1e-5)
+
+
+def test_full_augmentation_zoo_via_custom_transforms():
+    cls = registry.get_processor_class("custom_transforms")
+    proc = cls({"mode": "sequential", "seed": 0, "transforms": [
+        {"type": "random_affine2"},
+        {"type": "salt_pepper_noise", "params": {"amount": 0.05}},
+        {"type": "poisson_noise"},
+        {"type": "speckle_noise"},
+        {"type": "rand_text"},
+    ]})
+    img = np.random.default_rng(2).uniform(size=(48, 48, 3)).astype(np.float32)
+    out = proc(img)
+    assert out.shape == (48, 48, 3) and np.isfinite(out).all()
