@@ -33,6 +33,10 @@ class PinkModel(BaseModel):
     vit_preset: str = "vit_base_patch32"
     image_size: int = 224
     lora_rank: int = 8
+    # reference recipe: LoRA adapters ON the decoder q/v projections with the
+    # base LLM frozen (pink/model/adapter.py mark_only_adapter_as_trainable)
+    lora_decoder: bool = True
+    lora_freeze_base: bool = True
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -44,7 +48,9 @@ class PinkModel(BaseModel):
                                     param_dtype=jnp.float32)
         self.decoder = DecoderLM(
             num_layers=p["num_layers"], num_heads=p["num_heads"],
-            num_kv_heads=p["num_kv_heads"], rope_3d=False, dtype=dtype)
+            num_kv_heads=p["num_kv_heads"], rope_3d=False,
+            lora_rank=self.lora_rank if self.lora_decoder else 0,
+            lora_freeze_base=self.lora_freeze_base, dtype=dtype)
         self.vision_tower = VisionTransformer(
             image_size=self.image_size, dtype=dtype,
             **dict(VIT_PRESETS[self.vit_preset]))

@@ -84,6 +84,13 @@ class GQAttention(nn.Module):
     head_dim: Optional[int] = None
     rope_theta: float = 10000.0
     rope_3d: bool = False
+    # LoRA adapters on q/v (the Pink finetuning recipe — reference trains
+    # low-rank adapters on the decoder attention, pink/model/adapter.py);
+    # with lora_freeze_base the base projections are stop-gradiented so only
+    # the adapters (and whatever else the optimizer sees) receive gradients
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -102,12 +109,27 @@ class GQAttention(nn.Module):
             f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name)
 
+        def maybe_lora(base_out, feats, name):
+            if self.lora_rank <= 0:
+                return base_out
+            if self.lora_freeze_base:
+                base_out = jax.lax.stop_gradient(base_out)
+            a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
+                           (C, self.lora_rank), jnp.float32)
+            b = self.param(f"{name}_lora_b", nn.initializers.zeros,
+                           (self.lora_rank, feats), jnp.float32)
+            scale = self.lora_alpha / self.lora_rank
+            delta = (x.astype(jnp.float32) @ a @ b) * scale
+            return base_out + delta.astype(base_out.dtype)
+
         def heads(t, n):
             return t.reshape(B, L, n, head_dim).transpose(0, 2, 1, 3)
 
-        q = heads(dense(self.num_heads * head_dim, "q_proj")(x), self.num_heads)
-        k = heads(dense(n_kv * head_dim, "k_proj")(x), n_kv)
-        v = heads(dense(n_kv * head_dim, "v_proj")(x), n_kv)
+        qf = self.num_heads * head_dim
+        kvf = n_kv * head_dim
+        q = heads(maybe_lora(dense(qf, "q_proj")(x), qf, "q"), self.num_heads)
+        k = heads(dense(kvf, "k_proj")(x), n_kv)
+        v = heads(maybe_lora(dense(kvf, "v_proj")(x), kvf, "v"), n_kv)
 
         rope = apply_rope_3d if self.rope_3d else apply_rope
         q = rope(q, positions, self.rope_theta)
@@ -164,6 +186,9 @@ class DecoderLayer(nn.Module):
     mlp_ratio: float = 2.6875  # llama-style 8/3 rounded
     rope_theta: float = 10000.0
     rope_3d: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -171,7 +196,9 @@ class DecoderLayer(nn.Module):
         h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
         x = x + GQAttention(
             num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
-            rope_theta=self.rope_theta, rope_3d=self.rope_3d, dtype=self.dtype,
+            rope_theta=self.rope_theta, rope_3d=self.rope_3d,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_freeze_base=self.lora_freeze_base, dtype=self.dtype,
             name="attention")(h, positions, bias, deterministic)
         h = RMSNorm(dtype=self.dtype, name="post_attn_norm")(x)
         return x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
@@ -188,6 +215,9 @@ class DecoderLM(nn.Module):
     mlp_ratio: float = 2.6875
     rope_theta: float = 10000.0
     rope_3d: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -210,6 +240,9 @@ class DecoderLM(nn.Module):
             x = DecoderLayer(
                 num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
                 mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
-                rope_3d=self.rope_3d, dtype=self.dtype, name=f"layer_{i}",
+                rope_3d=self.rope_3d, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
+                lora_freeze_base=self.lora_freeze_base,
+                dtype=self.dtype, name=f"layer_{i}",
             )(x, positions, bias, deterministic)
         return RMSNorm(dtype=self.dtype, name="final_norm")(x)

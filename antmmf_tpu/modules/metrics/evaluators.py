@@ -212,11 +212,55 @@ class CaptioningEvaluator(BaseEvaluator):
         }
 
 
+class GroundingEvaluator(BaseEvaluator):
+    """Referential-comprehension accuracy: parse the predicted box out of the
+    generated text and score IoU >= threshold against the ground-truth box
+    (the Pink/RefCOCO eval protocol, prj/Pink/pink/eval/)."""
+
+    def __init__(self, params: Optional[Mapping[str, Any]] = None):
+        self.threshold = float(dict(params or {}).get("iou_threshold", 0.5))
+        self.reset()
+
+    def reset(self) -> None:
+        self._hits: List[float] = []
+
+    def collect(self, batch: Mapping, output: Mapping) -> None:
+        from antmmf_tpu.datasets.processors.pink_processors import parse_boxes
+
+        texts = output.get("generated_text")
+        gt = np.asarray(batch["gt_box"], np.float32).reshape(-1, 4)
+        widths = np.asarray(batch.get("width", np.ones(len(gt))))
+        heights = np.asarray(batch.get("height", np.ones(len(gt))))
+        e2s = bool(np.asarray(batch.get("expand2square", True)).reshape(-1)[0]) \
+            if "expand2square" in batch else True
+        for i, text in enumerate(texts):
+            boxes = parse_boxes(str(text), float(widths[i]),
+                                float(heights[i]), e2s)
+            if len(boxes) == 0:
+                self._hits.append(0.0)
+                continue
+            b, g = boxes[0], gt[i]
+            lt = np.maximum(b[:2], g[:2])
+            rb = np.minimum(b[2:], g[2:])
+            inter = np.prod(np.clip(rb - lt, 0, None))
+            union = (np.prod(np.clip(b[2:] - b[:2], 0, None))
+                     + np.prod(np.clip(g[2:] - g[:2], 0, None)) - inter)
+            iou = inter / max(union, 1e-9)
+            self._hits.append(float(iou >= self.threshold))
+
+    def summarize(self) -> Dict[str, float]:
+        if not self._hits:
+            return {"grounding_acc": 0.0}
+        return {"grounding_acc": float(np.mean(self._hits)) * 100.0,
+                "n_evaluated": float(len(self._hits))}
+
+
 EVALUATORS = {
     "global_retrieval_recall": GlobalRetrievalRecallEvaluator,
     "classification": ClassificationEvaluator,
     "vqa_accuracy": VQAAccuracyEvaluator,
     "captioning": CaptioningEvaluator,
+    "grounding": GroundingEvaluator,
 }
 
 

@@ -1,0 +1,125 @@
+"""Pink depth: conversation templates, box serialization, decoder-q/v LoRA,
+grounding eval (round-1 gap: Pink 97 LoC vs reference 11.7k)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_conversation_templates():
+    from antmmf_tpu.utils.conversation import get_conv_template
+
+    conv = get_conv_template("vicuna_v1")
+    conv.append_message(conv.roles[0], "Where is the dog?")
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    assert prompt.endswith("ASSISTANT:")
+    assert "Where is the dog?" in prompt and prompt.startswith("A chat")
+
+    conv2 = get_conv_template("llama2")
+    conv2.append_message(conv2.roles[0], "hi")
+    conv2.append_message(conv2.roles[1], "hello")
+    assert "[/INST] hello" in conv2.get_prompt()
+    # copies are independent
+    conv3 = get_conv_template("vicuna_v1")
+    assert conv3.messages == []
+
+
+def test_box_serialization_roundtrip():
+    from antmmf_tpu.datasets.processors.pink_processors import (
+        parse_boxes,
+        serialize_box,
+    )
+
+    box = [100.0, 50.0, 300.0, 250.0]
+    w, h = 640, 480
+    text = serialize_box(box, w, h, expand2square=True)
+    assert text.startswith("<loc>[") and text.endswith("]</loc>")
+    recovered = parse_boxes(text, w, h, expand2square=True)[0]
+    np.testing.assert_allclose(recovered, box, atol=1.0)  # 3-decimal quantize
+    # non-square normalization path
+    text2 = serialize_box(box, w, h, expand2square=False)
+    rec2 = parse_boxes(text2, w, h, expand2square=False)[0]
+    np.testing.assert_allclose(rec2, box, atol=1.0)
+
+
+def test_pink_prompt_processor():
+    from antmmf_tpu.common.registry import registry
+
+    proc = registry.get_processor_class("pink_prompt")({"seed": 0})
+    out = proc({"task": "visual_grounding", "expr": "the red car",
+                "box": [10, 10, 50, 50], "width": 100, "height": 100})
+    assert "the red car" in out["prompt"]
+    assert out["answer"].startswith("<loc>[")
+    assert "USER" in out["text"] and "ASSISTANT" in out["text"]
+
+    out2 = proc({"task": "region_caption", "phrase": "a dog",
+                 "box": [10, 10, 50, 50], "width": 100, "height": 100})
+    assert out2["answer"] == "a dog"
+    assert "<loc>[" in out2["prompt"]
+
+
+def test_decoder_lora_adapters_receive_all_gradient():
+    """With lora_freeze_base, only LoRA a/b (and non-attention params) move."""
+    from antmmf_tpu.modules.llm import DecoderLM
+
+    lm = DecoderLM(num_layers=1, num_heads=2, lora_rank=4,
+                   lora_freeze_base=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6))
+    variables = lm.init(jax.random.PRNGKey(1), x, pos)
+
+    def loss(params):
+        return jnp.sum(lm.apply({"params": params}, x, pos) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    att = grads["layer_0"]["attention"]
+    g_base_q = float(jnp.abs(att["q_proj"]["kernel"]).sum())
+    assert g_base_q == 0.0, "frozen base projection received gradient"
+    # LoRA-B starts at zero, so at init the gradient reaches B (A's gradient
+    # is zero until B moves — standard LoRA warm-start behavior)
+    g_lora_b = float(jnp.abs(att["q_lora_b"]).sum()) + \
+        float(jnp.abs(att["v_lora_b"]).sum())
+    assert g_lora_b > 0.0, "LoRA adapters received no gradient"
+    # after one step on B, A receives gradient too
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g,
+                                     variables["params"], grads)
+    grads2 = jax.grad(loss)(params2)
+    att2 = grads2["layer_0"]["attention"]
+    assert float(jnp.abs(att2["q_lora_a"]).sum()) > 0.0
+
+
+def test_pink_model_with_decoder_lora():
+    from antmmf_tpu.models.pink import PinkModel
+
+    model = PinkModel(lm_preset="omni_tiny_test", vit_preset="vit_tiny_test",
+                      image_size=32, lora_rank=4, dtype_str="float32")
+    rng = np.random.default_rng(0)
+    batch = {
+        "image_data": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "input_ids": rng.integers(1, 1000, (2, 8)).astype(np.int64),
+        "labels": rng.integers(0, 1000, (2, 8)).astype(np.int64),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    assert np.isfinite(float(out["losses"]["lm_loss"]))
+
+
+def test_grounding_evaluator():
+    from antmmf_tpu.modules.metrics.evaluators import build_evaluator
+
+    ev = build_evaluator({"type": "grounding",
+                          "params": {"iou_threshold": 0.5}})
+    batch = {"gt_box": np.array([[10, 10, 50, 50], [0, 0, 20, 20]]),
+             "width": np.array([100, 100]),
+             "height": np.array([100, 100])}
+    # serialize the true box for row 0 (hit); garbage for row 1 (miss)
+    from antmmf_tpu.datasets.processors.pink_processors import serialize_box
+
+    good = serialize_box([10, 10, 50, 50], 100, 100)
+    out = {"generated_text": [f"The object is at {good}",
+                              "no box in this answer"]}
+    ev.collect(batch, out)
+    m = ev.summarize()
+    assert m["grounding_acc"] == pytest.approx(50.0)
