@@ -123,3 +123,42 @@ def test_grounding_evaluator():
     ev.collect(batch, out)
     m = ev.summarize()
     assert m["grounding_acc"] == pytest.approx(50.0)
+
+
+def test_sanm_audio_processor():
+    from antmmf_tpu.common.registry import registry
+
+    proc = registry.get_processor_class("sanm_audio")(
+        {"max_frames": 32, "n_mels": 40, "lfr_m": 5, "lfr_n": 4})
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    wav = np.sin(2 * np.pi * 440 * t)  # 1 s of A4
+    out = proc({"waveform": wav, "sampling_rate": 16000})
+    assert out["fbank"].shape == (32, 40 * 5)
+    n = int(out["num_frames"])
+    assert 20 <= n <= 32
+    # CMVN: valid frames ~zero-mean per dim
+    valid = out["fbank"][:n]
+    assert abs(float(valid.mean())) < 0.2
+    assert np.isfinite(out["fbank"]).all()
+
+
+def test_m2_omni_unified_processor():
+    from antmmf_tpu.common.registry import registry
+
+    proc = registry.get_processor_class("m2_omni_processor")({
+        "text": {"vocab_file":
+                 "tests/data/vocabs/bert-base-uncased_30522_vocab.txt",
+                 "max_seq_length": 16},
+        "image": {"size": 32},
+        "audio": {"max_frames": 8, "n_mels": 20, "lfr_m": 3, "lfr_n": 2},
+        "num_image_tokens": 4, "num_audio_tokens": 3,
+        "image_token_id": 1, "audio_token_id": 2})
+    rng = np.random.default_rng(0)
+    out = proc({
+        "text": "<image> <audio> what is the sound?",
+        "image": (rng.uniform(size=(48, 48, 3)) * 255).astype(np.uint8),
+        "waveform": rng.standard_normal(8000).astype(np.float32)})
+    ids = out["input_ids"]
+    assert (ids[:4] == 1).all() and (ids[4:7] == 2).all()
+    assert "image_data" in out and out["image_data"].shape == (32, 32, 3)
+    assert "fbank" in out and out["fbank"].shape[0] == 8
