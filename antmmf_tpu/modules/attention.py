@@ -60,6 +60,17 @@ def select_core(use_pallas: bool, q_shape, k_shape) -> str:
     return "xla"
 
 
+def _use_small_kernel(q_shape, k_shape) -> bool:
+    """Short-sequence fused kernel (ops/pallas/small_attention.py).
+
+    MEASURED OFF on v5e (round 2): at the flagship regime ([256, 12, 50, 64]
+    bf16) the fused kernel is slower than XLA both standalone (1.97 vs 1.84 ms
+    fwd, 4.06 vs 3.35 ms bwd) and in the full train step (91.8 vs 85.9 ms) —
+    XLA already keeps the small score tensor in VMEM-resident fusions. The
+    kernel stays available for explicit use; this router never selects it."""
+    return False
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,

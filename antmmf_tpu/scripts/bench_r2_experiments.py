@@ -231,6 +231,8 @@ def run_loader_fed(batch_size=8):
             "task_attributes.univl_task.dataset_attributes."
             "video_text_retrieval.annotations.val", "msrvtt_train.jsonl",
             "task_attributes.univl_task.dataset_attributes."
+            "video_text_retrieval.annotations.test", "msrvtt_train.jsonl",
+            "task_attributes.univl_task.dataset_attributes."
             "video_text_retrieval.video_root", "",
             "task_attributes.univl_task.dataset_attributes."
             "video_text_retrieval.frames_per_clip", "8",

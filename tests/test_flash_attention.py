@@ -93,3 +93,42 @@ def test_causal_backward_matches_xla():
     for a, b, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                    err_msg=f"d{name}")
+
+
+def test_small_attention_matches_xla():
+    """Fused short-sequence kernel (interpret mode): fwd+bwd exact vs XLA.
+    Measured slower than XLA in its target regime on v5e (see
+    attention._use_small_kernel) — kept as an explicit op."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    import antmmf_tpu.ops.pallas.small_attention as sa
+    from antmmf_tpu.modules.attention import xla_attention_core
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        B, H, L, D = 2, 4, 50, 32
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (B, H, L, D), jnp.float32)
+                   for kk in ks)
+        mask = jnp.ones((B, L)).at[:, -7:].set(0)
+        bias = jnp.where(mask > 0, 0.0, -1e30)[:, None, None, :]
+        ref = xla_attention_core(q, k, v, bias=bias)
+        out = sa.small_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        def loss_of(fn):
+            return jax.grad(lambda a, b, c: jnp.sum(
+                fn(a, b, c, bias=bias) ** 2), argnums=(0, 1, 2))(q, k, v)
+
+        for g_ref, g_out in zip(loss_of(xla_attention_core),
+                                loss_of(sa.small_attention)):
+            np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                       atol=2e-4)
+    finally:
+        pl.pallas_call = orig
