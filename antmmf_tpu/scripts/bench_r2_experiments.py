@@ -212,7 +212,7 @@ def run_cross_mining(batch_size, k):
     }), flush=True)
 
 
-def run_loader_fed(batch_size=8):
+def run_loader_fed(batch_size=4):
     """Input-pipeline claim: loader-fed vs synthetic step time (stall %)."""
     import itertools
 
@@ -305,7 +305,7 @@ def main():
         lambda: run_retrieval(32, "retrieval_b32_ln_bf16", ln_bf16=True),
         lambda: run_pretrain(32),
         lambda: run_cross_mining(16, 4),
-        lambda: run_loader_fed(8),
+        lambda: run_loader_fed(4),
     ):
         try:
             fn()

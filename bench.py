@@ -1,6 +1,6 @@
 """Throughput benchmark: flagship video-text retrieval train step on real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (+"extras").
 
 Metric: clip-pairs/sec/chip for a UniVL-style ViT-B/32 + BERT-base retrieval
 train step (8-frame clips, 224², text len 30, bf16 compute, AdamW, global-batch
@@ -8,10 +8,16 @@ contrastive loss) — the BASELINE.json north-star workload. "Clip-pair" = one
 (video clip, caption) training example.
 
 vs_baseline compares against an A100 reference of 85 clip-pairs/sec/GPU for the
-same workload (CLIP4Clip-class ViT-B/32 8-frame training; derived from the
-reference's published scale knobs — batch 128 across 8 GPUs, prj/base_vtp/
-README.md:66-79 — and typical A100 CLIP4Clip step times; the reference repo
-itself publishes no clips/sec, see BASELINE.md). Target ≥ 2.0.
+same workload (CLIP4Clip-class ViT-B/32 8-frame training; an ESTIMATE derived
+from the reference's published scale knobs — batch 128 across 8 GPUs,
+prj/base_vtp/README.md:66-79 — and typical A100 CLIP4Clip step times; the
+reference repo itself publishes no clips/sec, see BASELINE.md). Target ≥ 2.0.
+
+Set ``BENCH_FULL=1`` to also measure the heavier training workloads live
+(MLM+ITM+VTC pretrain step; cross-encoder step with hard-negative mining) —
+three TPU compiles instead of one. Without it, "extras" carries this round's
+measured numbers for those steps from BASELINE.md (same chip, same configs;
+see antmmf_tpu/scripts/bench_r2_experiments.py).
 """
 
 from __future__ import annotations
@@ -110,12 +116,57 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     clips_per_sec_per_chip = batch * steps / dt / n_chips
+
+    import os
+
+    extras = {
+        # measured this round on the same chip/configs unless BENCH_FULL=1
+        # re-measures them live (antmmf_tpu/scripts/bench_r2_experiments.py)
+        "pretrain_mlm_itm_vtc_clips_per_sec": 260.9,
+        "retrieval_cross_mined_k4_clips_per_sec": 188.9,
+        "achieved_tflops_per_sec": 84.3,
+        "source": "BASELINE.md round-2 measurements",
+    }
+    if on_tpu and os.environ.get("BENCH_FULL"):
+        from antmmf_tpu.scripts.bench_r2_experiments import (
+            build as _build,
+            make_batch as _mk,
+            timed_steps as _timed,
+        )
+
+        host = _mk(batch, frames, size)
+        rng2 = np.random.default_rng(1)
+        host["caption_lm_label_ids"] = np.where(
+            rng2.uniform(size=(batch, TEXT_LEN)) < 0.15,
+            host["caption_input_ids"], -1).astype(np.int64)
+        host["caption_raw_input_ids"] = host["caption_input_ids"].copy()
+        host["itm_targets"] = rng2.integers(0, 2, (batch,)).astype(np.int64)
+        pstep, pstate, pshard, _ = _build({"univl_pretrain": {
+            "vit_preset": "vit_base_patch32", "bert_preset": "bert_base",
+            "image_size": size, "embed_dim": 512, "with_vtc": True,
+            "with_vtm": True, "with_mlm": True, "dtype_str": "bfloat16"}}, host)
+        pdt, _ = _timed(pstep, pstate, jax.device_put(host, pshard),
+                        warmup=2, steps=6)
+        extras["pretrain_mlm_itm_vtc_clips_per_sec"] = round(batch / pdt, 1)
+
+        chost = _mk(16, frames, size)
+        cstep, cstate, cshard, _ = _build({"univl_retrieval": {
+            "vit_preset": "vit_base_patch32", "bert_preset": "bert_base",
+            "image_size": size, "embed_dim": 512, "n_clips": 1,
+            "with_cross_encoder": True, "cross_layers": 2,
+            "hard_mining_k": 4, "dtype_str": "bfloat16"}}, chost)
+        cdt, _ = _timed(cstep, cstate, jax.device_put(chost, cshard),
+                        warmup=2, steps=6)
+        extras["retrieval_cross_mined_k4_clips_per_sec"] = round(16 / cdt, 1)
+        extras["source"] = "measured live (BENCH_FULL)"
+
     print(json.dumps({
         "metric": "clip_pairs_per_sec_per_chip",
         "value": round(clips_per_sec_per_chip, 2),
         "unit": "clip-pairs/sec/chip (ViT-B/32+BERT-base, 8f@224, bf16 train)"
         if on_tpu else "clip-pairs/sec/chip (tiny CPU fallback model)",
         "vs_baseline": round(clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
+        "extras": extras,
     }))
 
 
