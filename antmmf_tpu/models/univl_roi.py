@@ -30,6 +30,7 @@ from antmmf_tpu.modules.encoders.image_feature_encoder import ImageFeatureEncode
 from antmmf_tpu.modules.layers import make_attention_mask
 from antmmf_tpu.modules.transformers.heads.itm import ITMHead
 from antmmf_tpu.modules.transformers.heads.mlm import MLMHead
+from antmmf_tpu.modules.transformers.heads.mrc import MRCHead
 
 
 @registry.register_model("univl_roi")
@@ -44,6 +45,10 @@ class UnivlRoiModel(BaseModel):
     with_grid_stream: bool = True  # also feed ViT grid tokens
     with_mlm: bool = True
     with_itm: bool = True
+    # masked-region classification over detector class distributions
+    # (reference ROIPreTrainingHeads task 2, roi/model.py:350-379)
+    with_mrc: bool = False
+    region_classes: int = 13
     dropout: float = 0.0
     dtype_str: str = "bfloat16"
 
@@ -65,6 +70,10 @@ class UnivlRoiModel(BaseModel):
                                     dtype=dtype)
         if self.with_itm:
             self.itm_head = ITMHead(hidden_size=self.base.cross_width,
+                                    dtype=dtype)
+        if self.with_mrc:
+            self.mrc_head = MRCHead(vocab_size=self.region_classes,
+                                    hidden_size=self.base.cross_width,
                                     dtype=dtype)
 
     def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
@@ -130,6 +139,19 @@ class UnivlRoiModel(BaseModel):
             losses.update(lm["losses"])
             metrics.update(lm["metrics"])
             out.setdefault("logits", itm_logits)
+        if self.with_mrc and "region_to_predict" in batch and \
+                "region_feature" in batch:
+            # region states sit right after the text segment in the cross
+            # sequence (streams are concatenated regions-first)
+            R = batch["region_feature"].shape[1]
+            region_states = cross["cross_sequence"][:, Lt: Lt + R]
+            mrc_logits = self.mrc_head(region_states)
+            mrc = self.mrc_head.loss_metric(
+                mrc_logits, batch["region_to_predict"],
+                batch["region_cls_dis"])
+            losses.update(mrc["losses"])
+            metrics.update(mrc["metrics"])
+            out["mrc_logits"] = mrc_logits
         out["losses"] = losses
         out["metrics"] = metrics
         return out

@@ -175,3 +175,63 @@ def test_mrc_head_loss_and_acc():
                       method=head.loss_metric)
     assert float(out2["losses"]["masked_region_classification"]) < 1e-5
     assert float(out2["metrics"]["mrc_acc"]) == pytest.approx(1.0)
+
+
+# ----------------------------------------------------- region pipeline + MRC
+def test_region_processor_masks_and_normalizes():
+    from antmmf_tpu.common.registry import registry
+
+    proc = registry.get_processor_class("region_processor")(
+        {"max_features": 6, "feature_dim": 8, "region_kl_fc_dim": 4,
+         "mask_region_prob": 0.9, "seed": 0})
+    rng = np.random.default_rng(0)
+    item = {
+        "features": rng.standard_normal((3, 8)).astype(np.float32) + 5.0,
+        "bbox": np.array([[0, 0, 50, 50], [5, 5, 45, 45], [60, 60, 90, 90]],
+                         np.float32),
+        "cls_prob": rng.uniform(size=(3, 4)).astype(np.float32),
+        "image_height": 100, "image_width": 100,
+    }
+    out = proc(item)
+    assert out["region_feature"].shape == (6, 8)
+    assert out["region_boxes"].shape == (6, 5)
+    assert out["region_mask"].sum() == 3
+    np.testing.assert_allclose(out["region_boxes"][0, :4], [0, 0, .5, .5])
+    np.testing.assert_allclose(out["region_boxes"][0, 4], 0.25)
+    # p=0.9: regions masked; boxes 0/1 overlap > 0.4 so masking one zeroes both
+    assert out["region_to_predict"].sum() >= 1
+    masked = np.nonzero(out["region_to_predict"][:3])[0]
+    assert (np.abs(out["region_feature"][masked]).sum(axis=-1) == 0).any()
+    # eval mode: no masking
+    out2 = proc(item, mask_regions=False)
+    assert out2["region_to_predict"].sum() == 0
+
+
+def test_univl_roi_with_mrc_head():
+    import jax
+
+    from antmmf_tpu.models.univl_roi import UnivlRoiModel
+
+    model = UnivlRoiModel(
+        vit_preset="vit_tiny_test", bert_preset="bert_tiny_test",
+        image_size=32, embed_dim=32, cross_layers=1, with_grid_stream=False,
+        with_mrc=True, region_classes=4, dtype_str="float32")
+    rng = np.random.default_rng(0)
+    B, R, Lt = 2, 5, 8
+    batch = {
+        "caption_input_ids": rng.integers(0, 30522, (B, Lt)).astype(np.int64),
+        "caption_input_mask": np.ones((B, Lt), np.int64),
+        "caption_lm_label_ids": np.full((B, Lt), -1, np.int64),
+        "region_feature": rng.standard_normal((B, R, 16)).astype(np.float32),
+        "region_boxes": rng.uniform(size=(B, R, 5)).astype(np.float32),
+        "region_mask": np.ones((B, R), np.int64),
+        "region_to_predict": (rng.uniform(size=(B, R)) < 0.5).astype(np.int64),
+        "region_cls_dis": rng.dirichlet(np.ones(4), (B, R)).astype(np.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True)
+    out = model.apply(variables, batch, deterministic=True)
+    assert "masked_region_classification" in out["losses"]
+    assert np.isfinite(float(out["losses"]["masked_region_classification"]))
+    assert out["mrc_logits"].shape == (B, R, 4)
