@@ -312,6 +312,24 @@ class UnivlForVideoTextRetrieval(BaseModel):
             batch["image_data"], deterministic=deterministic
         )
 
+    def caption_hotflip_loss(
+        self, batch: Mapping[str, Any], caption_embeds: jnp.ndarray
+    ) -> jnp.ndarray:
+        """L1 contrastive loss as a function of the caption word-embedding
+        rows — the hook MMHotFlip differentiates to pick token flips
+        (models/adversarial.py; reference mm_adversarial.py:283 attacks the
+        text modality through the embedding layer)."""
+        emb = self.base.text_encoder.embeddings(
+            None, batch.get("caption_segment_ids"),
+            inputs_embeds=caption_embeds, deterministic=True)
+        seq = self.base.text_encoder.encoder_apply(
+            emb, batch["caption_input_mask"], True)
+        pooled = jnp.tanh(self.base.text_encoder.pooler_apply(seq[:, 0]))
+        text_embed = l2_normalize(self.base.text_fc(pooled))
+        video = self.encode_video(batch, deterministic=True)
+        sim = self.similarity(text_embed, video["clip_embed"])
+        return symmetric_cross_en(sim)
+
     def similarity(
         self, text_embed: jnp.ndarray, clip_embed: jnp.ndarray
     ) -> jnp.ndarray:

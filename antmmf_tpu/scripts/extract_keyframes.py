@@ -23,7 +23,10 @@ _VID_EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm")
 
 
 def extract_keyframes(video_root: str, out_root: str = None,
-                      frames: int = 32, quality: int = 92) -> int:
+                      frames: int = 32, quality: int = 92,
+                      size: int = 0) -> int:
+    """``size`` > 0 pre-resizes the short side at extraction time — the real
+    thin-host lever: train-time cost drops to small-jpeg decode + crop."""
     import cv2
 
     from antmmf_tpu.utils.video_utils import VideoReader
@@ -44,6 +47,12 @@ def extract_keyframes(video_root: str, out_root: str = None,
                 idx = np.linspace(0, vr.num_frames - 1, n).astype(int)
                 imgs = vr.read_frames(idx)
             for i, img in enumerate(imgs):
+                if size > 0:
+                    h, w = img.shape[:2]
+                    s = size / min(h, w)
+                    img = cv2.resize(
+                        img, (max(1, round(w * s)), max(1, round(h * s))),
+                        interpolation=cv2.INTER_AREA)
                 cv2.imwrite(os.path.join(dst, f"{i:04d}.jpg"),
                             img[:, :, ::-1],
                             [cv2.IMWRITE_JPEG_QUALITY, quality])
@@ -58,9 +67,11 @@ def main(argv=None) -> None:
     parser.add_argument("--out_root", default=None)
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--quality", type=int, default=92)
+    parser.add_argument("--size", type=int, default=0,
+                        help="pre-resize short side at extraction (0 = keep)")
     args = parser.parse_args(argv)
     extract_keyframes(args.video_root, args.out_root, args.frames,
-                      args.quality)
+                      args.quality, args.size)
 
 
 if __name__ == "__main__":

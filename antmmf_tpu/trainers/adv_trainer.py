@@ -53,6 +53,51 @@ class AdvTrainer(BaseTrainer):
                                    donate_argnums=(0,) if donate else ())
         self._eval_step = jax.jit(eval_step)
 
+    # ------------------------------------------------- hotflip text attack
+    def generate_hotflip_text(
+        self, dataset_type: str = "val", ids_key: str = "caption_input_ids",
+        mask_key: str = "caption_input_mask", max_batches: int = 1,
+        steps: int = 3,
+    ):
+        """Discrete token attack over a dataset (reference MMHotFlip data-gen
+        run type): models exposing ``caption_hotflip_loss`` get their caption
+        tokens flipped to maximise the contrastive loss. Returns
+        [(orig_ids, flipped_ids, info)] per batch."""
+        import itertools
+
+        from antmmf_tpu.models.adversarial import MMHotFlip
+
+        module = self.shell.module
+        if not hasattr(module, "caption_hotflip_loss"):
+            raise NotImplementedError(
+                f"{type(module).__name__} does not expose "
+                "caption_hotflip_loss for hotflip generation")
+        table = BaseTrainer._find_word_embedding(self.state.params)
+        if table is None:
+            raise RuntimeError("no word_embeddings table found")
+        atk = MMHotFlip({"steps": steps})
+        results = []
+        variables = self.state.variables
+        for batch in itertools.chain(
+                *self.task_loader.get_loaders(dataset_type)):
+            if batch.get_batch_size() == 0:
+                continue
+            arrays = self._shard_batch(batch)
+
+            def embed_loss(e, _arrays=arrays):
+                return module.apply(
+                    variables, _arrays, e,
+                    method=type(module).caption_hotflip_loss)
+
+            flipped, info = atk.attack(
+                embed_loss, table, arrays[ids_key], arrays.get(mask_key))
+            results.append((jax.device_get(arrays[ids_key]),
+                            jax.device_get(flipped),
+                            jax.device_get(info)))
+            if len(results) >= max_batches:
+                break
+        return results
+
     # ------------------------------------------------- adversarial generation
     def generate_adversarial_data(
         self, dataset_type: str = "val", out_path=None, max_batches=None,

@@ -110,3 +110,35 @@ def test_m2_encoder_project_local_config(tmp_path):
     scalars = t.meter.get_scalar_dict()
     assert any("contrastive_loss" in k for k in scalars)
     assert any("moe_aux_loss" in k for k in scalars)
+
+
+def test_hotflip_text_generation_end_to_end(tmp_path):
+    """MMHotFlip drives caption token flips through the trained retrieval
+    model (the adversarial data-generation run type)."""
+    import numpy as np
+
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.trainers.build import build_trainer
+
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = build_config(
+        os.path.join(root, "projects", "base_vtp", "configs",
+                     "video_retrieval.local.yml"),
+        opts=["training_parameters.save_dir", str(tmp_path),
+              "training_parameters.trainer", "adv_trainer",
+              "training_parameters.adversarial.type", "fgm",
+              "training_parameters.max_iterations", "2",
+              "training_parameters.log_interval", "1",
+              "training_parameters.snapshot_interval", "100",
+              "training_parameters.seed", "4"])
+    trainer = build_trainer(cfg)
+    trainer.load()
+    results = trainer.generate_hotflip_text("val", max_batches=1, steps=2)
+    assert len(results) == 1
+    orig, flipped, info = results[0]
+    assert orig.shape == flipped.shape
+    n_changed = int((orig != flipped).sum())
+    assert n_changed == orig.shape[0] * 2  # 2 flips per caption
+    assert int(info["n_flipped"]) == orig.shape[0] * 2
