@@ -76,6 +76,55 @@ class IntegratedGradientInterpreter(SaliencyInterpreter):
         return jnp.abs((avg_grad * embeddings).sum(-1))
 
 
+def export_saliency(
+    results,
+    out_dir: str,
+    tokenizer=None,
+) -> list:
+    """Write saliency results to files (the reference interpreter's export
+    surface, saliency_interpreter.py:97-210): one JSON per batch plus a
+    self-contained HTML heatmap for quick inspection. ``results`` is
+    ``BaseTrainer.interpret`` output ([{saliency [B, L], input_ids [B, L]}]).
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    html_rows = []
+    for bi, res in enumerate(results):
+        sal = np.asarray(res["saliency"], np.float32)
+        ids = np.asarray(res["input_ids"])
+        record = {"saliency": sal.tolist(), "input_ids": ids.tolist()}
+        tokens = None
+        if tokenizer is not None:
+            tokens = [tokenizer.convert_ids_to_tokens(list(map(int, row)))
+                      for row in ids]
+            record["tokens"] = tokens
+        path = os.path.join(out_dir, f"saliency_{bi:04d}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(record, f)
+        paths.append(path)
+        for ri in range(sal.shape[0]):
+            row = sal[ri]
+            toks = tokens[ri] if tokens else [str(t) for t in ids[ri]]
+            peak = max(float(row.max()), 1e-9)
+            spans = "".join(
+                f'<span style="background: rgba(255,80,80,{min(1.0, float(w) / peak):.3f})">'
+                f"{tok}</span> "
+                for tok, w in zip(toks, row))
+            html_rows.append(f"<div>{spans}</div>")
+    html = ("<html><body style='font-family: monospace'>"
+            + "\n".join(html_rows) + "</body></html>")
+    html_path = os.path.join(out_dir, "saliency.html")
+    with open(html_path, "w", encoding="utf-8") as f:
+        f.write(html)
+    paths.append(html_path)
+    return paths
+
+
 def build_interpreter(config: Optional[Mapping[str, Any]]):
     if not config:
         return None

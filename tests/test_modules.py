@@ -120,3 +120,23 @@ def test_scan_layers_matches_loop():
     out_scan = scan_enc.apply({"params": {"layers": stacked}}, x)
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
                                atol=1e-5)
+
+
+def test_saliency_export_files(tmp_path):
+    import json
+
+    import numpy as np
+
+    from antmmf_tpu.modules.interpret.saliency import export_saliency
+
+    results = [{
+        "saliency": np.array([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]], np.float32),
+        "input_ids": np.array([[101, 2003, 102], [101, 2054, 102]]),
+    }]
+    paths = export_saliency(results, str(tmp_path))
+    assert any(p.endswith(".json") for p in paths)
+    assert any(p.endswith(".html") for p in paths)
+    rec = json.load(open(paths[0]))
+    assert len(rec["saliency"]) == 2
+    html = open(paths[-1]).read()
+    assert "rgba(255,80,80,1.000" in html  # the peak token is fully shaded
