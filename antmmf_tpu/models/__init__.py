@@ -17,3 +17,4 @@ from antmmf_tpu.models import univl_roi  # noqa: F401
 from antmmf_tpu.models import video_audio  # noqa: F401
 from antmmf_tpu.models import vilbert  # noqa: F401
 from antmmf_tpu.modules import graph as _graph  # noqa: F401  (comp_gcn model)
+from antmmf_tpu.models import aliases  # noqa: F401  (reference-name aliases)

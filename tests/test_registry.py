@@ -59,3 +59,40 @@ def test_bare_decorator_usage():
         pass
 
     assert r.get_trainer_class("MyTrainer") is MyTrainer
+
+
+def test_reference_model_names_resolve():
+    """Every model name a reference YAML can mention resolves here."""
+    import antmmf_tpu.models  # noqa: F401
+
+    from antmmf_tpu.common.registry import registry
+
+    reference_names = [
+        "antmmf", "antmmf_image_only", "antmmf_question_only", "bert", "cnn",
+        "cnn_lstm", "comp_gcn", "concat_bert", "image_model", "mmbt",
+        "multitask_model", "openai_clip", "s3d", "top_down_bottom_up",
+        "univl", "vilbert", "visual_bert", "AntmmfLayoutLM", "AttriMMBT",
+        "SpkResNet", "roi_model",
+    ]
+    for name in reference_names:
+        assert registry.get_model_class(name, default=None) is not None, name
+
+
+def test_reference_loss_names_resolve():
+    import antmmf_tpu.modules.losses.extended  # noqa: F401
+    import antmmf_tpu.modules.losses.losses  # noqa: F401
+
+    from antmmf_tpu.common.registry import registry
+
+    reference_names = [
+        "asymmetric_loss", "attention_supervision", "bce", "bce_kl_combined",
+        "bce_ls", "caption_cross_entropy", "cos_amssoftmax", "cosarc",
+        "cross_entropy", "custom", "discount_infonce", "eet", "hier_loss",
+        "hier_multilabel_loss", "kg_margin_contrastive", "kn_dis_loss",
+        "label_smooth_ce", "logit_bce", "m4c_decoding_bce_with_mask",
+        "mce_loss", "mil-margin-contrastive", "mil-nce", "mse", "multi",
+        "nce", "nll_loss", "ordinal_loss", "pairwise_loss", "softmax_kldiv",
+        "weighted_softmax", "wrong",
+    ]
+    for name in reference_names:
+        assert registry.get_loss_class(name, default=None) is not None, name
