@@ -75,3 +75,69 @@ def count_parameters(params: Any) -> int:
 def nested_to_host(tree: Any) -> Any:
     """Device pytree → numpy pytree (the reference's nested_cpu offload)."""
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def get_overlap_score(candidate: str, target: str) -> float:
+    """Word-level overlap |cand ∩ target| / |target| (reference
+    general.py:180-210 — used by soft-copy answer scoring)."""
+    cand = str(candidate).lower().split()
+    tgt = str(target).lower().split()
+    if not tgt:
+        return 0.0
+    overlap = sum(1 for w in tgt if w in cand)
+    return overlap / len(tgt)
+
+
+def dict_to_string(dictionary) -> str:
+    """k: v, ... logging format (reference general.py:166-178)."""
+    logs = []
+    for key, val in dictionary.items():
+        if isinstance(val, float):
+            logs.append(f"{key}: {val:.4f}")
+        else:
+            logs.append(f"{key}: {val}")
+    return ", ".join(logs)
+
+
+def flatten_list(nested) -> list:
+    """[[a, b], [c]] → [a, b, c] (reference general.py:526-536)."""
+    out = []
+    for item in nested:
+        if isinstance(item, (list, tuple)):
+            out.extend(flatten_list(item))
+        else:
+            out.append(item)
+    return out
+
+
+def is_module_available(name: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+def check_required_keys(mapping, required_keys=()) -> bool:
+    return all(k in mapping for k in required_keys)
+
+
+def jsonl_dump(rows, filepath: str, append: bool = False) -> str:
+    import json
+
+    mode = "a" if append else "w"
+    with open(filepath, mode, encoding="utf-8") as f:
+        for row in rows:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    return filepath
+
+
+class AttrDict(dict):
+    """dict with attribute access (reference general.py:306-341)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value

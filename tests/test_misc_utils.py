@@ -155,3 +155,32 @@ def test_extract_features_regions_mode(tmp_path, data_dir):
     item = db("dog")
     assert item["image_feature"].shape[0] == 4
     assert item["image_feature_mask"].sum() == 4
+
+
+def test_general_utils_surface():
+    from antmmf_tpu.utils.general import (
+        AttrDict,
+        check_required_keys,
+        dict_to_string,
+        flatten_list,
+        get_overlap_score,
+        is_module_available,
+        jsonl_dump,
+    )
+
+    assert get_overlap_score("a red car", "red car") == 1.0
+    assert get_overlap_score("a blue car", "red car") == 0.5
+    assert "x: 0.1235" in dict_to_string({"x": 0.12345})
+    assert flatten_list([[1, [2]], (3,)]) == [1, 2, 3]
+    assert is_module_available("json") and not is_module_available("nope_xyz")
+    assert check_required_keys({"a": 1}, ["a"]) and not check_required_keys(
+        {}, ["a"])
+    d = AttrDict(a=1)
+    d.b = 2
+    assert d.a == 1 and d["b"] == 2
+    import tempfile, os, json
+
+    with tempfile.TemporaryDirectory() as td:
+        p = jsonl_dump([{"x": 1}, {"x": 2}], os.path.join(td, "r.jsonl"))
+        rows = [json.loads(l) for l in open(p)]
+        assert rows == [{"x": 1}, {"x": 2}]
