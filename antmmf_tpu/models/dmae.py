@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from antmmf_tpu.common.registry import registry
 from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.models.univl import UnivlVideoBase, l2_normalize
-from antmmf_tpu.modules.losses.contrastive import neg_nce, symmetric_cross_en
+from antmmf_tpu.modules.losses.contrastive import neg_nce_dmae, symmetric_cross_en
 from antmmf_tpu.modules.transformers.base import TransformerEncoder
 
 Dtype = Any
@@ -40,18 +40,18 @@ def wti_similarity(
     text_mask: jnp.ndarray,  # [Bt, Lt]
     video_mask: jnp.ndarray,  # [Bv, Lv]
 ) -> jnp.ndarray:
-    """Weighted token-wise interaction sim matrix [Bt, Bv]."""
+    """Weighted token-wise interaction sim matrix [Bt, Bv].
+
+    Masking matches the reference exactly (dmae_utils.py:92-96): invalid
+    token pairs are ZEROED before the max (not -inf-filled), so a word whose
+    frame sims are all negative contributes 0 — the reference's floor."""
     c = jnp.einsum("tld,vmd->tvlm", text_tokens.astype(jnp.float32),
                    video_tokens.astype(jnp.float32))
-    neg = jnp.finfo(jnp.float32).min
-    c = jnp.where(video_mask[None, :, None, :] > 0, c, neg)
+    c = c * text_mask[:, None, :, None].astype(jnp.float32)
+    c = c * video_mask[None, :, None, :].astype(jnp.float32)
     t2v = jnp.max(c, axis=-1)  # [Bt, Bv, Lt]
-    t2v = jnp.where(text_mask[:, None, :] > 0, t2v, 0.0)
     sim_t2v = jnp.einsum("tvl,tl->tv", t2v, text_weights.astype(jnp.float32))
-
-    c2 = jnp.where(text_mask[:, None, :, None] > 0, c, neg)
-    v2t = jnp.max(c2, axis=-2)  # [Bt, Bv, Lv]
-    v2t = jnp.where(video_mask[None, :, :] > 0, v2t, 0.0)
+    v2t = jnp.max(c, axis=-2)  # [Bt, Bv, Lv]
     sim_v2t = jnp.einsum("tvm,vm->tv", v2t, video_weights.astype(jnp.float32))
     return 0.5 * (sim_t2v + sim_v2t)
 
@@ -150,9 +150,14 @@ class DmaeForVideoTextRetrieval(BaseModel):
 
         losses = {
             "level1_similarity_loss": symmetric_cross_en(l1),
+            # reference NegNCE form (dmae_utils.py:539-563); l3 already
+            # carries the learnable logit scale, so the internal scale is 1
             "level3_similarity_loss": self.l3_weight * 0.5 * (
-                neg_nce(l3, self.neg_nce_margin, self.neg_nce_weight)
-                + neg_nce(l3.T, self.neg_nce_margin, self.neg_nce_weight)),
+                neg_nce_dmae(l3, logit_scale=1.0, c_neg=self.neg_nce_weight,
+                             margin=self.neg_nce_margin)
+                + neg_nce_dmae(l3.T, logit_scale=1.0,
+                               c_neg=self.neg_nce_weight,
+                               margin=self.neg_nce_margin)),
         }
         return {
             "l1_simi": l1, "l3_simi": l3, "sim": l3, "logits": l3,

@@ -73,6 +73,32 @@ def neg_nce(
     return -jnp.mean(jnp.diagonal(logp))
 
 
+def neg_nce_dmae(
+    sim: jnp.ndarray,
+    logit_scale: float = 100.0,
+    c_pos: float = 1.0,
+    c_neg: float = 0.5,
+    margin: float = 0.0,
+) -> jnp.ndarray:
+    """The reference DMAE NegNCE verbatim (dmae_utils.py:539-563): CE on the
+    scaled softmax diagonal, plus ``c_neg`` × mean(-log(1−p)) over hard
+    negatives — entries violating the margin against the diagonal in either
+    the row or column direction. Jittable masked-mean form."""
+    sim = sim.astype(jnp.float32)
+    n = sim.shape[0]
+    p = jax.nn.softmax(sim * logit_scale, axis=-1)
+    p = jnp.clip(p, 1e-6, 1 - 1e-6)
+    diag = jnp.diagonal(sim)
+    eye = jnp.eye(n, dtype=bool)
+    max_margin = jax.nn.relu(margin + sim - diag[:, None]) + \
+        jax.nn.relu(margin + sim - diag[None, :])
+    hard = (max_margin > 0.0) & ~eye
+    loss_pos = -jnp.log(jnp.diagonal(p))
+    neg_terms = jnp.where(hard, -jnp.log(1.0 - p), 0.0)
+    n_hard = jnp.maximum(hard.sum(), 1)
+    return c_pos * loss_pos.mean() + c_neg * neg_terms.sum() / n_hard
+
+
 def moco_nce(
     query: jnp.ndarray,  # [B, C] normalised
     key_pos: jnp.ndarray,  # [B, C] normalised (momentum encoder, stop-grad)

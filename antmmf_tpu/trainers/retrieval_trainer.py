@@ -154,14 +154,13 @@ class RetrievalTrainer(BaseTrainer):
         rows = []
         for s in range(0, N, chunk):
             sl = slice(s, min(s + chunk, N))
+            # zero-mask-then-max, matching models/dmae.wti_similarity (the
+            # reference's exact masking, dmae_utils.py:92-96)
             c = np.einsum("tld,vmd->tvlm", tt[sl], vt)
-            neg = np.float32(-1e30)
-            cm = np.where(vm[None, :, None, :] > 0, c, neg)
-            t2v = np.where(tm[sl][:, None, :] > 0, cm.max(-1), 0.0)
-            s_t2v = np.einsum("tvl,tl->tv", t2v, tw[sl])
-            c2 = np.where(tm[sl][:, None, :, None] > 0, c, neg)
-            v2t = np.where(vm[None, :, :] > 0, c2.max(-2), 0.0)
-            s_v2t = np.einsum("tvm,vm->tv", v2t, vw)
+            c = c * tm[sl][:, None, :, None]
+            c = c * vm[None, :, None, :]
+            s_t2v = np.einsum("tvl,tl->tv", c.max(-1), tw[sl])
+            s_v2t = np.einsum("tvm,vm->tv", c.max(-2), vw)
             rows.append(0.5 * (s_t2v + s_v2t))
         return np.concatenate(rows, axis=0)
 
