@@ -168,15 +168,23 @@ class UnivlRefRetrieval(BaseModel):
         mask = jnp.ones((B, nc + 1), jnp.int32)
         return embedded, mask
 
-    def _cross_scores(self, cap_embed, cap_mask, vis_embed, vis_mask,
-                      deterministic: bool = True) -> jnp.ndarray:
-        """One batched pass of the pair splice → similarity_dense score [P]."""
+    def _cross_forward(self, cap_embed, cap_mask, vis_embed, vis_mask,
+                       deterministic: bool = True):
+        """Paired splice through the shared BERT layers → (sequence, pooled)
+        (reference get_cross_output, univl_video_base.py:224-271)."""
         x = jnp.concatenate([cap_embed, vis_embed], axis=1)
         mask = jnp.concatenate([cap_mask, vis_mask], axis=1)
         bias = ((1.0 - mask.astype(jnp.float32)) * -10000.0)[:, None, None, :]
         seq = self.text_encoder.encoder(x, bias=bias,
                                         deterministic=deterministic)
         pooled = jnp.tanh(self.cross_pooler(seq[:, 0]))
+        return seq, pooled
+
+    def _cross_scores(self, cap_embed, cap_mask, vis_embed, vis_mask,
+                      deterministic: bool = True) -> jnp.ndarray:
+        """One batched pass of the pair splice → similarity_dense score [P]."""
+        _, pooled = self._cross_forward(cap_embed, cap_mask, vis_embed,
+                                        vis_mask, deterministic)
         h = nn.relu(self.similarity_dense_0(pooled))
         return self.similarity_dense_1(h).astype(jnp.float32)[..., 0]
 
@@ -239,3 +247,88 @@ class UnivlRefRetrieval(BaseModel):
                 losses["level2_similarity_loss"] = reference_mil_nce(
                     l2_simi, Bt, 1)
         return {**output, "losses": losses}
+
+
+@registry.register_model("univl_ref_pretrain")
+class UnivlRefPretraining(UnivlRefRetrieval):
+    """Reference-parity UniVL pretraining (univl_video_pretrain.py:136-290):
+    the retrieval stages' MIL-NCE losses, plus MLM over the paired
+    cross-encoder text states (tied decoder, BertOnlyMLMHead arch) and ITM
+    over [positive pair; false-caption pair] cross-pooled states."""
+
+    mlm_eps: float = 1e-6  # reference MLM head layer_norm_eps
+
+    def setup(self) -> None:
+        super().setup()
+        # BertOnlyMLMHead: transform dense + gelu + LN(1e-6) + tied decoder
+        self.mlm_transform = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                      param_dtype=jnp.float32,
+                                      name="mlm_transform")
+        self.mlm_norm = nn.LayerNorm(epsilon=self.mlm_eps, dtype=jnp.float32,
+                                     param_dtype=jnp.float32, name="mlm_norm")
+        self.mlm_bias = self.param("mlm_bias", nn.initializers.zeros,
+                                   (self.vocab_size,), jnp.float32)
+        # BertOnlyNSPHead over cross-pooled states
+        self.itm_cls = nn.Dense(2, dtype=jnp.float32, param_dtype=jnp.float32,
+                                name="itm_cls")
+
+    def mlm_logits(self, states: jnp.ndarray) -> jnp.ndarray:
+        h = self.mlm_transform(states)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+        h = self.mlm_norm(h)
+        table = self.text_encoder.embeddings.variables["params"][
+            "word_embeddings"]["embedding"]
+        return h @ table.astype(jnp.float32).T + self.mlm_bias
+
+    def __call__(self, batch: Mapping[str, Any],
+                 deterministic: bool = True) -> Dict[str, Any]:
+        out = super().__call__(batch, deterministic)
+        losses = dict(out.get("losses", {}))
+        metrics: Dict[str, Any] = {}
+
+        # paired cross pass on the (masked) caption ids
+        cap_embed = self._cross_embed_text(batch["caption_input_ids"],
+                                           deterministic)
+        cap_mask = batch["caption_input_mask"]
+        video = self.forward_img_encoder(
+            batch["image_data"], batch.get("image_pad_mask"), deterministic)
+        vis_embed, vis_mask = self._cross_embed_visual(video["clip_tokens"],
+                                                       deterministic)
+        seq, pooled = self._cross_forward(cap_embed, cap_mask, vis_embed,
+                                          vis_mask, deterministic)
+        Lt = cap_embed.shape[1]
+
+        lm_labels = batch.get("caption_lm_label_ids")
+        if lm_labels is not None:
+            logits = self.mlm_logits(seq[:, :Lt])
+            valid = lm_labels != -1
+            safe = jnp.where(valid, lm_labels, 0)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+            denom = jnp.maximum(valid.sum(), 1)
+            losses["masked_lm_loss"] = jnp.where(valid, nll, 0.0).sum() / denom
+            correct = jnp.where(valid, logits.argmax(-1) == safe, False)
+            metrics["masked_lm_acc"] = correct.sum() / (valid.sum() + 1e-6)
+            out["mlm_logits"] = logits
+
+        false_ids = batch.get("caption_false_input_ids")
+        if false_ids is not None:
+            f_embed = self._cross_embed_text(false_ids, deterministic)
+            f_mask = batch["caption_false_input_mask"]
+            _, neg_pooled = self._cross_forward(f_embed, f_mask, vis_embed,
+                                                vis_mask, deterministic)
+            feats = jnp.concatenate([pooled, neg_pooled], axis=0)
+            itm_logits = self.itm_cls(feats.astype(jnp.float32))
+            n_pos = pooled.shape[0]
+            labels = jnp.concatenate(
+                [jnp.ones((n_pos,), jnp.int32),
+                 jnp.zeros((neg_pooled.shape[0],), jnp.int32)])
+            logp = jax.nn.log_softmax(itm_logits, axis=-1)
+            losses["itm_loss"] = -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], -1))
+            metrics["itm_acc"] = jnp.mean(
+                (itm_logits.argmax(-1) == labels).astype(jnp.float32))
+            out["itm_logits"] = itm_logits
+        out["losses"] = losses
+        out["metrics"] = {**out.get("metrics", {}), **metrics}
+        return out

@@ -277,3 +277,29 @@ def univl_ref_state_dict_to_params(
         _set(p, "similarity_dense_1/kernel", T(sd["similarity_dense.2.weight"]))
         _set(p, "similarity_dense_1/bias", sd["similarity_dense.2.bias"])
     return p
+
+
+def univl_ref_pretrain_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], bert_layers: int,
+    pvt_preset: str = "pvt_v2_b0",
+) -> Dict[str, Any]:
+    """Reference ``UnivlForVideoPretraining`` state_dict → our
+    ``UnivlRefPretraining`` tree (retrieval towers under ``model.`` plus the
+    tied MLM head and the ITM NSP head)."""
+
+    def T(v):
+        return np.ascontiguousarray(v.T)
+
+    inner = {k[len("model."):]: v for k, v in sd.items()
+             if k.startswith("model.")}
+    p = univl_ref_state_dict_to_params(inner, bert_layers, pvt_preset)
+    mlm = "mlm_head.transformer_mlm.cls.predictions"
+    _set(p, "mlm_transform/kernel", T(sd[f"{mlm}.transform.dense.weight"]))
+    _set(p, "mlm_transform/bias", sd[f"{mlm}.transform.dense.bias"])
+    _set(p, "mlm_norm/scale", sd[f"{mlm}.transform.LayerNorm.weight"])
+    _set(p, "mlm_norm/bias", sd[f"{mlm}.transform.LayerNorm.bias"])
+    _set(p, "mlm_bias", sd[f"{mlm}.bias"])
+    if "itm_head.cls.seq_relationship.weight" in sd:
+        _set(p, "itm_cls/kernel", T(sd["itm_head.cls.seq_relationship.weight"]))
+        _set(p, "itm_cls/bias", sd["itm_head.cls.seq_relationship.bias"])
+    return p

@@ -250,3 +250,49 @@ def make_parity_batch(b: int = 3, n_clips: int = 2, num_frames: int = 1,
         "caption_input_mask": mask.numpy(),
     }
     return img_input, caption_input, ours
+
+
+def make_ref_pretrain_config():
+    from antmmf.common.configuration import Configuration
+
+    cfg = dict(make_ref_config(with_cross=True))
+    cfg.update({
+        "with_temporal_encoder": False,
+        "pretraining_heads": {
+            "transformer_mlm": {
+                "type": "MLM",
+                "params": {"vocab_size": 30522, "in_dim": HIDDEN,
+                           "hidden_size": HIDDEN,
+                           "loss_name": "masked_lm_loss"},
+            },
+            "text_encoder_mlm": {
+                "type": "MLM",
+                "params": {"vocab_size": 30522, "in_dim": HIDDEN,
+                           "hidden_size": HIDDEN,
+                           "loss_name": "text_encoder_mlm_loss"},
+            },
+            "itm": {"type": "ITM", "params": {"hidden_size": HIDDEN}},
+        },
+    })
+    return Configuration(cfg)
+
+
+def build_ref_pretrain_model(seed: int = 0):
+    import torch
+
+    import importlib.util
+    import os
+    import types
+    import sys
+
+    import_reference_model()  # ensures stubs + refmodel package exist
+    spec = importlib.util.spec_from_file_location(
+        "refmodel.univl_video_pretrain",
+        os.path.join(MODEL_DIR, "univl_video_pretrain.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refmodel.univl_video_pretrain"] = mod
+    spec.loader.exec_module(mod)
+    torch.manual_seed(seed)
+    model = mod.UnivlForVideoPretraining(make_ref_pretrain_config())
+    model.eval()
+    return model
