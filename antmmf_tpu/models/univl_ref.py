@@ -332,3 +332,72 @@ class UnivlRefPretraining(UnivlRefRetrieval):
         out["losses"] = losses
         out["metrics"] = {**out.get("metrics", {}), **metrics}
         return out
+
+
+@registry.register_model("univl_ref_classification")
+class UnivlRefClassification(UnivlRefRetrieval):
+    """Reference-parity video-text classification
+    (univl_video_cls.py:9-48): the paired cross pass's pooled state through a
+    single Linear classifier."""
+
+    num_labels: int = 2
+
+    def setup(self) -> None:
+        super().setup()
+        self.clf = nn.Dense(self.num_labels, dtype=jnp.float32,
+                            param_dtype=jnp.float32, name="clf")
+
+    def __call__(self, batch: Mapping[str, Any],
+                 deterministic: bool = True) -> Dict[str, Any]:
+        cap_embed = self._cross_embed_text(batch["caption_input_ids"],
+                                           deterministic)
+        cap_mask = batch["caption_input_mask"]
+        video = self.forward_img_encoder(
+            batch["image_data"], batch.get("image_pad_mask"), deterministic)
+        vis_embed, vis_mask = self._cross_embed_visual(video["clip_tokens"],
+                                                       deterministic)
+        _, pooled = self._cross_forward(cap_embed, cap_mask, vis_embed,
+                                        vis_mask, deterministic)
+        logits = self.clf(pooled.astype(jnp.float32))
+        out: Dict[str, Any] = {"logits": logits, "out_feat": pooled}
+        if "targets" in batch:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            out["losses"] = {"cls_loss": -jnp.mean(jnp.take_along_axis(
+                logp, batch["targets"][:, None], -1))}
+        return out
+
+
+@registry.register_model("univl_ref_mcqa")
+class UnivlRefMCQA(UnivlRefRetrieval):
+    """Reference-parity multi-choice QA (univl_video_multi_choice_qa.py:9-47):
+    each caption option cross-encoded against its video; similarity_dense
+    scores each (option, video) pair → logits [B, n_options]."""
+
+    def __call__(self, batch: Mapping[str, Any],
+                 deterministic: bool = True) -> Dict[str, Any]:
+        # caption_options_ids int[B, n_opt, L], caption_options_mask likewise
+        ids = batch["caption_options_ids"]
+        mask = batch["caption_options_mask"]
+        B, n_opt, L = ids.shape
+        flat_ids = ids.reshape(B * n_opt, L)
+        flat_mask = mask.reshape(B * n_opt, L)
+        cap_embed = self._cross_embed_text(flat_ids, deterministic)
+
+        video = self.forward_img_encoder(
+            batch["image_data"], batch.get("image_pad_mask"), deterministic)
+        vis_embed, vis_mask = self._cross_embed_visual(video["clip_tokens"],
+                                                       deterministic)
+        vis_embed = jnp.repeat(vis_embed, n_opt, axis=0)
+        vis_mask = jnp.repeat(vis_mask, n_opt, axis=0)
+
+        scores = self._cross_scores(cap_embed, flat_mask, vis_embed, vis_mask,
+                                    deterministic)
+        logits = scores.reshape(B, n_opt)
+        out: Dict[str, Any] = {"logits": logits}
+        if "targets" in batch:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            out["losses"] = {"mcqa_loss": -jnp.mean(jnp.take_along_axis(
+                logp, batch["targets"][:, None], -1))}
+            out["metrics"] = {"mcqa_acc": jnp.mean(
+                (logits.argmax(-1) == batch["targets"]).astype(jnp.float32))}
+        return out
