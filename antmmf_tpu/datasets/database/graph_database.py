@@ -167,6 +167,40 @@ class GraphDatabase:
         }
 
 
+    def iter_subgraphs(
+        self,
+        seeds,
+        hops: int = 2,
+        max_nodes: int = 64,
+        max_edges: int = 128,
+        deterministic: bool = True,
+        seed: int = 0,
+    ):
+        """Seeded streaming mode (the reference KgrlDatabase seeds path,
+        graph_database.py:52-83): ``seeds`` is any iterable of rows naming a
+        seed entity (``{"seed": name}``) or edge (``{"src", "dst"}``) — e.g. a
+        ``datasets.readers.TextReader`` over an exported seed table. Yields
+        static-shape subgraph samples per seed."""
+        rng = None if deterministic else np.random.default_rng(seed)
+        for row in seeds:
+            names = []
+            if "seed" in row:
+                names = [str(row["seed"])]
+            elif "src" in row:
+                names = [str(row["src"])]
+                if "dst" in row:
+                    names.append(str(row["dst"]))
+            for name in names:
+                ent = self.entity_vocab.get(name)
+                if ent is None:
+                    continue
+                sample = self.sample_subgraph(
+                    ent, hops=hops, max_nodes=max_nodes, max_edges=max_edges,
+                    rng=rng)
+                sample["seed_name"] = name
+                yield sample
+
+
 def _next_bucket(n: int) -> int:
     b = 16
     while b < n:

@@ -1,0 +1,40 @@
+"""Caption serving: video in -> generated caption string out."""
+
+import numpy as np
+import pytest
+
+
+def test_caption_predictor_generates_text():
+    from antmmf_tpu.predictors.caption_predictor import CaptionPredictor
+
+    pred = CaptionPredictor({
+        "model_attributes": {"univl_caption": {
+            "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
+            "image_size": 32, "embed_dim": 32, "decoder_layers": 1,
+            "decoder_heads": 2, "max_caption_len": 8,
+            "dtype_str": "float32"}},
+        "predictor_parameters": {
+            "num_beams": 2,
+            "processors": {"caption_processor": {
+                "type": "masked_bert_tokenizer",
+                "params": {"max_seq_length": 8, "mask_probability": 0}}},
+        },
+    })
+    pred.load(with_ckpt=False)  # random init (the reference unit-test mode)
+    out = pred.predict({
+        "image_data": np.zeros((2, 32, 32, 3), np.float32),
+        "caption": "a dog"})
+    assert "caption" in out and isinstance(out["caption"], str)
+    assert out["generated_ids"].shape[-1] <= 9
+    assert np.isfinite(np.asarray(out["scores"], np.float32)).all()
+
+
+def test_ids_to_caption_postprocess():
+    from antmmf_tpu.predictors.caption_predictor import ids_to_caption
+    from antmmf_tpu.utils.tokenization import BertTokenizer
+
+    tok = BertTokenizer(
+        "tests/data/vocabs/bert-base-uncased_30522_vocab.txt")
+    ids = tok.convert_tokens_to_ids(
+        ["[CLS]", "a", "little", "girl", "##s", "[SEP]", "[PAD]"])
+    assert ids_to_caption(tok, ids) == "a little girls"

@@ -235,3 +235,43 @@ def test_univl_roi_with_mrc_head():
     assert "masked_region_classification" in out["losses"]
     assert np.isfinite(float(out["losses"]["masked_region_classification"]))
     assert out["mrc_logits"].shape == (B, R, 4)
+
+
+def test_text_reader_sharding(tmp_path):
+    from antmmf_tpu.datasets.readers import ODPSReader, TextReader
+
+    table = tmp_path / "seeds.txt"
+    table.write_text("\n".join(f"e{i}\tlikes\te{i+1}" for i in range(10)))
+    r0 = TextReader(str(table), field_names=["src", "rel", "dst"],
+                    worker_id=0, num_workers=2)
+    r1 = TextReader(str(table), field_names=["src", "rel", "dst"],
+                    worker_id=1, num_workers=2)
+    rows0, rows1 = list(r0), list(r1)
+    assert len(rows0) + len(rows1) == 10
+    assert len(r0) == len(rows0)
+    assert rows0[0] == {"src": "e0", "rel": "likes", "dst": "e1"}
+    assert not {r["src"] for r in rows0} & {r["src"] for r in rows1}
+    # jsonl rows parse too
+    jl = tmp_path / "seeds.jsonl"
+    jl.write_text('{"seed": "e3"}\n{"seed": "e4"}\n')
+    assert [r["seed"] for r in TextReader(str(jl))] == ["e3", "e4"]
+    with pytest.raises(RuntimeError, match="ODPS"):
+        ODPSReader("ant_p13n_dev.some_table")
+
+
+def test_graph_db_seeded_subgraph_stream(tmp_path):
+    from antmmf_tpu.datasets.database.graph_database import GraphDatabase
+    from antmmf_tpu.datasets.readers import TextReader
+
+    db = GraphDatabase(os.path.join(DATA, "graph", "triples_train.jsonl"))
+    name0 = next(iter(db.entity_vocab))
+    seeds_file = tmp_path / "seeds.jsonl"
+    seeds_file.write_text(
+        f'{{"seed": "{name0}"}}\n{{"seed": "not_an_entity"}}\n')
+    samples = list(db.iter_subgraphs(TextReader(str(seeds_file)),
+                                     hops=1, max_nodes=8, max_edges=16))
+    assert len(samples) == 1  # unknown seed skipped
+    s = samples[0]
+    assert s["seed_name"] == name0
+    assert s["edge_index"].shape == (2, 16)
+    assert s["node_mask"][0]
