@@ -44,6 +44,14 @@ class UnivlForVideoPretraining(BaseModel):
     with_mlm: bool = True  # masked language modeling over cross-encoder
     dual_mlm: bool = False  # SNP-S3: additional text-tower-only MLM
     with_fom: bool = False  # frame order modeling
+    # attentive masking (reference univl_video_pretrain.py:187-210): with 50%
+    # probability per step, MLM positions are re-drawn ∝ attention-derived
+    # word importance instead of the processor's uniform masking. TPU-static
+    # delta: a fixed count ceil(ratio·L) positions per row via Gumbel-topk
+    # (the reference's per-row multinomial with dynamic k is not jittable).
+    attentive_masking: bool = False
+    attentive_mask_ratio: float = 0.15
+    mask_token_id: int = 103
     fom_shuffle_prob: float = 0.15
     init_logit_scale: float = 2.6592
     remat: bool = False
@@ -77,6 +85,40 @@ class UnivlForVideoPretraining(BaseModel):
             self.fom_head = FOMHead(max_positions=self.n_clips * 8,
                                     dtype=jnp.dtype(self.dtype_str))
 
+    def _attentive_mask(self, raw_ids, input_mask, segment_ids,
+                        uniform_ids, uniform_labels):
+        """Importance-sampled MLM masking, active ~50% of steps (reference
+        univl_video_pretrain.py:187-210). Special tokens ([CLS]/[SEP]/pad)
+        are never masked; chosen positions become [MASK] with their original
+        id as the label."""
+        rng = self.make_rng("dropout")
+        k_use, k_pick = jax.random.split(rng)
+        importance = self.base.text_encoder.word_importance(
+            raw_ids, input_mask, segment_ids, deterministic=True)
+        special = (raw_ids == 101) | (raw_ids == 102) | (raw_ids == 0)
+        imp = jnp.where(special | (input_mask == 0), 0.0,
+                        importance.astype(jnp.float32)) + 1e-6
+        B, L = raw_ids.shape
+        n_mask = max(1, int(L * self.attentive_mask_ratio))
+        # Gumbel top-k == sampling without replacement ∝ imp
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(k_pick, (B, L), minval=1e-9, maxval=1.0)))
+        scores = jnp.log(imp) + gumbel
+        scores = jnp.where(special | (input_mask == 0),
+                           jnp.finfo(jnp.float32).min, scores)
+        _, pos = jax.lax.top_k(scores, n_mask)  # [B, n_mask]
+        chosen = jnp.zeros((B, L), bool)
+        chosen = chosen.at[jnp.arange(B)[:, None], pos].set(True)
+        chosen = chosen & ~special & (input_mask > 0)
+        att_ids = jnp.where(chosen, self.mask_token_id, raw_ids)
+        att_labels = jnp.where(chosen, raw_ids, -1)
+        # 50/50 per step between attentive and the processor's uniform masking
+        use_att = jax.random.bernoulli(k_use)
+        ids = jnp.where(use_att, att_ids, uniform_ids)
+        labels = att_labels if uniform_labels is None else jnp.where(
+            use_att, att_labels, uniform_labels)
+        return ids, labels
+
     def _word_embedding_table(self) -> jnp.ndarray:
         return self.base.text_encoder.variables["params"]["embeddings"][
             "word_embeddings"]["embedding"]
@@ -91,6 +133,11 @@ class UnivlForVideoPretraining(BaseModel):
         input_mask = batch["caption_input_mask"]
         segment_ids = batch.get("caption_segment_ids")
         lm_labels = batch.get("caption_lm_label_ids")
+
+        if self.attentive_masking and not deterministic:
+            raw_ids = batch.get("caption_raw_input_ids", input_ids)
+            input_ids, lm_labels = self._attentive_mask(
+                raw_ids, input_mask, segment_ids, input_ids, lm_labels)
 
         text = self.base.forward_text_encoder(
             input_ids, input_mask, segment_ids, deterministic=deterministic)

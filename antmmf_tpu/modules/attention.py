@@ -29,6 +29,22 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def attention_probs(
+    q: jnp.ndarray, k: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Softmax attention probabilities [B, H, Lq, Lk] (for word-importance
+    consumers — reference univl_video_base.py:138-143 output_attentions)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
 def xla_attention_core(
     q: jnp.ndarray,  # [B, H, Lq, D]
     k: jnp.ndarray,  # [B, H, Lk, D]
@@ -106,6 +122,9 @@ class MultiHeadAttention(nn.Module):
     # seq axis > 1 and the call is self-attention with a key-padding bias —
     # the long-video config's knob (projects/base_vtp/configs/long_video.yml).
     sequence_parallel: str = "none"
+    # sow softmax probs to the "intermediates" collection (the reference's
+    # output_attentions path feeding attentive masking)
+    sow_attention: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     out_dim: Optional[int] = None
@@ -127,7 +146,8 @@ class MultiHeadAttention(nn.Module):
         kv: Optional[jnp.ndarray] = None,  # [B, Lk, C] (None = self-attention)
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_probs: bool = False,
+    ):
         kv = x if kv is None else kv
         C = x.shape[-1]
         head_dim = self.head_dim or C // self.num_heads
@@ -144,6 +164,12 @@ class MultiHeadAttention(nn.Module):
         k = heads(dense(inner, name="k_proj")(kv))
         v = heads(dense(inner, name="v_proj")(kv))
 
+        probs = None
+        if return_probs or self.sow_attention:
+            probs = attention_probs(q, k, bias=bias)
+        if self.sow_attention:
+            # word-importance consumers read this via mutable=["intermediates"]
+            self.sow("intermediates", "attention_probs", probs)
         sp_mesh = self._sp_mesh()
         kv_bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
                                       and bias.shape[2] == 1)
@@ -163,4 +189,7 @@ class MultiHeadAttention(nn.Module):
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         B, H, Lq, D = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * D)
-        return dense(self.out_dim or C, name="out_proj")(out)
+        out = dense(self.out_dim or C, name="out_proj")(out)
+        if return_probs:
+            return out, probs
+        return out

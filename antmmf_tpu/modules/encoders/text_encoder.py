@@ -48,6 +48,7 @@ class BertEncoder(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     use_pallas: bool = True
+    sow_attention: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -65,6 +66,7 @@ class BertEncoder(nn.Module):
             layer_norm_eps=self.layer_norm_eps, activation="gelu_exact",
             final_norm=False, remat=self.remat,
             scan_layers=self.scan_layers, use_pallas=self.use_pallas,
+            sow_attention=self.sow_attention,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         if self.add_pooler:
@@ -79,6 +81,18 @@ class BertEncoder(nn.Module):
     def encoder_apply(self, hidden, input_mask, deterministic=True):
         bias = make_attention_mask(input_mask)
         return self.encoder(hidden, bias=bias, deterministic=deterministic)
+
+    def word_importance(self, input_ids, input_mask, segment_ids=None,
+                        deterministic=True):
+        """Attention-derived per-token importance (the reference's
+        output_attentions word-importance, univl_video_base.py:138-143):
+        sum over layers of mean-head attention column mass."""
+        x = self.embeddings_apply(input_ids, segment_ids, deterministic)
+        bias = make_attention_mask(input_mask)
+        _, importance = self.encoder(x, bias=bias,
+                                     deterministic=deterministic,
+                                     return_importance=True)
+        return importance
 
     def pooler_apply(self, cls_state):
         if self.add_pooler:

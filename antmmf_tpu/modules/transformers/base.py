@@ -32,6 +32,7 @@ class TransformerLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     use_pallas: bool = True
     sequence_parallel: str = "none"  # none | ulysses | ring (seq mesh axis)
+    sow_attention: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -42,10 +43,12 @@ class TransformerLayer(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         kv: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_attention: bool = False,
+    ):
         attn = MultiHeadAttention(
             num_heads=self.num_heads, dropout=self.dropout, use_pallas=self.use_pallas,
             sequence_parallel=self.sequence_parallel,
+            sow_attention=self.sow_attention,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attention",
         )
         mlp = Mlp(
@@ -59,16 +62,26 @@ class TransformerLayer(nn.Module):
                         param_dtype=self.param_dtype, name="norm2")
         dp = DropPath(self.drop_path)
 
+        probs = None
+
+        def run_attn(h):
+            nonlocal probs
+            out = attn(h, kv=kv, bias=bias, deterministic=deterministic,
+                       return_probs=return_attention)
+            if return_attention:
+                out, probs = out
+            return out
+
         if self.norm_style == "pre":
-            x = x + dp(attn(ln1(x), kv=kv, bias=bias, deterministic=deterministic),
-                       deterministic=deterministic)
+            x = x + dp(run_attn(ln1(x)), deterministic=deterministic)
             x = x + dp(mlp(ln2(x), deterministic=deterministic),
                        deterministic=deterministic)
         else:  # post-LN (BERT)
-            x = ln1(x + dp(attn(x, kv=kv, bias=bias, deterministic=deterministic),
-                           deterministic=deterministic))
+            x = ln1(x + dp(run_attn(x), deterministic=deterministic))
             x = ln2(x + dp(mlp(x, deterministic=deterministic),
                            deterministic=deterministic))
+        if return_attention:
+            return x, probs
         return x
 
 
@@ -102,6 +115,7 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = False
     use_pallas: bool = True
     sequence_parallel: str = "none"
+    sow_attention: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -111,16 +125,21 @@ class TransformerEncoder(nn.Module):
         x: jnp.ndarray,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_importance: bool = False,
+    ):
         layer_cls = TransformerLayer
         if self.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(4,))
+        if return_importance:
+            assert not (self.remat or self.scan_layers), \
+                "return_importance needs the plain layer path"
         common = dict(
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             dropout=self.dropout, activation=self.activation,
             norm_style=self.norm_style, layer_norm_eps=self.layer_norm_eps,
             use_pallas=self.use_pallas,
-            sequence_parallel=self.sequence_parallel, dtype=self.dtype,
+            sequence_parallel=self.sequence_parallel,
+            sow_attention=self.sow_attention, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
         if self.scan_layers:
@@ -134,11 +153,23 @@ class TransformerEncoder(nn.Module):
             x, _ = scanned(x, bias, None, deterministic)
         else:
             # linearly scaled stochastic depth across layers
+            importance = None
             for i in range(self.num_layers):
                 rate = self.drop_path * i / max(1, self.num_layers - 1)
-                x = layer_cls(drop_path=rate, name=f"layer_{i}", **common)(
-                    x, bias, None, deterministic)
+                layer = layer_cls(drop_path=rate, name=f"layer_{i}", **common)
+                if return_importance:
+                    x, probs = layer(x, bias, None, deterministic, True)
+                    # reference word importance (univl_video_base.py:138-143):
+                    # per-layer mean over heads, summed over query positions,
+                    # accumulated across layers → [B, L]
+                    contrib = probs.mean(axis=1).sum(axis=1)
+                    importance = contrib if importance is None \
+                        else importance + contrib
+                else:
+                    x = layer(x, bias, None, deterministic)
         if self.final_norm and self.norm_style == "pre":
             x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="final_norm")(x)
+        if return_importance:
+            return x, importance
         return x
