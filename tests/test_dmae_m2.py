@@ -188,3 +188,45 @@ def test_dmae_l3_corpus_metric_and_early_stopping(tmp_path):
         "val/l3_simi_t2v-mean_recall"
     assert np.isfinite(trainer.early_stopping.best_value)
     assert trainer.early_stopping.best_value > -np.inf
+
+
+def test_zero_shot_eval_harness():
+    """Zero-shot classification harness (M2-Encoder headline metric): class
+    prompt ensembling + cosine argmax; a model whose text/image embeds align
+    on class 0/1 scores 100%."""
+    import numpy as np
+
+    from antmmf_tpu.scripts.zero_shot_eval import (
+        build_class_embeddings,
+        zero_shot_accuracy,
+    )
+
+    D = 8
+    rng = np.random.default_rng(0)
+    basis = np.eye(2, D, dtype=np.float32)
+
+    def tokenize(text):
+        cls = 0 if "cat" in text else 1
+        return {"input_ids": np.full((4,), cls, np.int64),
+                "input_mask": np.ones((4,), np.int64)}
+
+    def encode_text(ids, mask):
+        cls = ids[:, 0]
+        noise = rng.normal(0, 0.01, (len(cls), D)).astype(np.float32)
+        e = basis[cls] + noise
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    class_embeds = build_class_embeddings(
+        encode_text, tokenize, ["cat", "dog"], batch_size=3)
+    assert class_embeds.shape == (2, D)
+    np.testing.assert_allclose(np.linalg.norm(class_embeds, axis=-1), 1.0,
+                               rtol=1e-5)
+
+    img = np.concatenate([np.tile(basis[0], (5, 1)),
+                          np.tile(basis[1], (5, 1))])
+    targets = np.array([0] * 5 + [1] * 5)
+    m = zero_shot_accuracy(img, class_embeds, targets)
+    assert m["zero_shot_top1"] == 100.0
+    # flipped targets → 0%
+    m2 = zero_shot_accuracy(img, class_embeds, 1 - targets)
+    assert m2["zero_shot_top1"] == 0.0
