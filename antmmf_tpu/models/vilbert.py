@@ -82,6 +82,7 @@ class ViLBERT(BaseModel):
     num_heads_visual: int = 8
     num_labels: int = 2
     training_head_type: str = "classification"  # classification | pretraining
+    region_classes: int = 13
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -106,9 +107,16 @@ class ViLBERT(BaseModel):
         if self.training_head_type == "pretraining":
             from antmmf_tpu.modules.transformers.heads.mlm import MLMHead
 
+            from antmmf_tpu.modules.transformers.heads.mrc import MRCHead
+
             self.mlm_head = MLMHead(vocab_size=self.vocab_size,
                                     hidden_size=self.text_hidden, dtype=dtype)
             self.region_head = nn.Dense(self.visual_dim, dtype=dtype)
+            # masked-region CLASSIFICATION vs detector distributions (the
+            # vilbert KL task, reference vilbert.py BertImagePredictionHead)
+            self.mrc_head = MRCHead(vocab_size=self.region_classes,
+                                    hidden_size=self.visual_hidden,
+                                    dtype=dtype)
             self.alignment_head = nn.Dense(2, dtype=dtype)
         else:
             self.classifier = ClassifierLayer(
@@ -165,6 +173,13 @@ class ViLBERT(BaseModel):
                 losses["masked_region_loss"] = (
                     ((pred - feats.astype(pred.dtype)) ** 2) * m
                 ).sum() / jnp.maximum(m.sum() * feats.shape[-1], 1.0)
+            if "region_cls_dis" in batch and "masked_regions" in batch:
+                mrc_logits = self.mrc_head(visual)
+                mrc = self.mrc_head.loss_metric(
+                    mrc_logits, batch["masked_regions"],
+                    batch["region_cls_dis"])
+                losses.update(mrc["losses"])
+                metrics.update(mrc["metrics"])
             if "alignment_labels" in batch:
                 al = self.alignment_head(
                     (t_pooled * v_pooled).astype(jnp.float32))

@@ -57,3 +57,36 @@ def test_vilbert_coattention_uses_visual():
     o2 = shell.apply(variables, b2)
     assert float(np.abs(np.asarray(o1["logits"]) -
                         np.asarray(o2["logits"])).max()) > 1e-4
+
+
+def test_vilbert_pretraining_mrc_kl_task():
+    import jax
+    import numpy as np
+
+    from antmmf_tpu.models.vilbert import ViLBERT
+
+    model = ViLBERT(training_head_type="pretraining", vocab_size=300,
+                    text_hidden=32, visual_hidden=32, visual_dim=16,
+                    num_text_layers=1, num_visual_layers=1, num_co_layers=1,
+                    num_heads_text=2, num_heads_visual=2, region_classes=5,
+                    dtype_str="float32")
+    rng = np.random.default_rng(0)
+    B, L, R = 2, 6, 4
+    batch = {
+        "input_ids": rng.integers(1, 300, (B, L)).astype(np.int64),
+        "input_mask": np.ones((B, L), np.int64),
+        "image_feature": rng.standard_normal((B, R, 16)).astype(np.float32),
+        "lm_label_ids": np.full((B, L), -1, np.int64),
+        "masked_regions": rng.integers(0, 2, (B, R)).astype(np.int64),
+        "region_cls_dis": rng.dirichlet(np.ones(5), (B, R)).astype(np.float32),
+        "alignment_labels": rng.integers(0, 2, (B,)).astype(np.int64),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=True)
+    out = model.apply(variables, batch, deterministic=True)
+    assert "masked_region_classification" in out["losses"]
+    assert "masked_region_loss" in out["losses"]
+    assert "alignment_loss" in out["losses"]
+    assert np.isfinite(float(sum(
+        np.mean(v) for v in out["losses"].values())))
