@@ -355,7 +355,8 @@ class BaseTrainer:
                     return found
         return None
 
-    def interpret(self, dataset_type: str = "val", max_batches: int = 4):
+    def interpret(self, dataset_type: str = "val", max_batches: int = 4,
+                  export_dir: Optional[str] = None):
         """Saliency interpretation loop (reference base_trainer.py:834-850).
 
         Token saliency = |∂L/∂E[row] ⊙ E[row]| gathered per input token — the
@@ -385,6 +386,11 @@ class BaseTrainer:
             results.append({"saliency": sal, "input_ids": ids})
             if len(results) >= max_batches:
                 break
+        if export_dir:
+            from antmmf_tpu.modules.interpret.saliency import export_saliency
+
+            paths = export_saliency(results, export_dir)
+            self.writer.write(f"saliency exported: {paths[-1]}")
         return results
 
     def _first_val_batch(self):
