@@ -21,6 +21,23 @@ from antmmf_tpu.trainers.base_trainer import BaseTrainer, optax_global_norm
 
 @registry.register_trainer("adv_trainer")
 class AdvTrainer(BaseTrainer):
+    def train(self) -> None:
+        """Adds the reference's extra run_types ``adversarial_{val,test}_generate``
+        (adv_trainer.py:20-24): perturbed-forward pseudo-labelling over a
+        dataset + annotation rewrite instead of a training loop."""
+        if "generate" in self.run_type and "adversarial" in self.run_type:
+            dataset_type = "val" if "val" in self.run_type else "test"
+            if getattr(self.adversarial, "attack", None) is not None and \
+                    hasattr(self.shell.module, "caption_hotflip_loss"):
+                results = self.generate_hotflip_text(dataset_type)
+                self.writer.write(
+                    f"hotflip generation: {len(results)} batches attacked")
+            updated = self.generate_adversarial_data(dataset_type)
+            self.writer.write(
+                f"adversarial generation: {updated} annotations updated")
+            return
+        super().train()
+
     def compile_steps(self) -> None:
         adv_cfg = self.tp.get("adversarial", {"type": "fgm"})
         self.adversarial = build_adversarial(adv_cfg)

@@ -142,3 +142,26 @@ def test_hotflip_text_generation_end_to_end(tmp_path):
     n_changed = int((orig != flipped).sum())
     assert n_changed == orig.shape[0] * 2  # 2 flips per caption
     assert int(info["n_flipped"]) == orig.shape[0] * 2
+
+
+def test_adversarial_generate_run_type(tmp_path):
+    """run_type adversarial_val_generate routes to data generation (the
+    reference's extra run_types, adv_trainer.py:20-24)."""
+    import os
+
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.trainers.build import build_trainer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = build_config(
+        os.path.join(root, "projects", "base_vtp", "configs",
+                     "video_retrieval.local.yml"),
+        opts=["training_parameters.save_dir", str(tmp_path),
+              "training_parameters.trainer", "adv_trainer",
+              "training_parameters.run_type", "adversarial_val_generate",
+              "training_parameters.adversarial.type", "fgm",
+              "training_parameters.seed", "4"])
+    trainer = build_trainer(cfg)
+    trainer.load()
+    trainer.train()  # runs generation, not the training loop
+    assert int(trainer.state.step) == 0  # no optimizer steps happened
