@@ -101,3 +101,52 @@ class PinkModel(BaseModel):
             denom = jnp.maximum(valid.sum(), 1)
             out["losses"] = {"lm_loss": jnp.where(valid, nll, 0.0).sum() / denom}
         return out
+
+    def generate(
+        self, variables, batch: Mapping[str, Any],
+        eos_id: int = 102, max_length: Optional[int] = None,
+        num_beams: int = 1,
+    ):
+        """Greedy decoding for the eval harnesses (reference
+        ``prj/Pink/pink/eval/model_*.py`` all decode with
+        ``model.generate(do_sample=False)``). Ragged prompts share one padded
+        [B, Lp+max_new] buffer; each step re-encodes the full prefix under one
+        jitted ``lax.fori_loop`` (static shapes — eval-harness scale; a KV-cache
+        serving path would cache per-layer k/v instead). Returns
+        (tokens int[B, Lp+max_new] with generations written after each row's
+        prompt, prompt_lens int[B])."""
+        del num_beams  # greedy only; kept for the predictor calling convention
+        max_new = int(max_length or 16)
+        ids = jnp.asarray(batch["input_ids"], jnp.int32)
+        mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
+                           jnp.int32)
+        img = batch.get("image_data")
+        B, Lp = ids.shape
+        total = Lp + max_new
+        tokens0 = jnp.concatenate(
+            [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
+        lens = mask.sum(-1).astype(jnp.int32)  # [B] prompt lengths
+
+        @jax.jit
+        def decode(tokens0):
+            def step(t, carry):
+                tokens, done = carry
+                cur = (jnp.arange(total)[None] < (lens + t)[:, None])
+                fwd = {"input_ids": tokens, "input_mask": cur.astype(jnp.int32)}
+                if img is not None:
+                    fwd["image_data"] = img
+                logits = self.apply(variables, fwd, deterministic=True)["logits"]
+                pos = (lens + t - 1).clip(0, total - 1)
+                last = jnp.take_along_axis(
+                    logits, pos[:, None, None], axis=1)[:, 0]  # [B, V]
+                nxt = jnp.argmax(last, -1).astype(jnp.int32)
+                nxt = jnp.where(done, eos_id, nxt)
+                write = jax.nn.one_hot(lens + t, total, dtype=bool)
+                tokens = jnp.where(write, nxt[:, None], tokens)
+                return tokens, done | (nxt == eos_id)
+
+            return jax.lax.fori_loop(
+                0, max_new, step, (tokens0, jnp.zeros((B,), bool)))
+
+        tokens, _ = decode(tokens0)
+        return tokens, lens

@@ -1,0 +1,225 @@
+"""Pink evaluation harness: VQA-family + grounding-family benchmarks.
+
+Reference parity: ``/root/reference/prj/Pink/pink/eval/`` ships ~15 per-dataset
+scripts (model_vqav2/model_gqa/model_okvqa/model_vsr/model_seed ... answer
+generation + VQA-protocol scoring; model_vg_base_batch/model_v7wgrounding/
+model_pointingvqa_* ... box generation + IoU / point-in-box scoring). All of
+them share one loop — prompt → ``model.generate(do_sample=False)`` → task
+scorer — so here that loop is ONE harness parameterized by ``--task``:
+
+  vqa        exact/VQA-protocol answer accuracy (min(#agreeing/3, 1))
+  grounding  parse ``[x1,y1,x2,y2]`` from the generation, IoU@0.5 vs gt box
+  pointing   center of the parsed box inside the gt box (pointingvqa protocol)
+
+Annotations: jsonl rows ``{"image": ..., "question": ..., "answer": str |
+"answers": [str], "bbox": [x1,y1,x2,y2]?, "width"?, "height"?}``. Decoding is
+the jittable greedy loop on ``PinkModel.generate`` (static shapes, batched).
+
+Usage::
+
+    python -m antmmf_tpu.scripts.pink_eval --config <cfg.yml> \
+        --annotations val.jsonl --image_dir data/images --task grounding
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import string
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+_ARTICLES = frozenset(("a", "an", "the"))
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def normalize_answer(text: str) -> str:
+    """VQA-protocol normalization: lowercase, strip punctuation/articles,
+    collapse whitespace (the `vqa_tools` processPunctuation/processDigitArticle
+    convention used by every reference eval_* script)."""
+    words = text.lower().translate(_PUNCT_TABLE).split()
+    return " ".join(w for w in words if w not in _ARTICLES)
+
+
+def vqa_score(prediction: str, answers: Sequence[str]) -> float:
+    """min(#human answers matching / 3, 1) — the VQAv2 accuracy; with a single
+    gt answer this degrades to exact match."""
+    pred = normalize_answer(prediction)
+    matches = sum(normalize_answer(a) == pred for a in answers)
+    if len(answers) == 1:
+        return float(matches > 0)
+    return min(matches / 3.0, 1.0)
+
+
+def box_iou(a: Sequence[float], b: Sequence[float]) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    ub = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    return inter / max(ua + ub - inter, 1e-9)
+
+
+def grounding_score(
+    pred_text: str, gt_box: Sequence[float],
+    width: float = 1.0, height: float = 1.0,
+    iou_threshold: float = 0.5, expand2square: bool = True,
+) -> float:
+    """1.0 iff the FIRST box parsed from the generation has IoU ≥ threshold
+    with the gt (acc@0.5, the refcoco/VG protocol of model_vg_base_batch)."""
+    from antmmf_tpu.datasets.processors.pink_processors import parse_boxes
+
+    boxes = parse_boxes(pred_text, width, height, expand2square=expand2square)
+    if len(boxes) == 0:
+        return 0.0
+    return float(box_iou(boxes[0], gt_box) >= iou_threshold)
+
+
+def pointing_score(
+    pred_text: str, gt_box: Sequence[float],
+    width: float = 1.0, height: float = 1.0, expand2square: bool = True,
+) -> float:
+    """1.0 iff the center of the first parsed box falls inside the gt box
+    (the pointing-QA protocol of model_pointingvqa_local)."""
+    from antmmf_tpu.datasets.processors.pink_processors import parse_boxes
+
+    boxes = parse_boxes(pred_text, width, height, expand2square=expand2square)
+    if len(boxes) == 0:
+        return 0.0
+    cx = (boxes[0][0] + boxes[0][2]) / 2.0
+    cy = (boxes[0][1] + boxes[0][3]) / 2.0
+    return float(gt_box[0] <= cx <= gt_box[2] and gt_box[1] <= cy <= gt_box[3])
+
+
+def score_rows(
+    rows: Sequence[Dict], predictions: Sequence[str], task: str,
+) -> Dict[str, float]:
+    """Aggregate per-row scores → summary dict (pure; unit-testable)."""
+    scores: List[float] = []
+    for row, pred in zip(rows, predictions):
+        if task == "vqa":
+            answers = row.get("answers") or [row["answer"]]
+            scores.append(vqa_score(pred, answers))
+        else:
+            fn = grounding_score if task == "grounding" else pointing_score
+            scores.append(fn(pred, row["bbox"],
+                             float(row.get("width", 1.0)),
+                             float(row.get("height", 1.0))))
+    key = {"vqa": "vqa_accuracy", "grounding": "acc@0.5",
+           "pointing": "pointing_acc"}[task]
+    return {key: float(np.mean(scores)) * 100.0 if scores else 0.0,
+            "n": float(len(scores))}
+
+
+def build_prompt(question: str, template: str = "vicuna_v1") -> str:
+    from antmmf_tpu.utils.conversation import get_conv_template
+
+    conv = get_conv_template(template)
+    conv.append_message(conv.roles[0], question)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    import jax
+
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.datasets.processors.image_processors import (
+        NormalizedImageProcessor,
+    )
+    from antmmf_tpu.models.base_model import build_model
+    from antmmf_tpu.predictors.caption_predictor import ids_to_caption
+    from antmmf_tpu.utils.tokenization import BertTokenizer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--annotations", required=True)
+    parser.add_argument("--image_dir", required=True)
+    parser.add_argument("--task", default="vqa",
+                        choices=("vqa", "grounding", "pointing"))
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--vocab_file",
+                        default="tests/data/vocabs/"
+                                "bert-base-uncased_30522_vocab.txt")
+    parser.add_argument("--template", default="vicuna_v1")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_prompt_len", type=int, default=64)
+    parser.add_argument("--max_new_tokens", type=int, default=24)
+    parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--out", default=None,
+                        help="optional jsonl of per-row predictions")
+    args = parser.parse_args(argv)
+
+    cfg = build_config(args.config)
+    shell = build_model(cfg, for_test=True, online_serving=True)
+    tok = BertTokenizer(args.vocab_file)
+    proc = NormalizedImageProcessor({"size": args.image_size,
+                                     "resize": args.image_size + 32})
+
+    rows = [json.loads(l) for l in open(args.annotations) if l.strip()]
+
+    import cv2
+
+    def tokenize(text: str):
+        ids = tok.convert_tokens_to_ids(
+            ["[CLS]"] + tok.tokenize(text)[: args.max_prompt_len - 1])
+        out = np.zeros(args.max_prompt_len, np.int32)
+        msk = np.zeros(args.max_prompt_len, np.int32)
+        out[: len(ids)] = ids
+        msk[: len(ids)] = 1
+        return out, msk
+
+    example = {
+        "image_data": np.zeros((1, args.image_size, args.image_size, 3),
+                               np.float32),
+        "input_ids": np.zeros((1, args.max_prompt_len), np.int64),
+        "input_mask": np.ones((1, args.max_prompt_len), np.int64),
+    }
+    variables = shell.init(jax.random.PRNGKey(0), example)
+    if args.checkpoint:
+        from antmmf_tpu.common.checkpoint import Checkpoint
+
+        ck = Checkpoint(cfg, load_only=True)
+        state_like = type("S", (), {"variables": variables})()
+        state_like, _ = ck.load_model_weights(state_like, args.checkpoint)
+        variables = state_like.variables
+
+    module = shell.module
+    predictions: List[str] = []
+    bs = args.batch_size
+    for s in range(0, len(rows), bs):
+        chunk = rows[s: s + bs]
+        ids, masks, imgs = [], [], []
+        for r in chunk:
+            i, m = tokenize(build_prompt(r["question"], args.template))
+            ids.append(i)
+            masks.append(m)
+            img = cv2.imread(os.path.join(args.image_dir, r["image"]))
+            imgs.append(proc.transform_array(
+                img[:, :, ::-1] if img is not None else np.zeros(
+                    (args.image_size, args.image_size, 3), np.uint8)))
+        pad = bs - len(chunk)
+        batch = {
+            "input_ids": np.stack(ids + [ids[-1]] * pad),
+            "input_mask": np.stack(masks + [masks[-1]] * pad),
+            "image_data": np.stack(imgs + [imgs[-1]] * pad),
+        }
+        tokens, lens = module.generate(
+            variables, batch, max_length=args.max_new_tokens)
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        for bi in range(len(chunk)):
+            gen = tokens[bi, lens[bi]: lens[bi] + args.max_new_tokens]
+            predictions.append(ids_to_caption(tok, gen))
+
+    summary = score_rows(rows, predictions, args.task)
+    if args.out:
+        with open(args.out, "w") as f:
+            for row, pred in zip(rows, predictions):
+                f.write(json.dumps({**row, "prediction": pred}) + "\n")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

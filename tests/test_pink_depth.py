@@ -162,3 +162,71 @@ def test_m2_omni_unified_processor():
     assert (ids[:4] == 1).all() and (ids[4:7] == 2).all()
     assert "image_data" in out and out["image_data"].shape == (32, 32, 3)
     assert "fbank" in out and out["fbank"].shape[0] == 8
+
+
+def test_pink_greedy_generate():
+    """Jittable greedy decode: generations land after each row's prompt,
+    ragged prompt lengths respected, eos latches (models/pink.py:generate)."""
+    from antmmf_tpu.models.pink import PinkModel
+
+    model = PinkModel(lm_preset="omni_tiny_test", vit_preset="vit_tiny_test",
+                      image_size=32, lora_rank=4, dtype_str="float32")
+    rng = np.random.default_rng(1)
+    Lp, new = 6, 5
+    ids = rng.integers(1, 1000, (2, Lp)).astype(np.int64)
+    mask = np.ones((2, Lp), np.int64)
+    mask[1, 4:] = 0  # ragged: row 1 prompt is 4 tokens
+    batch = {
+        "image_data": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "input_ids": ids, "input_mask": mask,
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    tokens, lens = model.generate(variables, batch, eos_id=102,
+                                  max_length=new)
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    assert tokens.shape == (2, Lp + new)
+    np.testing.assert_array_equal(lens, [Lp, 4])
+    # prompts preserved; every generated slot filled with a valid token id
+    np.testing.assert_array_equal(tokens[0, :Lp], ids[0])
+    np.testing.assert_array_equal(tokens[1, :4], ids[1, :4])
+    for b in range(2):
+        gen = tokens[b, lens[b]: lens[b] + new]
+        from antmmf_tpu.models.m2_omni import LM_PRESETS
+
+        vocab = LM_PRESETS["omni_tiny_test"]["vocab_size"]
+        assert (gen >= 0).all() and (gen < vocab).all()
+        # after the first eos, everything is eos (done-latch)
+        hits = np.nonzero(gen == 102)[0]
+        if len(hits):
+            assert (gen[hits[0]:] == 102).all()
+
+
+def test_pink_eval_scorers():
+    """VQA / grounding / pointing protocols of scripts/pink_eval.py
+    (reference prj/Pink/pink/eval/eval_*.py scoring conventions)."""
+    from antmmf_tpu.datasets.processors.pink_processors import serialize_box
+    from antmmf_tpu.scripts.pink_eval import (
+        grounding_score, pointing_score, score_rows, vqa_score,
+    )
+
+    # VQAv2 agreement protocol
+    ten = ["blue"] * 8 + ["red", "green"]
+    assert vqa_score("Blue!", ten) == 1.0
+    assert abs(vqa_score("red", ten) - 1 / 3) < 1e-9
+    assert vqa_score("the cat", ["cat"]) == 1.0  # article stripped
+
+    # grounding: serialize a gt box, parse it back, perfect IoU
+    W, H = 640, 480
+    gt = [100.0, 50.0, 300.0, 200.0]
+    text = "the dog is at " + serialize_box(gt, W, H)
+    assert grounding_score(text, gt, W, H) == 1.0
+    assert grounding_score(text, [400, 300, 500, 400], W, H) == 0.0
+    assert grounding_score("no box here", gt, W, H) == 0.0
+
+    # pointing: center of the predicted box inside / outside the gt region
+    assert pointing_score(text, [90, 40, 310, 210], W, H) == 1.0
+    assert pointing_score(text, [400, 300, 500, 400], W, H) == 0.0
+
+    rows = [{"question": "q", "bbox": gt, "width": W, "height": H}] * 2
+    summary = score_rows(rows, [text, "nothing"], "grounding")
+    assert summary == {"acc@0.5": 50.0, "n": 2.0}
