@@ -316,7 +316,26 @@ class KolmogorovSmirnov(BaseMetric):
 @registry.register_metric("span_f1")
 @registry.register_metric("SpanF1")
 class SpanF1Metric(BaseMetric):
-    """Exact-span F1 over BIO tag sequences (reference SpanF1)."""
+    """Exact-span F1 over tag sequences (reference SpanF1).
+
+    Default: integer tags where odd ids begin spans (compact encoding).
+    With params ``tag_scheme`` ∈ {bio, bioes, bmeso} and ``id2tag``
+    (id → string tag list), spans come from the reference converters in
+    ``utils/text_utils.py`` (bio/bioes/bmeso_tag_to_spans).
+    """
+
+    _CONVERTERS = {"bio": "bio_tag_to_spans", "bioes": "bioes_tag_to_spans",
+                   "bmeso": "bmeso_tag_to_spans"}
+
+    def _scheme_spans(self, tags: np.ndarray, mask: np.ndarray):
+        from antmmf_tpu.utils import text_utils
+
+        scheme = self.params["tag_scheme"]
+        id2tag = list(self.params["id2tag"])
+        convert = getattr(text_utils, self._CONVERTERS[scheme])
+        strs = [id2tag[int(t)] for t, m in zip(tags, mask) if m]
+        return [(s, e, lbl) for lbl, (s, e) in
+                convert(strs, ignore_labels=self.params.get("ignore_labels"))]
 
     @staticmethod
     def _spans(tags: np.ndarray, mask: np.ndarray):
@@ -340,7 +359,9 @@ class SpanF1Metric(BaseMetric):
         pred = logits.argmax(-1) if logits.ndim == 3 else logits
         gold = np.asarray(batch["targets"])
         mask = np.asarray(batch.get("input_mask", np.ones_like(gold)))
-        scores = [span_f1(self._spans(p, m), self._spans(g, m))
+        spans = (self._scheme_spans if self.params.get("tag_scheme")
+                 else self._spans)
+        scores = [span_f1(spans(p, m), spans(g, m))
                   for p, g, m in zip(pred, gold, mask)]
         return jnp.asarray(float(np.mean(scores)), jnp.float32)
 

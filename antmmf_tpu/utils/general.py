@@ -141,3 +141,108 @@ class AttrDict(dict):
 
     def __setattr__(self, name, value):
         self[name] = value
+
+
+def updir(d: str, n: int) -> str:
+    """Go up n directory levels from path d (reference general.py:211)."""
+    for _ in range(n):
+        d = os.path.dirname(d)
+    return d
+
+
+def extract_file(path: str, output_dir: str = ".") -> str:
+    """Extract a zip/tar(.gz|.bz2) archive into output_dir (ref general.py:237)."""
+    import tarfile
+    import zipfile
+
+    name = os.path.abspath(path).lower()
+    if name.endswith(".zip"):
+        with zipfile.ZipFile(path, "r") as f:
+            f.extractall(output_dir)
+    elif name.endswith((".tar.gz", ".tgz")):
+        with tarfile.open(path, "r:gz") as f:
+            f.extractall(output_dir)
+    elif name.endswith((".tar.bz2", ".tbz")):
+        with tarfile.open(path, "r:bz2") as f:
+            f.extractall(output_dir)
+    elif name.endswith(".tar"):
+        with tarfile.open(path, "r:") as f:
+            f.extractall(output_dir)
+    else:
+        raise ValueError(f"unsupported archive type: {path}")
+    return output_dir
+
+
+def iterative_support(func, query):
+    """Apply func element-wise through nested lists/tuples (ref general.py:260)."""
+    if isinstance(query, (list, tuple, set)):
+        return [iterative_support(func, q) for q in query]
+    return func(query)
+
+
+def transform_to_batch_sequence(tensor):
+    """[B, L] passthrough; [B, N, L] → [B*N, L] (reference general.py:391)."""
+    if tensor is None:
+        return None
+    if tensor.ndim == 2:
+        return tensor
+    assert tensor.ndim == 3
+    return tensor.reshape(-1, tensor.shape[-1])
+
+
+def transform_to_batch_sequence_dim(tensor):
+    """[B, L, D] passthrough; [B, N, L, D] → [B*N, L, D] (ref general.py:402)."""
+    if tensor is None:
+        return None
+    if tensor.ndim == 3:
+        return tensor
+    assert tensor.ndim == 4
+    return tensor.reshape(-1, tensor.shape[-2], tensor.shape[-1])
+
+
+def ckpt_name_from_core_args(config) -> str:
+    """'<tasks>_<models>[_<seed>]' run name (reference general.py:71)."""
+    name = "{}_{}".format(
+        "-".join(config.get("task_attributes", {}).keys()),
+        "-".join(config.get("model_attributes", {}).keys()))
+    seed = config.get("training_parameters", {}).get("seed")
+    if seed is not None:
+        name += f"_{int(seed):d}"
+    return name
+
+
+def foldername_from_config_override(args) -> str:
+    """Flatten --config_override into a filesystem-safe suffix (ref :85)."""
+    import yaml
+
+    override = getattr(args, "config_override", None)
+    if override is None and isinstance(args, Mapping):
+        override = args.get("config_override")
+    if not override:
+        return ""
+    text = yaml.safe_dump(override, default_flow_style=True)
+    text = text.replace(":", ".").replace("\n", " ").replace("/", "_")
+    text = " ".join(text.split()).replace(". ", ".").replace(" ", "_")
+    return "_" + text
+
+
+def get_current_arrays(max_rows: int = 50) -> List[str]:
+    """Live device arrays summary (analogue of ref get_current_tensors:226)."""
+    rows = []
+    for arr in jax.live_arrays():
+        rows.append(f"{arr.dtype} {tuple(arr.shape)}")
+        if len(rows) >= max_rows:
+            break
+    return rows
+
+
+def print_device_usage() -> Dict[str, float]:
+    """Per-device HBM usage in MiB (analogue of ref print_cuda_usage:219)."""
+    out: Dict[str, float] = {}
+    for dev in jax.devices():
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            out[str(dev)] = stats.get("bytes_in_use", 0) / (1024 * 1024)
+    for name, mib in out.items():
+        print(f"{name}: {mib:.1f} MiB in use")
+    return out
