@@ -163,3 +163,48 @@ class DetrProcessor(BaseProcessor):
                 tgt["boxes"], tgt["labels"] = pb, pl
             result["target"] = tgt
         return result
+
+
+@registry.register_processor("group_transforms")
+@registry.register_processor("tsn_group_transforms")
+class GroupTransforms(BaseProcessor):
+    """TSN/TSM-style multi-frame augmentation pipeline (reference
+    utils/image_ops.py:17-497 Group* family).
+
+    Config: {transforms: [{type: GroupScale, params: {...}}, ...], seed}.
+    Names resolve to the Group*/Stack/ToArrayFormat classes in
+    ``antmmf_tpu.utils.image_ops``; one sampled geometry applies to the
+    whole group so temporal coherence is preserved. Input: [F, H, W, C]
+    array or list of HWC frames; output: whatever the last stage yields
+    (frames are re-stacked to [F, H, W, C] when still a list).
+    """
+
+    def __init__(self, config: Optional[Mapping[str, Any]] = None, *a, **k):
+        super().__init__(config)
+        cfg = self.config
+        self.rng = np.random.default_rng(cfg.get("seed"))
+        self.stages: List[Any] = []
+        for t in cfg.get("transforms", []):
+            t = dict(t)
+            cls = getattr(image_ops, t["type"], None)
+            if cls is None or not inspect.isclass(cls):
+                raise KeyError(
+                    f"group_transforms: no transform class {t['type']!r} in "
+                    "antmmf_tpu.utils.image_ops")
+            self.stages.append(cls(**dict(t.get("params", {}))))
+
+    def _apply(self, frames):
+        if isinstance(frames, np.ndarray) and frames.ndim == 4:
+            frames = list(frames)
+        out = frames
+        for stage in self.stages:
+            out = stage(out, self.rng)
+        if isinstance(out, list):
+            out = np.stack(out)
+        return out
+
+    def __call__(self, x, *a, **k):
+        if isinstance(x, Mapping):
+            key = "video" if "video" in x else "image"
+            return {**x, key: self._apply(x[key])}
+        return self._apply(x)

@@ -7,6 +7,7 @@ padding to fixed shapes, five/ten-crop for eval, patch grids.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -86,14 +87,31 @@ class ImageLongsideScaleAndPad:
 
 
 class GroupNormalize:
-    """Channel-mean/std normalization (torchvision GroupNormalize analogue)."""
+    """Channel-mean/std normalization (reference GroupNormalize :72).
+
+    mean/std tile across the channel axis when frames are Stack-ed to
+    [H, W, F*C]; lists of frames normalize per frame. uint8-range inputs
+    are scaled to [0, 1] first when the mean is ≤ 1 (reference semantics).
+    """
 
     def __init__(self, mean: Sequence[float], std: Sequence[float]):
-        self.mean = np.asarray(mean, np.float32).reshape(1, 1, -1)
-        self.std = np.asarray(std, np.float32).reshape(1, 1, -1)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
 
-    def __call__(self, img: np.ndarray, rng=None) -> np.ndarray:
-        return (img.astype(np.float32) - self.mean) / self.std
+    def _one(self, img: np.ndarray) -> np.ndarray:
+        img = img.astype(np.float32)
+        c = img.shape[-1]
+        reps = max(1, c // self.mean.size)
+        mean = np.tile(self.mean, reps).reshape(1, 1, -1)
+        std = np.tile(self.std, reps).reshape(1, 1, -1)
+        if img.max() > 1.0 and mean.max() <= 1.0:
+            img = img / 255.0
+        return (img - mean) / std
+
+    def __call__(self, img, rng=None):
+        if isinstance(img, list):
+            return [self._one(f) for f in img]
+        return self._one(img)
 
 
 def random_crop(img: np.ndarray, four_side_ratios: Sequence[float] = (0.1,),
@@ -239,3 +257,358 @@ def rand_text(img: np.ndarray, rng: "np.random.Generator" = None,
 randText = rand_text
 random_affine = random_affine2
 random_color = random_color2
+
+
+# ----------------------------------------------------------------------------
+# Group (multi-frame) transforms — the TSN/TSM video augmentation family
+# (reference image_ops.py:17-497). Every transform applies ONE sampled
+# geometry to the whole frame group so temporal coherence is preserved.
+# Frames are numpy HWC arrays; randomized transforms accept an optional
+# numpy Generator (reference uses the global `random` module).
+
+
+def _size_pair(size) -> Tuple[int, int]:
+    return (int(size), int(size)) if np.isscalar(size) else tuple(size)
+
+
+class GroupRandomCrop:
+    """One random (th, tw) crop offset shared by all frames (ref :17)."""
+
+    def __init__(self, size):
+        self.size = _size_pair(size)
+
+    def __call__(self, img_group: List[np.ndarray],
+                 rng: "np.random.Generator" = None) -> List[np.ndarray]:
+        rng = rng or np.random.default_rng()
+        h, w = img_group[0].shape[:2]
+        th, tw = self.size
+        y = int(rng.integers(0, h - th + 1))
+        x = int(rng.integers(0, w - tw + 1))
+        return [img[y:y + th, x:x + tw] for img in img_group]
+
+
+class GroupCenterCrop:
+    """Center crop every frame (ref :44)."""
+
+    def __init__(self, size):
+        self.size = _size_pair(size)
+
+    def __call__(self, img_group, rng=None):
+        return [center_crop(img, self.size) for img in img_group]
+
+
+class GroupRandomHorizontalFlip:
+    """One coin flip for the whole group; optical-flow x-channels are
+    inverted when flipped (ref :52)."""
+
+    def __init__(self, is_flow: bool = False):
+        self.is_flow = is_flow
+
+    def __call__(self, img_group, rng=None):
+        rng = rng or np.random.default_rng()
+        if rng.random() >= 0.5:
+            return img_group
+        out = [np.ascontiguousarray(np.flip(img, axis=1))
+               for img in img_group]
+        if self.is_flow:
+            for i in range(0, len(out), 2):  # even slots carry flow-x
+                out[i] = (255 if out[i].dtype == np.uint8 else 1.0) - out[i]
+        return out
+
+
+class GroupScale:
+    """Shorter-edge resize for every frame (ref :111)."""
+
+    def __init__(self, size: int):
+        self.size = int(size)
+
+    def __call__(self, img_group, rng=None):
+        return [resize_shorter_side(img, self.size) for img in img_group]
+
+
+def _fill_fix_offset(more_fix_crop: bool, image_w: int, image_h: int,
+                     crop_w: int, crop_h: int) -> List[Tuple[int, int]]:
+    """The 5/13 canonical TSN crop anchors (ref GroupMultiScaleCrop:385)."""
+    w_step = (image_w - crop_w) // 4
+    h_step = (image_h - crop_h) // 4
+    offsets = [(0, 0), (4 * w_step, 0), (0, 4 * h_step),
+               (4 * w_step, 4 * h_step), (2 * w_step, 2 * h_step)]
+    if more_fix_crop:
+        offsets += [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                    (2 * w_step, 4 * h_step), (2 * w_step, 0),
+                    (1 * w_step, 1 * h_step), (3 * w_step, 1 * h_step),
+                    (1 * w_step, 3 * h_step), (3 * w_step, 3 * h_step)]
+    return offsets
+
+
+class GroupOverSample:
+    """TSN 10-crop eval: 5 fixed anchors × {normal, mirrored} (ref :226)."""
+
+    def __init__(self, crop_size, scale_size: int = None, flip: bool = True):
+        self.crop_size = _size_pair(crop_size)
+        self.scale_worker = GroupScale(scale_size) if scale_size else None
+        self.flip = flip
+
+    def __call__(self, img_group, rng=None):
+        if self.scale_worker is not None:
+            img_group = self.scale_worker(img_group)
+        h, w = img_group[0].shape[:2]
+        cw, ch = self.crop_size
+        out = []
+        for ox, oy in _fill_fix_offset(False, w, h, cw, ch):
+            crops = [img[oy:oy + ch, ox:ox + cw] for img in img_group]
+            out.extend(crops)
+            if self.flip:
+                out.extend(np.ascontiguousarray(np.flip(c, axis=1))
+                           for c in crops)
+        return out
+
+
+class GroupFullResSample:
+    """3-crop eval (left/center/right at full scale) (ref :269)."""
+
+    def __init__(self, crop_size, scale_size: int = None, flip: bool = True):
+        self.crop_size = _size_pair(crop_size)
+        self.scale_worker = GroupScale(scale_size) if scale_size else None
+        self.flip = flip
+
+    def __call__(self, img_group, rng=None):
+        if self.scale_worker is not None:
+            img_group = self.scale_worker(img_group)
+        h, w = img_group[0].shape[:2]
+        cw, ch = self.crop_size
+        w_step, h_step = (w - cw) // 4, (h - ch) // 4
+        anchors = [(0, 2 * h_step), (4 * w_step, 2 * h_step),
+                   (2 * w_step, 2 * h_step)]
+        out = []
+        for ox, oy in anchors:
+            crops = [img[oy:oy + ch, ox:ox + cw] for img in img_group]
+            out.extend(crops)
+            if self.flip:
+                out.extend(np.ascontiguousarray(np.flip(c, axis=1))
+                           for c in crops)
+        return out
+
+
+class GroupMultiScaleCrop:
+    """TSN train-time crop: pick a (scale, scale) pair with bounded
+    distortion, crop at a canonical anchor, resize to input_size (ref :317)."""
+
+    def __init__(self, input_size, scales=None, max_distort: int = 1,
+                 fix_crop: bool = True, more_fix_crop: bool = True):
+        self.scales = list(scales) if scales is not None else \
+            [1.0, 0.875, 0.75, 0.66]
+        self.max_distort = max_distort
+        self.fix_crop = fix_crop
+        self.more_fix_crop = more_fix_crop
+        self.input_size = _size_pair(input_size)
+
+    def _sample_crop(self, h: int, w: int, rng) -> Tuple[int, int, int, int]:
+        base = min(h, w)
+        sizes = [int(base * s) for s in self.scales]
+        snap = lambda x, t: t if abs(x - t) < 3 else x  # noqa: E731
+        crop_hs = [snap(x, self.input_size[1]) for x in sizes]
+        crop_ws = [snap(x, self.input_size[0]) for x in sizes]
+        pairs = [(cw, chh) for i, chh in enumerate(crop_hs)
+                 for j, cw in enumerate(crop_ws)
+                 if abs(i - j) <= self.max_distort]
+        cw, ch = pairs[int(rng.integers(0, len(pairs)))]
+        if not self.fix_crop:
+            ox = int(rng.integers(0, w - cw + 1))
+            oy = int(rng.integers(0, h - ch + 1))
+        else:
+            anchors = _fill_fix_offset(self.more_fix_crop, w, h, cw, ch)
+            ox, oy = anchors[int(rng.integers(0, len(anchors)))]
+        return cw, ch, ox, oy
+
+    def __call__(self, img_group, rng=None):
+        rng = rng or np.random.default_rng()
+        h, w = img_group[0].shape[:2]
+        cw, ch, ox, oy = self._sample_crop(h, w, rng)
+        return [resize_image(img[oy:oy + ch, ox:ox + cw],
+                             (self.input_size[1], self.input_size[0]))
+                for img in img_group]
+
+
+class GroupRandomSizedCrop:
+    """Inception-style area/aspect crop shared across the group (ref :409)."""
+
+    def __init__(self, size: int):
+        self.size = int(size)
+
+    def __call__(self, img_group, rng=None):
+        rng = rng or np.random.default_rng()
+        h, w = img_group[0].shape[:2]
+        for _ in range(10):
+            target_area = rng.uniform(0.08, 1.0) * h * w
+            aspect = rng.uniform(3.0 / 4, 4.0 / 3)
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if rng.random() < 0.5:
+                cw, ch = ch, cw
+            if cw <= w and ch <= h:
+                ox = int(rng.integers(0, w - cw + 1))
+                oy = int(rng.integers(0, h - ch + 1))
+                return [resize_image(img[oy:oy + ch, ox:ox + cw],
+                                     (self.size, self.size))
+                        for img in img_group]
+        scaled = GroupScale(self.size)(img_group)
+        return GroupRandomCrop(self.size)(scaled, rng=rng)
+
+
+class Stack:
+    """Concatenate a frame group along channels → [H, W, F*C] (ref :457);
+    roll=True swaps RGB→BGR per frame (legacy caffe models)."""
+
+    def __init__(self, roll: bool = False):
+        self.roll = roll
+
+    def __call__(self, img_group, rng=None):
+        frames = [np.atleast_3d(img) for img in img_group]
+        if self.roll:
+            frames = [f[:, :, ::-1] for f in frames]
+        return np.concatenate(frames, axis=2)
+
+
+class ToArrayFormat:
+    """[H, W, C] uint8 → float32 [C, H, W] in [0, 1] (ref
+    ToTorchFormatTensor:473, returned as numpy for jnp feeding)."""
+
+    def __init__(self, div: bool = True):
+        self.div = div
+
+    def __call__(self, pic: np.ndarray, rng=None) -> np.ndarray:
+        out = np.transpose(np.atleast_3d(pic), (2, 0, 1)).astype(np.float32)
+        return out / 255.0 if self.div else out
+
+
+class IdentityTransform:
+    def __call__(self, data, rng=None):
+        return data
+
+
+# ----------------------------------------------------------------------------
+# Image loaders (reference image_ops.py:499-697): frame-folder templates for
+# TSN/TSM-style datasets, exif-aware loading, and yolo letterbox sizing.
+
+
+class ImageLoader:
+    """Load frames from `<root>/<dir>/<tmpl % idx>` (ref :499).
+
+    modality "RGB" returns [HWC uint8]; "Flow" returns [x, y] grayscale
+    frames (either flow_{x,y}_%05d files or one RGB file whose first two
+    channels carry flow).
+    """
+
+    def __init__(self, modality: str = "RGB", root_path: str = ".",
+                 image_tmpl: str = "img_{:05d}.jpg"):
+        self.modality = modality
+        self.root_path = root_path
+        self.image_tmpl = image_tmpl
+
+    def _read(self, path: str, gray: bool = False) -> np.ndarray:
+        import cv2
+
+        flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+        img = cv2.imread(path, flag)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img if gray else cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def load_image(self, directory: str, idx: int) -> List[np.ndarray]:
+        if self.modality in ("RGB", "RGBDiff"):
+            if self.image_tmpl == "{}_{:05d}.jpg":
+                name = self.image_tmpl.format(
+                    os.path.basename(directory), idx)
+            else:
+                name = self.image_tmpl.format(idx)
+            path = os.path.join(self.root_path, directory, name)
+            try:
+                return [self._read(path)]
+            except FileNotFoundError:
+                # fall back to frame 1 like the reference
+                first = (self.image_tmpl.format(directory, 1)
+                         if self.image_tmpl == "{}_{:05d}.jpg"
+                         else self.image_tmpl.format(1))
+                return [self._read(
+                    os.path.join(self.root_path, directory, first))]
+        if self.modality == "Flow":
+            if self.image_tmpl == "flow_{}_{:05d}.jpg":
+                base = os.path.join(self.root_path, directory)
+                return [
+                    self._read(os.path.join(
+                        base, self.image_tmpl.format("x", idx)), gray=True),
+                    self._read(os.path.join(
+                        base, self.image_tmpl.format("y", idx)), gray=True)]
+            rgb = self._read(os.path.join(
+                self.root_path, directory, self.image_tmpl.format(idx)))
+            return [rgb[:, :, 0], rgb[:, :, 1]]
+        raise ValueError(f"unknown modality {self.modality}")
+
+
+class ExifImageLoader:
+    """PIL loader that applies the EXIF orientation tag (ref :594)."""
+
+    @staticmethod
+    def apply_exif_orientation(image):
+        try:
+            exif = image.getexif()
+            orientation = exif.get(0x0112)  # EXIF Orientation tag
+            if orientation == 3:
+                image = image.rotate(180, expand=True)
+            elif orientation == 6:
+                image = image.rotate(270, expand=True)
+            elif orientation == 8:
+                image = image.rotate(90, expand=True)
+        except Exception:
+            pass
+        return image
+
+    @staticmethod
+    def load_with_exif(file) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(file)
+        img = ExifImageLoader.apply_exif_orientation(img)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        return np.asarray(img)
+
+
+class CV2ImageLoader:
+    """cv2 loader returning RGB HWC uint8 (faster than PIL, ref :626)."""
+
+    @staticmethod
+    def load(file: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(file)
+        if img is None:
+            raise FileNotFoundError(file)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class YoloImageLoader:
+    """Resize the longer side to target_size, keep ratio (ref :638);
+    returns {image, origin_size, image_size} like the reference."""
+
+    def __init__(self, target_size: int, is_training: bool = False):
+        self.target_size = int(target_size)
+        self.is_training = is_training
+
+    def __call__(self, img_path: str) -> dict:
+        img = CV2ImageLoader.load(img_path)
+        return self.resize_image_to_target(img)
+
+    def resize_image_to_target(self, img: np.ndarray) -> dict:
+        import cv2
+
+        h0, w0 = img.shape[:2]
+        ratio = self.target_size / max(h0, w0)
+        if ratio != 1:
+            interp = (cv2.INTER_AREA if ratio < 1 and not self.is_training
+                      else cv2.INTER_LINEAR)
+            img = cv2.resize(img, (int(w0 * ratio), int(h0 * ratio)),
+                             interpolation=interp)
+        return {"image": img, "origin_size": (h0, w0),
+                "image_size": img.shape[:2]}
