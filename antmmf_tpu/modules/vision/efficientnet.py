@@ -37,6 +37,17 @@ def _round_filters(f: float, width: float) -> int:
     return max(8, int(f + 4) // 8 * 8)
 
 
+def drop_connect(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Stochastic depth on the residual branch (reference
+    modules/utils.py:91 drop_connect): per-sample Bernoulli keep with
+    1/keep_prob rescaling."""
+    import jax
+
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
 class SqueezeExcite(nn.Module):
     reduced: int
     dtype: Dtype = jnp.bfloat16
@@ -54,10 +65,12 @@ class MBConv(nn.Module):
     features: int
     stride: int
     kernel: int
+    drop_rate: float = 0.0
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         inp = x.shape[-1]
         residual = x
         h = x
@@ -76,12 +89,16 @@ class MBConv(nn.Module):
                     name="project")(h)
         h = nn.GroupNorm(num_groups=8, dtype=jnp.float32, name="gn2")(h)
         if self.stride == 1 and inp == self.features:
+            if self.drop_rate > 0.0 and not deterministic:
+                h = drop_connect(h, self.drop_rate,
+                                 self.make_rng("dropout"))
             h = h + residual
         return h
 
 
 class EfficientNet(nn.Module):
     preset: str = "b0"
+    drop_connect_rate: float = 0.2  # scaled linearly over depth (ref :91)
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -92,12 +109,19 @@ class EfficientNet(nn.Module):
                     name="stem")(images.astype(self.dtype))
         x = nn.silu(nn.GroupNorm(num_groups=8, dtype=jnp.float32,
                                  name="stem_gn")(x))
+        total_blocks = sum(max(1, int(math.ceil(r * depth)))
+                           for _, _, r, _, _ in BASE_STAGES)
+        block_id = 0
         for si, (expand, ch, repeats, stride, kernel) in enumerate(BASE_STAGES):
             features = _round_filters(ch, width)
             n = max(1, int(math.ceil(repeats * depth)))
             for bi in range(n):
+                rate = self.drop_connect_rate * block_id / total_blocks
                 x = MBConv(expand, features, stride if bi == 0 else 1, kernel,
-                           dtype=self.dtype, name=f"stage{si}_block{bi}")(x)
+                           drop_rate=rate, dtype=self.dtype,
+                           name=f"stage{si}_block{bi}")(
+                               x, deterministic=deterministic)
+                block_id += 1
         head = _round_filters(1280, width)
         x = nn.Conv(head, (1, 1), use_bias=False, dtype=self.dtype,
                     name="head_conv")(x)

@@ -612,3 +612,102 @@ class YoloImageLoader:
                              interpolation=interp)
         return {"image": img, "origin_size": (h0, w0),
                 "image_size": img.shape[:2]}
+
+
+def picture_in_picture(img: np.ndarray, picture_dir: str = None,
+                       rng: "np.random.Generator" = None) -> np.ndarray:
+    """Collage augmentation (reference dataset_utils.py:540 pictureInPicture):
+    paste the (scaled) image onto a sampled background — a random picture
+    from ``picture_dir``, a blurred variant, or a solid color. Returns the
+    input unchanged when ``picture_dir`` is unset/empty."""
+    import warnings
+
+    rng = rng or np.random.default_rng()
+    try:
+        import cv2
+    except Exception:
+        return img
+    import glob as _glob
+
+    paths = _glob.glob(os.path.join(picture_dir, "*")) if picture_dir else []
+    if not paths:
+        warnings.warn(
+            "skip pictureInPicture augmentation: picture_dir not set/empty")
+        return img
+
+    base = CV2ImageLoader.load(paths[int(rng.integers(0, len(paths)))])
+    h, w = img.shape[:2]
+    bh, bw = base.shape[:2]
+    # backgrounds must comfortably contain the pasted foreground
+    if min(bh, bw) < max(h, w):
+        scale = max(h, w) * 1.3 / min(bh, bw)
+        base = cv2.resize(base, (int(bw * scale) + 1, int(bh * scale) + 1))
+        bh, bw = base.shape[:2]
+
+    roll = rng.uniform()
+    k = 2 * int(rng.integers(10, 16)) + 1  # odd gaussian kernel
+    if roll <= 0.4:  # blurred background (asset or foreground itself)
+        src = base if rng.uniform() <= 0.5 else cv2.resize(
+            img.astype(np.uint8) if img.dtype != np.uint8 else img, (bw, bh))
+        base = cv2.GaussianBlur(src, (k, k), 0)
+    elif roll < 0.8:  # solid color
+        color = rng.integers(0, 256, 3)
+        base = np.full((bh, bw, 3), color, np.uint8)
+
+    paste_ratio = float(rng.uniform(0.8, 1.0)) * min(bh, bw) / max(h, w)
+    th, tw = max(1, int(h * paste_ratio)), max(1, int(w * paste_ratio))
+    ox = int(rng.uniform((bw - tw) // 4, max((bw - tw) // 2, (bw - tw) // 4 + 1)))
+    oy = int(rng.uniform((bh - th) // 4, max((bh - th) // 2, (bh - th) // 4 + 1)))
+    if rng.uniform() > 0.5:  # mirror the anchor like the reference
+        ox, oy = bw - ox - tw, bh - oy - th
+    region = cv2.resize(np.asarray(img, np.uint8) if img.dtype != np.uint8
+                        else img, (tw, th))
+    out = np.array(base)
+    out[oy:oy + th, ox:ox + tw] = region
+    return out
+
+
+def rand_logo(img: np.ndarray, random_logo_dir: str = None,
+              rng: "np.random.Generator" = None) -> np.ndarray:
+    """Alpha-composite a random logo at a random location (reference
+    dataset_utils.py:670 randLogo). Logos larger than 30% of the image short
+    side are shrunk. Returns the input unchanged when the dir is unset."""
+    import warnings
+
+    rng = rng or np.random.default_rng()
+    import glob as _glob
+
+    paths = _glob.glob(os.path.join(random_logo_dir, "*")) \
+        if random_logo_dir else []
+    if not paths:
+        warnings.warn("skip randLogo augmentation: random_logo_dir not set")
+        return img
+    try:
+        import cv2
+        from PIL import Image
+    except Exception:
+        return img
+
+    h, w = img.shape[:2]
+    logo = np.asarray(Image.open(
+        paths[int(rng.integers(0, len(paths)))]).convert("RGBA"))
+    lh, lw = logo.shape[:2]
+    limit = max(1, int(0.3 * min(h, w)))
+    if min(lh, lw) > limit:
+        scale = limit / min(lh, lw)
+        lh, lw = max(1, int(lh * scale)), max(1, int(lw * scale))
+        logo = cv2.resize(logo, (lw, lh))
+    ox = int(rng.integers(0, max(w - lw, 1)))
+    oy = int(rng.integers(0, max(h - lh, 1)))
+    out = np.array(img, np.uint8) if img.dtype != np.uint8 else np.array(img)
+    patch = out[oy:oy + lh, ox:ox + lw].astype(np.float32)
+    alpha = logo[:patch.shape[0], :patch.shape[1], 3:4].astype(np.float32) / 255
+    rgb = logo[:patch.shape[0], :patch.shape[1], :3].astype(np.float32)
+    out[oy:oy + lh, ox:ox + lw] = \
+        (alpha * rgb + (1 - alpha) * patch).astype(np.uint8)
+    return out
+
+
+# reference-name aliases (dataset_utils.py:540,670)
+pictureInPicture = picture_in_picture
+randLogo = rand_logo

@@ -165,3 +165,38 @@ def test_yolo_loader(tmp_path):
     assert out["origin_size"] == (60, 120)
     assert max(out["image_size"]) == 64
     assert out["image"].shape[:2] == out["image_size"]
+
+
+def test_picture_in_picture(tmp_path):
+    import cv2
+    import warnings
+
+    img = np.full((40, 30, 3), 128, np.uint8)
+    # unset dir: warns, passthrough
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert I.picture_in_picture(img, None) is img
+    cv2.imwrite(str(tmp_path / "bg.jpg"), np.zeros((100, 90, 3), np.uint8))
+    for seed in range(4):  # exercise all background branches
+        out = I.picture_in_picture(img, str(tmp_path),
+                                   np.random.default_rng(seed))
+        assert out.ndim == 3 and out.shape[2] == 3
+        assert min(out.shape[:2]) >= min(img.shape[:2])
+
+
+def test_rand_logo(tmp_path):
+    from PIL import Image
+    import warnings
+
+    img = np.zeros((50, 60, 3), np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert I.rand_logo(img, None) is img
+    logo = np.zeros((10, 10, 4), np.uint8)
+    logo[..., 0] = 255  # red
+    logo[..., 3] = 255  # opaque
+    Image.fromarray(logo, "RGBA").save(tmp_path / "logo.png")
+    out = I.rand_logo(img, str(tmp_path), np.random.default_rng(0))
+    assert out.shape == img.shape
+    assert out[..., 0].max() == 255  # logo composited
+    assert I.randLogo is I.rand_logo and I.pictureInPicture is I.picture_in_picture

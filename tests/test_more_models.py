@@ -97,3 +97,26 @@ def test_sampled_softmax_decreases_with_good_embeddings():
     l_bad = sampled_softmax_loss(bad, weight, None, targets,
                                  jax.random.PRNGKey(2), 64)
     assert float(l_good) < float(l_bad)
+
+
+def test_efficientnet_drop_connect():
+    """Stochastic depth (reference modules/utils.py:91 drop_connect):
+    active only when not deterministic; expectation-preserving rescale."""
+    from antmmf_tpu.modules.vision.efficientnet import drop_connect
+
+    m = EfficientNet(preset="test", drop_connect_rate=0.9, dtype=jnp.float32)
+    x = jnp.ones((2, 64, 64, 3))
+    params = m.init(KEY, x)
+    det = m.apply(params, x, deterministic=True)["pooled"]
+    det2 = m.apply(params, x, deterministic=True)["pooled"]
+    assert jnp.allclose(det, det2)  # deterministic path has no randomness
+    tr = m.apply(params, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})["pooled"]
+    assert not jnp.allclose(det, tr)  # branches actually dropped
+
+    # per-sample Bernoulli mask with 1/keep rescale
+    z = jnp.ones((4, 2, 2, 3))
+    out = drop_connect(z, 0.5, jax.random.PRNGKey(0))
+    per_sample = out.reshape(4, -1)
+    assert all(
+        jnp.allclose(row, 0.0) or jnp.allclose(row, 2.0) for row in per_sample)
