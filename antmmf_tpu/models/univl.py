@@ -72,6 +72,12 @@ class UnivlVideoBase(nn.Module):
     # sequence parallelism for the visual token stream over the mesh `seq`
     # axis (projects/base_vtp/configs/long_video.yml)
     sequence_parallel: str = "none"
+    # fold the BERT stack into one nn.scan body (deep-stack compile lever)
+    scan_layers: bool = False
+    # GPipe the BERT layer stack over the mesh `model` axis (absent in the
+    # reference — SURVEY §2.3 design-in-anyway; pairs with pipelined_lm)
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 4
     dtype_str: str = "bfloat16"
 
     @property
@@ -89,6 +95,9 @@ class UnivlVideoBase(nn.Module):
         hidden = bert_kw.pop("hidden_size")
         self.text_encoder = BertEncoder(
             hidden_size=hidden, dropout=self.dropout, remat=self.remat,
+            scan_layers=self.scan_layers,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
             use_pallas=self.use_pallas, dtype=self.dtype, **bert_kw,
         )
         self.text_hidden = hidden
@@ -272,6 +281,9 @@ class UnivlForVideoTextRetrieval(BaseModel):
     remat: bool = False
     use_pallas: bool = True
     sequence_parallel: str = "none"
+    scan_layers: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 4
     dtype_str: str = "bfloat16"
     training_head_only: bool = False  # freeze towers (linear-probe style)
 
@@ -283,7 +295,11 @@ class UnivlForVideoTextRetrieval(BaseModel):
             with_cross_encoder=self.with_cross_encoder,
             cross_layers=self.cross_layers, dropout=self.dropout,
             remat=self.remat, use_pallas=self.use_pallas,
-            sequence_parallel=self.sequence_parallel, dtype_str=self.dtype_str,
+            sequence_parallel=self.sequence_parallel,
+            scan_layers=self.scan_layers,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            dtype_str=self.dtype_str,
         )
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(self.init_logit_scale), (),

@@ -47,6 +47,8 @@ class BertEncoder(nn.Module):
     add_pooler: bool = True
     remat: bool = False
     scan_layers: bool = False
+    pipeline_stages: int = 1  # GPipe the layer stack (requires scan_layers)
+    pipeline_microbatches: int = 4
     use_pallas: bool = True
     sow_attention: bool = False
     dtype: Dtype = jnp.bfloat16
@@ -65,7 +67,10 @@ class BertEncoder(nn.Module):
             mlp_ratio=self.mlp_ratio, dropout=self.dropout, norm_style="post",
             layer_norm_eps=self.layer_norm_eps, activation="gelu_exact",
             final_norm=False, remat=self.remat,
-            scan_layers=self.scan_layers, use_pallas=self.use_pallas,
+            scan_layers=self.scan_layers or self.pipeline_stages > 1,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            use_pallas=self.use_pallas,
             sow_attention=self.sow_attention,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )

@@ -113,6 +113,8 @@ class TransformerEncoder(nn.Module):
     final_norm: bool = True
     remat: bool = False
     scan_layers: bool = False
+    pipeline_stages: int = 1  # GPipe over the `model` mesh axis (needs scan)
+    pipeline_microbatches: int = 4
     use_pallas: bool = True
     sequence_parallel: str = "none"
     sow_attention: bool = False
@@ -150,7 +152,10 @@ class TransformerEncoder(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.num_layers,
             )(drop_path=self.drop_path, name="layers", **common)
-            x, _ = scanned(x, bias, None, deterministic)
+            if self.pipeline_stages > 1 and not self.is_initializing():
+                x = self._pipelined(x, bias, deterministic, common)
+            else:
+                x, _ = scanned(x, bias, None, deterministic)
         else:
             # linearly scaled stochastic depth across layers
             importance = None
@@ -173,3 +178,58 @@ class TransformerEncoder(nn.Module):
         if return_importance:
             return x, importance
         return x
+
+    def _pipelined(self, x, bias, deterministic, common):
+        """GPipe the scanned layer stack over the ``model`` mesh axis.
+
+        The ``layers`` params already carry a leading [num_layers] dim
+        (scan_layers); reshaping to [S, L/S, ...] makes each mesh slice own
+        a contiguous block of layers, and ``parallel/pipeline.pipeline_apply``
+        streams microbatches through the ring (attention bias rides along as
+        a per-microbatch aux input). Numerics match the sequential scan.
+        """
+        import jax as _jax
+
+        from antmmf_tpu.common.registry import registry as _reg
+        from antmmf_tpu.parallel.pipeline import (
+            pipeline_apply,
+            split_microbatches,
+        )
+
+        S = self.pipeline_stages
+        mesh = _reg.get("mesh", default=None)
+        if mesh is None or mesh.shape.get("model", 1) != S:
+            raise ValueError(
+                f"pipeline_stages={S} needs a mesh with a model axis of "
+                f"size {S} registered (got "
+                f"{None if mesh is None else dict(mesh.shape)})")
+        if self.num_layers % S:
+            raise ValueError(
+                f"num_layers {self.num_layers} not divisible by "
+                f"pipeline_stages {S}")
+        assert deterministic or self.dropout == 0.0, \
+            "pipelined encoder path has no dropout rng plumbing"
+
+        params = self.variables["params"]["layers"]  # leaves [N, ...]
+        per = self.num_layers // S
+        staged = _jax.tree_util.tree_map(
+            lambda t: t.reshape((S, per) + t.shape[1:]), params)
+
+        body = nn.scan(
+            _ScanLayerBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=per,
+        )(drop_path=self.drop_path, **common)
+
+        def stage_fn(p, h, a=None):
+            out, _ = body.apply({"params": p}, h, a, None, True)
+            return out
+
+        M = min(self.pipeline_microbatches, x.shape[0])
+        mbs = split_microbatches(x, M)
+        aux = split_microbatches(bias, M) if bias is not None else None
+        out = pipeline_apply(stage_fn, staged, mbs, mesh, axis="model",
+                             aux=aux)
+        return out.reshape(x.shape)

@@ -34,21 +34,29 @@ def stack_stage_params(param_list) -> Any:
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stage_fn: Callable[..., jnp.ndarray],
     stage_params: Any,  # leaves [S, ...] — shard leading dim over `axis`
     microbatches: jnp.ndarray,  # [M, mb, ...]
     mesh: Mesh,
     axis: str = "model",
+    aux: Optional[Any] = None,  # pytree, leaves [M, ...] per-microbatch
 ) -> jnp.ndarray:
-    """Returns [M, mb, ...] outputs of the last stage."""
+    """Returns [M, mb, ...] outputs of the last stage.
+
+    ``aux`` carries per-microbatch side inputs that every stage needs
+    alongside the activation (e.g. an attention mask/bias): stage s at tick
+    t processes microbatch t − s, so each stage indexes ``aux`` with its own
+    offset. When given, ``stage_fn(params, x, aux_mb)`` is called.
+    """
     S = mesh.shape[axis]
     M = microbatches.shape[0]
     T = M + S - 1
 
     p_params = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
     p_io = P(None)  # microbatches replicated across the pipe axis
+    p_aux = jax.tree_util.tree_map(lambda _: P(None), aux)
 
-    def inner(params, mbs):
+    def inner(params, mbs, aux_mb):
         # params leaves: [1, ...] (this stage's slice); drop the stage dim
         local = jax.tree_util.tree_map(lambda x: x[0], params)
         stage_id = lax.axis_index(axis)
@@ -62,7 +70,13 @@ def pipeline_apply(
             # stage 0 ingests microbatch t (if in range)
             inject = mbs[jnp.clip(t, 0, M - 1)]
             x = jnp.where(stage_id == 0, inject, state)
-            y = stage_fn(local, x)
+            if aux_mb is None:
+                y = stage_fn(local, x)
+            else:
+                # the microbatch on stage s at tick t is m = t − s
+                m = jnp.clip(t - stage_id, 0, M - 1)
+                a = jax.tree_util.tree_map(lambda v: v[m], aux_mb)
+                y = stage_fn(local, x, a)
             # last stage emits the microbatch that entered the pipe at
             # t - (S - 1)
             out_idx = t - (S - 1)
@@ -82,9 +96,9 @@ def pipeline_apply(
         return lax.psum(outputs, axis)
 
     return shard_map(
-        inner, mesh=mesh, in_specs=(p_params, p_io), out_specs=p_io,
+        inner, mesh=mesh, in_specs=(p_params, p_io, p_aux), out_specs=p_io,
         check_vma=False,
-    )(stage_params, microbatches)
+    )(stage_params, microbatches, aux)
 
 
 def split_microbatches(batch: jnp.ndarray, num_microbatches: int) -> jnp.ndarray:

@@ -177,3 +177,89 @@ def test_pipelined_lm_matches_sequential():
     np.testing.assert_allclose(np.asarray(out_pipe["logits"]),
                                np.asarray(out_seq["logits"]),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_pipelined_transformer_encoder_matches_sequential():
+    """The library TransformerEncoder pipelines its scanned layer stack over
+    the model axis (pipeline_stages) with the attention bias riding along as
+    a per-microbatch aux — numerics match the sequential scan, and grads
+    flow through the ring."""
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.modules.transformers.base import TransformerEncoder
+
+    kw = dict(num_layers=4, num_heads=2, mlp_ratio=2.0, norm_style="post",
+              scan_layers=True, final_norm=False, use_pallas=False,
+              dtype=jnp.float32)
+    seq = TransformerEncoder(**kw)
+    pipe = TransformerEncoder(pipeline_stages=4, pipeline_microbatches=4, **kw)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 16), jnp.float32)
+    mask = np.ones((8, 6), np.float32)
+    mask[:, 4:] = 0.0  # padded tail — bias must follow its microbatch
+    bias = jnp.asarray((1.0 - mask) * -1e9)[:, None, None, :]
+    params = seq.init(jax.random.PRNGKey(1), x, bias)
+    ref = seq.apply(params, x, bias)
+
+    mesh = build_mesh({"model": 4, "data": 2})
+    registry.register("mesh", mesh)
+    try:
+        out = pipe.apply(params, x, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+        g = jax.grad(
+            lambda p: jnp.sum(pipe.apply(p, x, bias) ** 2))(params)
+        gnorm = jnp.sqrt(sum(jnp.sum(v ** 2) for v in jax.tree_util
+                             .tree_leaves(g)))
+        assert float(gnorm) > 0.0 and np.isfinite(float(gnorm))
+
+        # misconfigured mesh → clear error
+        bad = TransformerEncoder(pipeline_stages=3,
+                                 pipeline_microbatches=4, **kw)
+        try:
+            bad.apply(params, x, bias)
+            raise AssertionError("expected ValueError for mesh mismatch")
+        except ValueError:
+            pass
+    finally:
+        registry.unregister("mesh")
+
+
+def test_univl_text_tower_pipelines_from_config():
+    """The flagship retrieval model GPipes its BERT stack when
+    pipeline_stages matches the mesh model axis; logits match the
+    non-pipelined model bitwise-closely (COMPONENTS round-3 candidate:
+    UniVL towers pipelined, not just pipelined_lm)."""
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.models.univl import UnivlForVideoTextRetrieval
+
+    kw = dict(vit_preset="vit_tiny_test", bert_preset="bert_tiny_test",
+              image_size=32, embed_dim=32, dtype_str="float32")
+    rng = np.random.default_rng(0)
+    B, F, L = 4, 2, 12
+    batch = {
+        "image_data": rng.standard_normal((B, F, 32, 32, 3)).astype(np.float32),
+        "video_mask": np.ones((B, F), np.int64),
+        "caption_input_ids": rng.integers(0, 30522, (B, L)).astype(np.int64),
+        "caption_input_mask": np.ones((B, L), np.int64),
+        "caption_segment_ids": np.zeros((B, L), np.int64),
+    }
+    piped = UnivlForVideoTextRetrieval(pipeline_stages=2,
+                                       pipeline_microbatches=2, **kw)
+    # pipelined tower params are scan-stacked; init through the piped model
+    variables = piped.init(jax.random.PRNGKey(0), batch)
+
+    mesh = build_mesh({"model": 2, "data": 4})
+    registry.register("mesh", mesh)
+    try:
+        out = piped.apply(variables, batch)
+    finally:
+        registry.unregister("mesh")
+    assert np.isfinite(np.asarray(out["l1_simi"])).all()
+
+    # reference output: same params, sequential scan path (shared structure)
+    seq_scan = UnivlForVideoTextRetrieval(scan_layers=True, **kw)
+    ref = seq_scan.apply(variables, batch)
+    np.testing.assert_allclose(np.asarray(out["l1_simi"]),
+                               np.asarray(ref["l1_simi"]),
+                               atol=2e-4, rtol=1e-4)
