@@ -78,3 +78,40 @@ class ODPSReader:
             f"ODPSReader({table_name!r}): ODPS is Ant-internal and not "
             "reachable from this deployment. Export the table to text with "
             "odpscmd and point TextReader at the file instead.")
+
+
+def text_classification_online_process(text, max_len: int, tokenizer) -> Dict[str, Any]:
+    """Serving-time tokenize+pad for text classification (reference
+    ``antmmf/datasets/utils.py:12-56``): [CLS] a [SEP] (b [SEP]), padded or
+    truncated to ``max_len``; returns the reference's key set (``ids`` kept
+    for backward compatibility alongside ``text``)."""
+    def _encode(s: str):
+        return tokenizer.convert_tokens_to_ids(tokenizer.tokenize(s))
+
+    input_ids = [tokenizer.cls_token_id] + _encode(text[0]) \
+        + [tokenizer.sep_token_id]
+    if len(text) == 2:
+        input_ids += _encode(text[1]) + [tokenizer.sep_token_id]
+    token_type_ids = [0] * len(input_ids)
+    mask = [1] * len(input_ids)
+    pad = max_len - len(input_ids)
+    if pad > 0:
+        input_ids += [tokenizer.pad_token_id] * pad
+        mask += [0] * pad
+        token_type_ids += [0] * pad
+    else:
+        input_ids = input_ids[:max_len]
+        mask = mask[:max_len]
+        token_type_ids = token_type_ids[:max_len]
+    return {"ids": input_ids, "text": input_ids, "mask": mask,
+            "token_type_ids": token_type_ids, "orig_text": text}
+
+
+def block_read(files, size: int = 65536):
+    """Yield fixed-size blocks from an open file (reference
+    ``datasets/utils.py:58-63``) — the line-count helper for TextReader."""
+    while True:
+        block = files.read(size)
+        if not block:
+            break
+        yield block

@@ -275,3 +275,30 @@ def test_graph_db_seeded_subgraph_stream(tmp_path):
     assert s["seed_name"] == name0
     assert s["edge_index"].shape == (2, 16)
     assert s["node_mask"][0]
+
+
+def test_text_classification_online_process():
+    """Serving-time tokenize+pad (reference datasets/utils.py:12-56)."""
+    from antmmf_tpu.datasets.readers import (
+        block_read,
+        text_classification_online_process,
+    )
+    from antmmf_tpu.utils.tokenization import BertTokenizer
+
+    tok = BertTokenizer("tests/data/vocabs/bert-base-uncased_30522_vocab.txt")
+    out = text_classification_online_process(["a dog runs"], 8, tok)
+    assert out["ids"] == out["text"] and len(out["ids"]) == 8
+    assert out["ids"][0] == tok.cls_token_id
+    assert sum(out["mask"]) == len([i for i in out["ids"]
+                                    if i != tok.pad_token_id])
+    # sentence pair: two SEPs, segment ids stay 0 (reference semantics)
+    pair = text_classification_online_process(["a dog", "runs fast"], 16, tok)
+    assert pair["ids"].count(tok.sep_token_id) == 2
+    # truncation branch
+    long = text_classification_online_process(["a b c d e f g h"], 4, tok)
+    assert len(long["ids"]) == 4 and len(long["mask"]) == 4
+
+    import io
+
+    blocks = list(block_read(io.StringIO("x" * 100), size=40))
+    assert [len(b) for b in blocks] == [40, 40, 20]
