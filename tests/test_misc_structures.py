@@ -161,3 +161,28 @@ def test_multisource_auto_prefers_keyframes(tmp_path, data_dir):
         loader.get("video9770", n_clips=1, frames_per_clip=4)
     t_mp4 = time.perf_counter() - t0
     assert t_kf < t_mp4
+
+
+def test_boxes_extended_surface():
+    """nonempty/inside_box/get_centers/scale/cat/matched_iou
+    (reference structures/boxes.py:199-376)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.structures.boxes import Boxes
+
+    b = Boxes(jnp.asarray([[0, 0, 4, 4], [1, 1, 1, 3], [2, 2, 8, 8]],
+                          jnp.float32))
+    assert b.nonempty().tolist() == [True, False, True]
+    assert b.inside_box(6, 6).tolist() == [True, True, False]
+    np.testing.assert_allclose(np.asarray(b.get_centers())[0], [2, 2])
+    scaled = b.scale(2.0, 0.5)
+    np.testing.assert_allclose(np.asarray(scaled.tensor)[0], [0, 0, 8, 2])
+    both = Boxes.cat([b, scaled])
+    assert len(both) == 6
+    assert len(Boxes.cat([])) == 0
+    # aligned IoU: identical boxes → 1, disjoint → 0
+    ident = b.matched_iou(b)
+    np.testing.assert_allclose(np.asarray(ident)[[0, 2]], 1.0, atol=1e-6)
+    one = b[0]
+    assert len(one) == 1
