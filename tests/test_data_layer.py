@@ -187,3 +187,58 @@ def test_dataloader_propagates_worker_errors():
 
     with pytest.raises(RuntimeError, match="decode failed"):
         list(DataLoader(Bad(), batch_size=2, num_workers=2))
+
+
+def test_image_database_annotation_interface(tmp_path):
+    """Annotation-driven multi-image loading (reference image_database.py:
+    129-239): key inference, nlvr2 pairing, per-sample count sampling with
+    mask, missing-file tolerance."""
+    import warnings
+
+    import cv2
+
+    from antmmf_tpu.datasets.database.image_database import ImageDatabase
+
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        cv2.imwrite(str(tmp_path / name), np.zeros((8, 10, 3), np.uint8))
+
+    ann = [{"image_path": "a.jpg"},
+           {"image_path": ["a.jpg", "b.jpg", "c.jpg"]},
+           {"image_path": "missing.jpg"}]
+    db = ImageDatabase(str(tmp_path), annotation_db=ann, seed=0)
+    assert len(db) == 3
+    one = db[0]
+    assert one["images"][0].shape == (8, 10, 3)
+    assert one["images_mask"].tolist() == [1]
+    assert one["image_shape"][0] == (8, 10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        miss = db[2]
+    assert miss["images"][0] is None
+
+    # fixed image count: subsample (order-preserving) or pad with mask
+    db2 = ImageDatabase(str(tmp_path), annotation_db=ann,
+                        num_images_of_each_sample=2, seed=0)
+    two = db2[1]
+    assert len(two["images"]) == 2 and two["images_mask"].tolist() == [1, 1]
+    padded = db2[0]
+    assert padded["images_mask"].tolist() == [1, 0]
+    assert padded["images"][1] is None
+
+    # nlvr2 identifier expands to the img0/img1 pair
+    db3 = ImageDatabase(str(tmp_path))
+    attrs = db3._get_attrs({"identifier": "x", "left_url": "l",
+                            "right_url": "r"})
+    assert attrs == ["x-img0.jpg", "x-img1.jpg"]
+    assert db3._get_attrs({"image_name": "pic"}) == ["pic.jpeg"]
+
+    # transform hook applies per image
+    db4 = ImageDatabase(str(tmp_path), transform=lambda im: im[:4])
+    out = db4.from_path(["a.jpg"])
+    assert out["images"][0].shape == (4, 10, 3)
+    # no annotation_db → indexed access is a clear error
+    try:
+        db4[0]
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass
