@@ -242,3 +242,57 @@ def test_image_database_annotation_interface(tmp_path):
         raise AssertionError("expected AttributeError")
     except AttributeError:
         pass
+
+
+def test_annotated_database_formats(tmp_path):
+    """jsonl-dir / csv / tsv / npy-imdb loading + answers→label
+    normalization (reference annotated.py:72-175)."""
+    from antmmf_tpu.datasets.database.annotated import AnnotatedDatabase
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.jsonl").write_text('{"x": 1}\n{"x": 2}\n')
+    (d / "b.jsonl").write_text('{"x": 3}\n')
+    db = AnnotatedDatabase(str(d))
+    assert len(db) == 3 and db[2]["x"] == 3
+
+    c = tmp_path / "t.csv"
+    c.write_text("name,label\na,0\nb,1\n")
+    db = AnnotatedDatabase(str(c))
+    assert len(db) == 2 and db[1] == {"name": "b", "label": "1"}
+
+    t = tmp_path / "t.tsv"
+    t.write_text("name\tlabel\na\t0\n")
+    assert AnnotatedDatabase(str(t))[0]["name"] == "a"
+
+    n = tmp_path / "imdb.npy"
+    np.save(n, np.array({"metadata": {"version": 2},
+                         "data": [{"image_id": 5,
+                                   "all_answers": ["cat", "<copy>"]}]}))
+    db = AnnotatedDatabase(str(n))
+    assert db.get_version() == 2
+    item = db[0]
+    assert item["label"] == ["cat"]  # <copy> stripped, answers → label
+
+
+def test_detection_coco_annotated(tmp_path):
+    """pycocotools-free COCO detection DB (reference annotated.py:184)."""
+    from antmmf_tpu.datasets.database.annotated import DetectionCOCOAnnotated
+
+    coco = {
+        "images": [{"id": 10, "file_name": "i1.jpg"},
+                   {"id": 20, "file_name": "i2.jpg"}],
+        "annotations": [
+            {"id": 1, "image_id": 10, "bbox": [0, 0, 4, 4], "category_id": 1},
+            {"id": 2, "image_id": 10, "bbox": [1, 1, 2, 2], "category_id": 2},
+        ],
+        "categories": [{"id": 1, "name": "dog"}, {"id": 2, "name": "cat"}],
+    }
+    p = tmp_path / "coco.json"
+    p.write_text(__import__("json").dumps(coco))
+    db = DetectionCOCOAnnotated({"annotation_path": str(p)})
+    assert len(db) == 2
+    assert len(db[0]) == 2 and db[0][0]["bbox"] == [0, 0, 4, 4]
+    assert db[1] == []  # image 20 has no annotations
+    assert len(db["i1.jpg"]) == 2 and db["missing.jpg"] == []
+    assert db.categories[1]["name"] == "dog"

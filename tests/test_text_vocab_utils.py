@@ -225,3 +225,33 @@ def test_ckpt_name_and_override_folder():
     name = G.foldername_from_config_override(Args())
     assert name.startswith("_") and "/" not in name and ":" not in name
     assert G.foldername_from_config_override({"config_override": None}) == ""
+
+
+def test_visualization_records(tmp_path):
+    """VisualizationDataRecord + headless importance renderers
+    (reference utils/visualize.py:9-148)."""
+    from antmmf_tpu.utils.visualize import (
+        VisualizationDataRecord,
+        visualize_image_importance,
+        visualize_images,
+        visualize_text_importance,
+    )
+
+    vr = VisualizationDataRecord(
+        word_attributions=[0.9, -0.5, 0.1, 0.0],
+        pred_prob=0.75, pred_class=1, true_class=0, attr_class=1,
+        attr_score=0.4, raw_input=["a", "dog", "<pad>", "<pad>"],
+        convergence_score=0.01)
+    html = visualize_text_importance([vr], "<pad>", "t",
+                                     str(tmp_path / "imp.html"))
+    assert "dog" in html and "rgba(200, 0, 0" in html  # negative = red
+    assert (tmp_path / "imp.html").exists()
+
+    heat = visualize_image_importance([vr, vr], "t",
+                                      str(tmp_path / "imp.png"))
+    assert heat.shape == (2 * 24, 4 * 24, 3)
+    assert (tmp_path / "imp.png").exists()
+
+    grid = visualize_images([np.zeros((10, 8, 3), np.uint8),
+                             np.ones((6, 6, 3), np.uint8)], size=(16, 16))
+    assert grid.ndim == 3
