@@ -74,19 +74,39 @@ class CopyProcessor(BaseProcessor):
 
 @registry.register_processor("hier_label_encoder")
 class HierLabelEncoder(BaseProcessor):
-    """Encode hierarchical labels "a/b/c" into per-level class indices.
+    """Encode hierarchical labels into class indices (reference
+    ``processors/processors.py:237``).
 
-    Config: ``levels``: list of per-level vocab lists. Produces
-    ``{"hier_label": [idx_per_level]}`` with -1 for missing levels.
+    Two config forms:
+    * ``levels``: per-level vocab lists; "a/b/c" → per-level indices in
+      ``{"hier_label": [...]}`` (-1 for missing levels);
+    * ``hier_label_schema``: a nested schema or schema-file path — labels
+      encode through ``modules.hier_tree.HierTree.encode_label_str`` into
+      the grouped-softmax contract ``{"hier_label", "hier_param"}``
+      consumed by ``hier_softmax_loss``.
     """
 
     def __init__(self, config: Optional[Mapping[str, Any]] = None, *args: Any, **kw: Any):
         super().__init__(config)
         self.levels = [list(lv) for lv in self.config.get("levels", [])]
         self.sep = self.config.get("separator", "/")
+        self.tree = None
+        schema = self.config.get("hier_label_schema")
+        if schema is not None:
+            from antmmf_tpu.modules.hier_tree import build_hier_tree
+
+            self.tree = build_hier_tree(
+                list(schema) if not isinstance(schema, str) else schema)
 
     def __call__(self, item: Any, *args: Any, **kwargs: Any) -> Dict[str, Any]:
         text = item["label"] if isinstance(item, Mapping) else item
+        if self.tree is not None:
+            from antmmf_tpu.modules.hier_tree import HIER_CLASS_SEP
+
+            label = HIER_CLASS_SEP.join(str(text).split(self.sep)) \
+                if self.sep != HIER_CLASS_SEP else str(text)
+            hier_label, hier_param = self.tree.encode_label_str(label)
+            return {"hier_label": hier_label, "hier_param": hier_param}
         parts = str(text).split(self.sep)
         encoded = []
         for i, vocab in enumerate(self.levels):

@@ -68,3 +68,55 @@ class HierarchicalClassifier(nn.Module):
             logits.append(li)
             feat = jnp.concatenate([feat, jax.nn.softmax(li, -1)], axis=-1)
         return logits
+
+
+class HierarchicalSoftmaxClassifier(nn.Module):
+    """Grouped hierarchical softmax over a label tree (reference
+    ``decoders/hierarchical_classifier.py:14-224``): one Dense head per
+    softmax group (an internal node's children); group logits feed
+    ``hier_softmax_loss`` at train time and host-side
+    ``modules.hier_tree.greedy_decode`` at inference.
+
+    ``hier_label_schema`` must be hashable (nested tuples / a schema file
+    path) because it is static module structure.
+    """
+
+    hier_label_schema: Any
+    dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        from antmmf_tpu.modules.hier_tree import build_hier_tree
+
+        self.tree = build_hier_tree(
+            list(self.hier_label_schema)
+            if isinstance(self.hier_label_schema, tuple)
+            else self.hier_label_schema)
+        self.heads = [
+            nn.Dense(g["num_outputs"], dtype=self.dtype, name=f"fc_{i}")
+            for i, g in enumerate(self.tree.param_groups)]
+
+    def __call__(self, x: jnp.ndarray) -> dict:
+        return {"hier_logits": [h(x) for h in self.heads]}
+
+    def build_tree(self):
+        """The label tree (host metadata; rebuilt outside apply scope)."""
+        from antmmf_tpu.modules.hier_tree import build_hier_tree
+
+        return build_hier_tree(
+            list(self.hier_label_schema)
+            if isinstance(self.hier_label_schema, tuple)
+            else self.hier_label_schema)
+
+    def inference(self, variables, x, use_multilabel: bool = False):
+        """Host-side decode (reference ``inference``/``greedy_decode``)."""
+        import numpy as np
+
+        from antmmf_tpu.modules.hier_tree import greedy_decode
+
+        logits = self.apply(variables, x)["hier_logits"]
+        if use_multilabel:
+            probs = [np.asarray(jax.nn.sigmoid(l), np.float32) for l in logits]
+        else:
+            probs = [np.asarray(jax.nn.softmax(l, -1), np.float32)
+                     for l in logits]
+        return {"pred_hier_tags": greedy_decode(self.build_tree(), probs)}

@@ -284,3 +284,29 @@ class CustomLoss(BaseLoss):
 
     def __call__(self, batch, output):
         return output.get("custom_loss")
+
+
+@registry.register_loss("hier_softmax_loss")
+class HierarchicalSoftmaxLoss(BaseLoss):
+    """CE along the gold root→leaf path through the grouped-softmax heads
+    (reference hierarchical_classifier training contract): batch carries
+    ``hier_label``/``hier_param`` int[B, G] from
+    ``HierTree.encode_label_str`` (−1 = level unused); output carries
+    ``hier_logits`` (one [B, n_g] per group)."""
+
+    def __call__(self, batch, output):
+        hier_label = batch["hier_label"]
+        hier_param = batch["hier_param"]
+        total = 0.0
+        count = 0.0
+        for g, logits in enumerate(output["hier_logits"]):
+            at_g = hier_param == g  # [B, G] — where the path uses group g
+            label = jnp.sum(jnp.where(at_g, hier_label, 0), axis=1)
+            has = at_g.any(axis=1)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = -jnp.take_along_axis(
+                logp, jnp.clip(label, 0, logits.shape[-1] - 1)[:, None],
+                -1)[:, 0]
+            total = total + jnp.where(has, nll, 0.0).sum()
+            count = count + has.sum()
+        return total / jnp.maximum(count, 1.0)
