@@ -72,6 +72,16 @@ class M2Omni(BaseModel):
     image_size: int = 224
     audio_hidden: int = 256
     max_vision_tokens: int = 256
+    # in-text placeholder splicing (reference prompt_wrap_image/audio,
+    # modeling_m2omni.py:695-771): when set, <image>/<audio> placeholder
+    # ids inside input_ids are REPLACED by the modality embeddings (the
+    # processor must expand each tag to exactly the modality token count);
+    # when None, modality segments are prepended (legacy layout).
+    image_token_id: Optional[int] = None
+    audio_token_id: Optional[int] = None
+    # LoRA on the decoder q/v projections (reference wrap_llm_lora,
+    # modeling_m2omni.py:311-325); 0 = off
+    llm_lora_rank: int = 0
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -83,7 +93,8 @@ class M2Omni(BaseModel):
                                     param_dtype=jnp.float32)
         self.decoder = DecoderLM(
             num_layers=p["num_layers"], num_heads=p["num_heads"],
-            num_kv_heads=p["num_kv_heads"], rope_3d=True, dtype=dtype)
+            num_kv_heads=p["num_kv_heads"], rope_3d=True,
+            lora_rank=self.llm_lora_rank, dtype=dtype)
         self.vision_tower = VisionTransformer(
             image_size=self.image_size, dtype=dtype,
             **dict(VIT_PRESETS[self.vit_preset]))
@@ -110,10 +121,38 @@ class M2Omni(BaseModel):
         pos = jnp.stack([t_pos, h_pos, w_pos], axis=-1)  # [F*N, 3]
         return tokens, jnp.broadcast_to(pos[None], (B, F * N, 3))
 
+    @staticmethod
+    def _splice(text_embeds: jnp.ndarray, positions: jnp.ndarray,
+                input_ids: jnp.ndarray, token_id: int,
+                modal_tokens: jnp.ndarray, modal_pos: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Replace placeholder-token slots with modality embeddings
+        (reference prompt_wrap, modeling_m2omni.py:695-771). The k-th
+        placeholder in each row takes modal_tokens[:, k]; 3D positions at
+        those slots come from modal_pos offset by the slot's text position
+        (the get_rope_index convention, modeling_m2omni.py:327-494)."""
+        mask = input_ids == token_id  # [B, L]
+        k = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0,
+                     modal_tokens.shape[1] - 1)  # [B, L]
+        gathered = jnp.take_along_axis(
+            modal_tokens, k[..., None], axis=1)  # [B, L, C]
+        out = jnp.where(mask[..., None], gathered, text_embeds)
+        # temporal offset = text position where the modal run starts
+        start = jnp.argmax(mask, axis=1)  # first placeholder slot per row
+        gpos = jnp.take_along_axis(
+            modal_pos, k[..., None], axis=1)  # [B, L, 3]
+        gpos = gpos + start[:, None, None]
+        pos = jnp.where(mask[..., None], gpos, positions)
+        return out, pos
+
     def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
         input_ids = batch["input_ids"]  # int[B, Lt]
         text_mask = batch.get("input_mask", jnp.ones_like(input_ids))
         B, Lt = input_ids.shape
+
+        if self.image_token_id is not None or self.audio_token_id is not None:
+            return self._forward_spliced(batch, input_ids, text_mask,
+                                         deterministic)
 
         segments = []
         seg_positions = []
@@ -156,17 +195,61 @@ class M2Omni(BaseModel):
         logits = self.lm_head(text_hidden).astype(jnp.float32)  # [B, Lt, V]
 
         out: Dict[str, Any] = {"logits": logits, "hidden": text_hidden}
-        labels = batch.get("labels")
-        if labels is not None:  # next-token LM loss, -100/-1 = ignore
-            shift_logits = logits[:, :-1]
-            shift_labels = labels[:, 1:]
-            valid = shift_labels >= 0
-            safe = jnp.where(valid, shift_labels, 0)
-            logp = jax.nn.log_softmax(shift_logits, -1)
-            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
-            denom = jnp.maximum(valid.sum(), 1)
-            out["losses"] = {"lm_loss": jnp.where(valid, nll, 0.0).sum() / denom}
-            out["metrics"] = {
-                "lm_acc": jnp.where(valid, jnp.argmax(shift_logits, -1) == safe,
-                                    False).sum() / denom}
+        out.update(self._lm_loss(logits, batch.get("labels")))
+        return out
+
+    def _lm_loss(self, logits: jnp.ndarray,
+                 labels: Optional[jnp.ndarray]) -> Dict[str, Any]:
+        if labels is None:  # next-token LM loss, -100/-1 = ignore
+            return {}
+        shift_logits = logits[:, :-1]
+        shift_labels = labels[:, 1:]
+        valid = shift_labels >= 0
+        safe = jnp.where(valid, shift_labels, 0)
+        logp = jax.nn.log_softmax(shift_logits, -1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        denom = jnp.maximum(valid.sum(), 1)
+        return {
+            "losses": {"lm_loss": jnp.where(valid, nll, 0.0).sum() / denom},
+            "metrics": {"lm_acc": jnp.where(
+                valid, jnp.argmax(shift_logits, -1) == safe,
+                False).sum() / denom},
+        }
+
+    def _forward_spliced(self, batch: Mapping[str, Any],
+                         input_ids: jnp.ndarray, text_mask: jnp.ndarray,
+                         deterministic: bool) -> Dict[str, Any]:
+        """Interleaved layout: modality embeddings live INSIDE the text
+        sequence at placeholder slots, so conversations like
+        ``text <image>... text`` keep their order (reference prompt_wrap)."""
+        B, L = input_ids.shape
+        embeds = self.token_embed(input_ids)
+        positions = jnp.repeat(
+            jnp.broadcast_to(jnp.arange(L)[None], (B, L))[..., None], 3, -1)
+
+        if self.image_token_id is not None and \
+                batch.get("image_data") is not None:
+            img = batch["image_data"]
+            if img.ndim == 4:
+                img = img[:, None]
+            vtok, vpos = self._vision_tokens(img, deterministic)
+            embeds, positions = self._splice(
+                embeds, positions, input_ids, self.image_token_id,
+                vtok.astype(embeds.dtype), vpos)
+        if self.audio_token_id is not None and batch.get("audio") is not None:
+            atok = self.audio_proj(self.audio_tower(
+                batch["audio"], deterministic=deterministic))
+            apos = jnp.repeat(
+                jnp.broadcast_to(jnp.arange(atok.shape[1])[None],
+                                 atok.shape[:2])[..., None], 3, -1)
+            embeds, positions = self._splice(
+                embeds, positions, input_ids, self.audio_token_id,
+                atok.astype(embeds.dtype), apos)
+
+        hidden = self.decoder(embeds, positions,
+                              text_mask.astype(jnp.int32),
+                              deterministic=deterministic)
+        logits = self.lm_head(hidden).astype(jnp.float32)
+        out: Dict[str, Any] = {"logits": logits, "hidden": hidden}
+        out.update(self._lm_loss(logits, batch.get("labels")))
         return out

@@ -115,3 +115,50 @@ def test_lora_merge():
     merged = merge_lora_params(params)
     after = layer.apply({"params": merged}, x)
     np.testing.assert_allclose(np.asarray(before), np.asarray(after), rtol=1e-4)
+
+
+def test_m2_omni_placeholder_splicing():
+    """Interleaved prompt_wrap layout (reference modeling_m2omni.py:695-771):
+    <image> placeholder ids inside input_ids are replaced by vision
+    embeddings; image content must flow into the logits."""
+    rng = np.random.default_rng(0)
+    IMG_ID = 999
+    # vit_tiny_test at 32px/patch16 → 4 patch tokens per frame, 1 frame
+    n_img_tok = 4
+    ids = np.array([[5, 7] + [IMG_ID] * n_img_tok + [9, 11]] * 2, np.int64)
+    batch = {
+        "input_ids": ids,
+        "input_mask": np.ones_like(ids),
+        "labels": np.where(ids == IMG_ID, -100, ids),
+        "image_data": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+    }
+    cfg = {"model_attributes": {"m2_omni": {
+        "lm_preset": "omni_tiny_test", "vit_preset": "vit_tiny_test",
+        "image_size": 32, "image_token_id": IMG_ID, "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    variables = shell.init(KEY, batch)
+    out = shell.apply(variables, batch)
+    assert out["logits"].shape == (2, ids.shape[1], 1000)  # in-place splice
+    assert np.isfinite(float(out["losses"]["lm_loss"]))
+
+    # different image → different logits (vision actually spliced in)
+    batch2 = dict(batch)
+    batch2["image_data"] = batch["image_data"] + 1.0
+    out2 = shell.apply(variables, batch2)
+    assert not np.allclose(out["logits"], out2["logits"])
+    # but text-only positions before the image are unaffected (causal)
+    np.testing.assert_allclose(out["logits"][:, :2], out2["logits"][:, :2],
+                               atol=1e-5)
+
+
+def test_m2_omni_llm_lora():
+    """wrap_llm_lora analogue: decoder q/v LoRA params exist when rank>0."""
+    cfg = {"model_attributes": {"m2_omni": {
+        "lm_preset": "omni_tiny_test", "vit_preset": "vit_tiny_test",
+        "image_size": 32, "llm_lora_rank": 4, "dtype_str": "float32"}}}
+    shell = build_model(cfg)
+    b = _omni_batch(with_av=False)
+    variables = shell.init(KEY, b)
+    leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
+    lora = [p for p, _ in leaves if "lora" in str(p).lower()]
+    assert lora, "expected LoRA params in the decoder"
