@@ -33,7 +33,11 @@ Dtype = Any
 
 @registry.register_encoder("visual_encoder")
 class VisualEncoder(nn.Module):
-    """encoder_type ∈ {vit, resnet, video_swin, tsm, pvt}."""
+    """encoder_type ∈ {vit, resnet, video_swin, tsm, pvt, efficientnet,
+    cctt}. The reference's separate DetrImageEncoder / DetrBatchPVT /
+    ImageVideoEncoder classes (visual_encoder.py:246-556) are config here:
+    ``add_sine_pos`` adds the DETR position plane, and every type accepts
+    [B, H, W, 3] or [B, N, H, W, 3] (frames fold into the batch dim)."""
 
     encoder_type: str = "vit"
     preset: str = "vit_base_patch32"
@@ -56,6 +60,15 @@ class VisualEncoder(nn.Module):
         elif self.encoder_type == "pvt":
             self.backbone = PyramidVisionTransformer(preset=self.preset,
                                                      dtype=dtype)
+        elif self.encoder_type == "efficientnet":
+            from antmmf_tpu.modules.vision.efficientnet import EfficientNet
+
+            self.backbone = EfficientNet(preset=self.preset, dtype=dtype)
+        elif self.encoder_type == "cctt":
+            from antmmf_tpu.modules.vision.cctt import CompactConvTransformer
+
+            self.backbone = CompactConvTransformer(preset=self.preset,
+                                                   dtype=dtype)
         else:
             raise ValueError(f"Unknown visual encoder {self.encoder_type!r}")
         if self.add_sine_pos:
@@ -86,6 +99,11 @@ class VisualEncoder(nn.Module):
                 seq = out["sequence"][:, 1:]  # drop CLS
                 hw = int(seq.shape[1] ** 0.5)
                 grid_feature = seq.reshape(B, N, hw, hw, -1)
+            elif self.encoder_type == "cctt":
+                out = self.backbone(flat, deterministic=deterministic)
+                seq = out["sequence"]
+                hw = int(seq.shape[1] ** 0.5)
+                grid_feature = seq[:, : hw * hw].reshape(B, N, hw, hw, -1)
             else:
                 out = self.backbone(flat) if self.encoder_type == "resnet" else \
                     self.backbone(flat, deterministic=deterministic)

@@ -88,6 +88,8 @@ def test_pvt_forward():
     ("vit", "vit_tiny_test", 2),
     ("resnet", "resnet_tiny_test", 1),
     ("pvt", "pvt_test", 1),
+    ("efficientnet", "test", 1),
+    ("cctt", "cct_test", 2),
 ])
 def test_visual_encoder_contract(enc_type, preset, frames):
     enc = VisualEncoder(encoder_type=enc_type, preset=preset, image_size=32,
