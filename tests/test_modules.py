@@ -140,3 +140,28 @@ def test_saliency_export_files(tmp_path):
     assert len(rec["saliency"]) == 2
     html = open(paths[-1]).read()
     assert "rgba(255,80,80,1.000" in html  # the peak token is fully shaded
+
+
+def test_modules_utils_helpers():
+    """get_mask / tiny_value_of_dtype / time_distributed
+    (reference modules/utils.py:14-524)."""
+    import pytest
+
+    from antmmf_tpu.modules.utils import (
+        get_mask,
+        time_distributed,
+        tiny_value_of_dtype,
+    )
+
+    m = get_mask(jnp.asarray([0, 2, 3]), 3)
+    assert m.tolist() == [[0, 0, 0], [1, 1, 0], [1, 1, 1]]
+
+    assert tiny_value_of_dtype(jnp.float32) == 1e-13
+    assert tiny_value_of_dtype(jnp.bfloat16) == 1e-4
+    with pytest.raises(TypeError):
+        tiny_value_of_dtype(jnp.int32)
+
+    x = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)
+    out = time_distributed(lambda v: v.sum(-1), x)
+    assert out.shape == (2, 3)
+    assert float(out[0, 0]) == float(x[0, 0].sum())
