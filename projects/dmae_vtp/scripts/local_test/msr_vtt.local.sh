@@ -1,0 +1,9 @@
+#!/bin/bash
+# 8-virtual-device CPU smoke run (the reference's per-project local_test
+# mechanism: prj/dmae_vtp/scripts/local_test/)
+set -e
+cd "$(dirname "$0")/../../../.."
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+python -m antmmf_tpu.run \
+  --config projects/dmae_vtp/configs/msrvtt_retrieval.local.yml \
+  training_parameters.seed 1
