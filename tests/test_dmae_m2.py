@@ -230,3 +230,36 @@ def test_zero_shot_eval_harness():
     # flipped targets → 0%
     m2 = zero_shot_accuracy(img, class_embeds, 1 - targets)
     assert m2["zero_shot_top1"] == 0.0
+
+
+def test_m2_encoder_predictor_serving():
+    """Serving surface (reference prj/M2_Encoder/m2_encoder.py NN4K executor +
+    ms_wrapper): text/image embedding extraction + zero-shot similarity."""
+    import numpy as np
+
+    import antmmf_tpu.predictors  # noqa: F401 — registry side effects
+    from antmmf_tpu.common.registry import registry
+
+    cfg = {
+        "model_attributes": {"m2_encoder": {
+            "preset": "m2_tiny_test", "image_size": 32,
+            "dtype_str": "float32"}},
+        "predictor_parameters": {"image_size": 32, "max_text_len": 16},
+    }
+    cls = registry.get_predictor_class("m2_encoder_predictor")
+    pred = cls(cfg).load(with_ckpt=False)
+
+    texts = ["a dog", "a cat"]
+    images = np.zeros((2, 32, 32, 3), np.float32)
+    t = pred.predict({"texts": texts, "extract_feat": "text"})
+    assert np.asarray(t["text_embeddings"]).shape[0] == 2
+    # embeddings are L2-normalized
+    assert abs(np.linalg.norm(t["text_embeddings"][0]) - 1.0) < 1e-3
+
+    i = pred.predict({"images": images, "extract_feat": "image"})
+    assert np.asarray(i["image_embeddings"]).shape[0] == 2
+
+    zs = pred.predict({"texts": texts, "images": images[0]})
+    probs = np.asarray(zs["probs"])
+    assert probs.shape == (1, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
