@@ -1,0 +1,1 @@
+from antmmf_tpu.modules.encoders import graph_encoders  # noqa: F401

@@ -84,3 +84,88 @@ def test_compgcn_model_link_prediction():
     out = model.apply(params, batch)
     assert out["logits"].shape == (2, 5)
     assert np.isfinite(float(out["losses"]["link_pred_loss"]))
+
+
+def test_continuous_time_encoder():
+    """TGAT functional time basis (reference continuous_time_encoder.py:11)."""
+    from antmmf_tpu.modules.encoders.graph_encoders import ContinuousTimeEncoder
+
+    enc = ContinuousTimeEncoder(time_embed_dim=16)
+    ts = jnp.asarray([[0.0], [1.0], [100.0]])
+    v = enc.init(jax.random.PRNGKey(0), ts)
+    out = enc.apply(v, ts)
+    assert out.shape == (3, 16)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-6)  # cos(0) basis
+    enc2 = ContinuousTimeEncoder(time_embed_dim=16, expand_dim=8,
+                                 use_linear_trans=True)
+    v2 = enc2.init(jax.random.PRNGKey(0), ts)
+    assert enc2.apply(v2, ts).shape == (3, 8)
+
+
+def _chain_graph(n=6, d=8):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    edge_index = np.stack([np.concatenate([src, dst]),
+                           np.concatenate([dst, src])])
+    return jnp.asarray(x), jnp.asarray(edge_index)
+
+
+def test_gat_encoder_edge_list():
+    from antmmf_tpu.modules.encoders.graph_encoders import GATEncoder
+
+    x, ei = _chain_graph()
+    enc = GATEncoder(dim_out=4, hidden_size=8, num_heads=2, num_layers=2)
+    v = enc.init(jax.random.PRNGKey(0), x, ei)
+    out = enc.apply(v, x, ei)
+    assert out.shape == (6, 4) and np.isfinite(np.asarray(out)).all()
+    # messages flow: perturbing a neighbor changes a node's output
+    x2 = x.at[0].add(10.0)
+    out2 = enc.apply(v, x2, ei)
+    assert not np.allclose(out[1], out2[1])
+
+
+def test_gat_adj_matrix():
+    from antmmf_tpu.modules.encoders.graph_encoders import GATAdjMatrix
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    adj = jnp.asarray((rng.uniform(size=(2, 5, 5)) > 0.5).astype(np.float32))
+    adj = adj + jnp.eye(5)[None]  # self loops
+    enc = GATAdjMatrix(dim_hid=8, dim_out=3, num_heads=2)
+    v = enc.init(jax.random.PRNGKey(0), x, adj)
+    out = enc.apply(v, x, adj)
+    assert out.shape == (2, 5, 3)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0,
+                               atol=1e-5)  # log-softmax rows
+
+
+def test_naive_attention_and_delta_kg():
+    from antmmf_tpu.modules.encoders.graph_encoders import (
+        DeltaKGEncoder,
+        NaiveAttentionBasedEncoder,
+    )
+
+    x, ei = _chain_graph()
+    E = ei.shape[1]
+    eattr = jnp.ones((E, 8))
+    enc = NaiveAttentionBasedEncoder(node_embed_dim=8, edge_embed_dim=8,
+                                     attn_heads=2, num_layers=2)
+    v = enc.init(jax.random.PRNGKey(0), x, ei, eattr)
+    out = enc.apply(v, x, ei, eattr)
+    assert out.shape == (6, 8) and np.isfinite(np.asarray(out)).all()
+
+    kg = DeltaKGEncoder(node_embed_dim=8, num_rel=3, time_embed_dim=4,
+                        attn_heads=2, num_layers=2)
+    etype = jnp.asarray(np.arange(E) % 3)
+    etime = jnp.ones((E, 1))
+    vk = kg.init(jax.random.PRNGKey(0), x, ei, etype, etime)
+    outk = kg.apply(vk, x, ei, etype, etime)
+    assert outk.shape == (6, 8)
+    # time signal reaches the output
+    outk2 = kg.apply(vk, x, ei, etype, etime * 50.0)
+    assert not np.allclose(outk, outk2)
+    # relation types matter
+    outk3 = kg.apply(vk, x, ei, (etype + 1) % 3, etime)
+    assert not np.allclose(outk, outk3)
