@@ -169,3 +169,53 @@ def test_naive_attention_and_delta_kg():
     # relation types matter
     outk3 = kg.apply(vk, x, ei, (etype + 1) % 3, etime)
     assert not np.allclose(outk, outk3)
+
+
+def test_graph_decoders():
+    """ClassifyDecoder / DeltaKGDecoder / FFNDecoder (reference
+    modules/decoders/graph/)."""
+    import antmmf_tpu.modules.graph_decoders as gd
+
+    x = jnp.ones((4, 16))
+    clf = gd.ClassifyDecoder(node_embed_dim=16, num_classes=3, layer_num=2)
+    v = clf.init(jax.random.PRNGKey(0), x)
+    assert clf.apply(v, x).shape == (4, 3)
+
+    rng = np.random.default_rng(0)
+    D = 8
+    inp = {
+        "node1_encoder_result": jnp.asarray(
+            rng.standard_normal((4, D)).astype(np.float32)),
+        "node2_encoder_result": jnp.asarray(
+            rng.standard_normal((4, D)).astype(np.float32)),
+        "head_neg_encoder_result": jnp.asarray(
+            rng.standard_normal((2, 4, D)).astype(np.float32)),
+        "tail_neg_encoder_result": jnp.asarray(
+            rng.standard_normal((2, 4, D)).astype(np.float32)),
+        "update_rel_embed": jnp.asarray(
+            rng.standard_normal((5, D)).astype(np.float32)),
+        "edge_type": jnp.asarray([0, 1, 2, 3]),
+    }
+    for dtype_name in ("TransE", "DTransE", "PairRE"):
+        dec = gd.DeltaKGDecoder(decoder_type=dtype_name)
+        pos, nh, nt, r = dec.init_with_output(jax.random.PRNGKey(0), inp)[0]
+        assert pos.shape == (4,) and nh.shape == (2, 4) and nt.shape == (2, 4)
+        assert r.shape == (4, D)
+    # TransE identity: score(h, h+r, r) == 0
+    ident = dict(inp)
+    ident["node2_encoder_result"] = (
+        inp["node1_encoder_result"]
+        + inp["update_rel_embed"][inp["edge_type"]])
+    pos, _, _, _ = gd.DeltaKGDecoder(decoder_type="TransE").init_with_output(
+        jax.random.PRNGKey(0), ident)[0]
+    np.testing.assert_allclose(np.asarray(pos), 0.0, atol=1e-5)
+
+    ffn = gd.FFNDecoder(node_embed_dim=D, edge_embed_dim=D, num_classes=2,
+                        num_layers=2, neg_self_adversarial=True)
+    v = ffn.init(jax.random.PRNGKey(0), inp)
+    logits, w = ffn.apply(v, inp, training=True)
+    assert logits.shape == (1 + 2 + 2, 4, 2)  # [pos-group + neg groups, B, C]
+    assert w.shape == (5, 4) and np.allclose(np.asarray(w[0]), 1.0)
+    np.testing.assert_allclose(np.asarray(w[1:].sum(0)), 1.0, atol=1e-5)
+    logits_eval, w_eval = ffn.apply(v, inp)
+    assert w_eval is None
