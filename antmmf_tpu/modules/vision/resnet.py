@@ -79,8 +79,10 @@ class ResNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
-        """NHWC float → dict(grid [B, h, w, C], pooled [B, C])."""
+    def __call__(self, images: jnp.ndarray, return_stages: bool = False):
+        """NHWC float → dict(grid [B, h, w, C], pooled [B, C]); with
+        ``return_stages`` also per-stage maps ``stages: [C2..C5]`` (the
+        IntermediateLayerGetter contract FPN necks consume)."""
         stages, bottleneck = STAGES[self.preset]
         block = Bottleneck if bottleneck else BasicBlock
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), use_bias=False,
@@ -88,10 +90,15 @@ class ResNet(nn.Module):
         x = nn.relu(nn.GroupNorm(num_groups=32, dtype=jnp.float32,
                                  name="stem_gn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        stage_maps = []
         for i, n_blocks in enumerate(stages):
             features = self.width * (2 ** i)
             for j in range(n_blocks):
                 strides = 2 if (j == 0 and i > 0) else 1
                 x = block(features=features, strides=strides, dtype=self.dtype,
                           name=f"stage{i}_block{j}")(x)
-        return {"grid": x, "pooled": x.mean(axis=(1, 2))}
+            stage_maps.append(x)
+        out = {"grid": x, "pooled": x.mean(axis=(1, 2))}
+        if return_stages:
+            out["stages"] = stage_maps
+        return out
