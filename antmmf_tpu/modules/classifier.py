@@ -20,7 +20,8 @@ Dtype = Any
 
 
 class ClassifierLayer(nn.Module):
-    """Dispatcher: config ``{type: logit|mlp|weight_norm, num_labels, ...}``."""
+    """Dispatcher: config ``{type: logit|mlp|weight_norm|bert|transformer_decoder,
+    num_labels, ...}`` (reference modules/classifier/ registry surface)."""
 
     classifier_type: str
     num_labels: int
@@ -49,6 +50,35 @@ class ClassifierLayer(nn.Module):
             scale = self.param("scale", nn.initializers.constant(10.0), (),
                                jnp.float32)
             return (x @ w.astype(x.dtype)) * scale
+        if self.classifier_type == "bert":
+            # BertPredictionHeadTransform + Linear (reference
+            # classifier/bert_classifier_head.py:13): dropout → dense →
+            # gelu → LN → logits
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = nn.gelu(nn.Dense(x.shape[-1], dtype=self.dtype,
+                                 name="transform")(x))
+            x = LayerNorm(dtype=self.dtype, name="transform_ln")(x)
+            return nn.Dense(self.num_labels, dtype=self.dtype, name="out")(x)
+        if self.classifier_type == "transformer_decoder":
+            # learned queries cross-attend the snapshot feature (reference
+            # classifier/transformer_decoder.py:11 over
+            # decoders/transformer_decoder_model.py)
+            from antmmf_tpu.modules.decoders import TransformerDecoder
+
+            B = x.shape[0]
+            memory = x[:, None] if x.ndim == 2 else x
+            queries = self.param(
+                "queries", nn.initializers.normal(0.02),
+                (1, memory.shape[-1]), jnp.float32)
+            q = jnp.broadcast_to(queries[None], (B,) + queries.shape)
+            h = TransformerDecoder(
+                num_layers=self.num_layers, num_heads=max(
+                    1, memory.shape[-1] // 64),
+                dropout=self.dropout, dtype=self.dtype, name="decoder")(
+                    q.astype(self.dtype), memory,
+                    deterministic=deterministic)
+            return nn.Dense(self.num_labels, dtype=self.dtype,
+                            name="out")(h.reshape(B, -1))
         raise ValueError(f"Unknown classifier type {self.classifier_type!r}")
 
 

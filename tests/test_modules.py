@@ -165,3 +165,18 @@ def test_modules_utils_helpers():
     out = time_distributed(lambda v: v.sum(-1), x)
     assert out.shape == (2, 3)
     assert float(out[0, 0]) == float(x[0, 0].sum())
+
+
+def test_classifier_bert_and_transformer_decoder_types():
+    """bert + transformer_decoder classifier types (reference
+    modules/classifier/bert_classifier_head.py:13, transformer_decoder.py:11)."""
+    import jax
+
+    from antmmf_tpu.modules.classifier import ClassifierLayer
+
+    x = jnp.ones((3, 64))
+    for ctype in ("bert", "transformer_decoder"):
+        clf = ClassifierLayer(ctype, num_labels=5, dtype=jnp.float32)
+        v = clf.init(jax.random.PRNGKey(0), x)
+        out = clf.apply(v, x)
+        assert out.shape == (3, 5), ctype
