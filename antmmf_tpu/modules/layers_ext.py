@@ -226,3 +226,70 @@ class ConditionalLayerNorm(nn.Module):
         while scale.ndim < normed.ndim:
             scale, bias = scale[:, None], bias[:, None]
         return (normed * scale + bias).astype(self.dtype)
+
+
+class ExU(nn.Module):
+    """Exp-centered unit from Neural Additive Models (reference
+    layers/exu.py): relu_n((x − b) · e^W), ReLU capped at n."""
+
+    out_features: int
+    n: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        w = self.param("weights", nn.initializers.truncated_normal(0.5),
+                       (in_features, self.out_features))
+        w = w + 4.0  # trunc-normal mean 4.0 (NAM paper init, ref :26-27)
+        b = self.param("bias", nn.initializers.truncated_normal(0.5),
+                       (in_features,))
+        out = (x - b) @ jnp.exp(w)
+        return jnp.clip(nn.relu(out), 0.0, self.n)
+
+
+class VAE(nn.Module):
+    """Label-conditioned latent head (reference layers/vae.py:9-121):
+    prior from the input, posterior from input + label embedding; returns
+    (KL, z). Sampling uses the ``sample`` rng collection; without targets
+    z = prior mean and KL is None (inference path, like the reference).
+    """
+
+    out_dim: int
+    class_num: int
+    hidden_dim: Optional[int] = None
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, input_emb: jnp.ndarray,
+                 targets: Optional[jnp.ndarray] = None,
+                 prototype_emb: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        hidden = self.hidden_dim or input_emb.shape[-1]
+        act = nn.tanh
+        p_z = act(nn.Dense(self.out_dim, name="prior")(input_emb))
+        p_mu = nn.Dense(self.out_dim, name="prior_mu")(p_z)
+        p_sigma2 = jnp.exp(nn.Dense(self.out_dim,
+                                    name="prior_log_sigma")(p_z))
+        if targets is None:
+            return None, p_mu
+
+        t = targets.astype(jnp.float32)
+        denom = jnp.maximum(t.sum(-1, keepdims=True), 1.0)
+        if prototype_emb is not None:
+            label = (t @ prototype_emb) / denom
+        else:
+            label = nn.Dense(hidden, name="taskid2labelembedding")(t) / denom
+            label = nn.Dense(hidden, name="hidden2hidden")(label)
+        label = nn.Dropout(self.dropout)(act(label),
+                                         deterministic=deterministic)
+        q_z = act(nn.Dense(self.out_dim, name="posterior")(
+            jnp.concatenate([input_emb, label], axis=-1)))
+        q_mu = nn.Dense(self.out_dim, name="posterior_mu")(q_z)
+        q_sigma2 = jnp.exp(nn.Dense(self.out_dim,
+                                    name="posterior_log_sigma")(q_z))
+        eps = jax.random.normal(self.make_rng("sample"), q_mu.shape)
+        z = q_mu + eps * jnp.sqrt(q_sigma2)
+        kl = -0.5 * jnp.sum(
+            jnp.log(q_sigma2 / p_sigma2) - q_sigma2 / p_sigma2
+            - (q_mu - p_mu) ** 2 / p_sigma2 + 1.0, axis=-1).mean()
+        return kl, z

@@ -164,3 +164,30 @@ def test_fpn_neck():
     # strictly coarsening pyramid
     hs = [o.shape[1] for o in outs]
     assert hs == sorted(hs, reverse=True)
+
+
+def test_exu_and_vae():
+    """ExU (reference layers/exu.py) + label-conditioned VAE (layers/vae.py)."""
+    from antmmf_tpu.modules.layers_ext import ExU, VAE
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 6)), jnp.float32)
+    exu = ExU(out_features=3, n=1.0)
+    v = exu.init(jax.random.PRNGKey(0), x)
+    out = exu.apply(v, x)
+    assert out.shape == (4, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # relu-n
+
+    vae = VAE(out_dim=5, class_num=7)
+    targets = jnp.eye(7)[jnp.asarray([0, 3, 5, 6])]
+    variables = vae.init({"params": jax.random.PRNGKey(0),
+                          "sample": jax.random.PRNGKey(1)}, x, targets)
+    kl, z = vae.apply(variables, x, targets,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert z.shape == (4, 5) and np.isfinite(float(kl))
+    # inference path: no targets → prior mean, no KL
+    kl0, z0 = vae.apply(variables, x)
+    assert kl0 is None and z0.shape == (4, 5)
+    z0b, _ = None, None
+    np.testing.assert_allclose(np.asarray(z0),
+                               np.asarray(vae.apply(variables, x)[1]))
