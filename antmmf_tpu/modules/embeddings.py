@@ -175,3 +175,72 @@ class SinePositionEmbedding2D(nn.Module):
         pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
                           axis=-1).reshape(*y.shape, -1)
         return jnp.concatenate([pos_y, pos_x], axis=-1)  # [B, h, w, 2*feats]
+
+
+class LearnedPositionEmbedding2D(nn.Module):
+    """Learned absolute 2D position plane (reference
+    embeddings/detr_position_embedding_learned.py:10): per-row and
+    per-column embedding tables concatenated to [B, h, w, 2·D]."""
+
+    num_pos_feats: int = 256
+    max_position_embeddings: int = 50
+
+    @nn.compact
+    def __call__(self, grid: jnp.ndarray) -> jnp.ndarray:
+        """grid [B, h, w, C] (NHWC) → positions [B, h, w, 2·num_pos_feats]."""
+        B, h, w = grid.shape[:3]
+        rows = nn.Embed(self.max_position_embeddings, self.num_pos_feats,
+                        embedding_init=nn.initializers.uniform(1.0),
+                        name="row_embed")(jnp.arange(h))
+        cols = nn.Embed(self.max_position_embeddings, self.num_pos_feats,
+                        embedding_init=nn.initializers.uniform(1.0),
+                        name="col_embed")(jnp.arange(w))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(cols[None, :, :], (h, w, self.num_pos_feats)),
+            jnp.broadcast_to(rows[:, None, :], (h, w, self.num_pos_feats)),
+        ], axis=-1)
+        return jnp.broadcast_to(pos[None], (B,) + pos.shape)
+
+
+class ImageBertEmbeddings(nn.Module):
+    """MMBT-style image-token embeddings sharing the text tables (reference
+    embeddings/image_bert_embeddings.py:10): project image features into the
+    text hidden space, wrap with [CLS] ... [SEP] word embeddings, add
+    position + token-type, LN + dropout. The companion text-embedding
+    TABLES are passed as arrays (the caller reads them off its
+    ``TextEmbeddings`` params) so the weights stay shared; LN params are
+    local."""
+
+    hidden_size: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_features: jnp.ndarray,
+                 word_table: jnp.ndarray,      # [V, C]
+                 position_table: jnp.ndarray,  # [P, C]
+                 token_type_table: jnp.ndarray,  # [T, C]
+                 token_type: int = 0, cls_id: int = 101, sep_id: int = 102,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """image_features [B, N, Dv] → [B, N+2, C] (CLS + imgs + SEP)."""
+        B, N = image_features.shape[:2]
+        proj = nn.Dense(self.hidden_size, dtype=self.dtype,
+                        name="img_embeddings")(image_features)
+        cls_tok = jnp.broadcast_to(word_table[cls_id][None, None],
+                                   (B, 1, self.hidden_size))
+        sep_tok = jnp.broadcast_to(word_table[sep_id][None, None],
+                                   (B, 1, self.hidden_size))
+        x = jnp.concatenate([cls_tok.astype(proj.dtype), proj,
+                             sep_tok.astype(proj.dtype)], axis=1)
+        L = N + 2
+        x = x + (position_table[:L] + token_type_table[token_type][None]
+                 )[None].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        scale = self.param("ln_scale", nn.initializers.ones,
+                           (self.hidden_size,))
+        bias = self.param("ln_bias", nn.initializers.zeros,
+                          (self.hidden_size,))
+        x = ((xf - mu) / jnp.sqrt(var + 1e-12) * scale + bias).astype(x.dtype)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -180,3 +180,37 @@ def test_classifier_bert_and_transformer_decoder_types():
         v = clf.init(jax.random.PRNGKey(0), x)
         out = clf.apply(v, x)
         assert out.shape == (3, 5), ctype
+
+
+def test_learned_position_and_image_bert_embeddings():
+    """LearnedPositionEmbedding2D (reference
+    detr_position_embedding_learned.py:10) + ImageBertEmbeddings
+    (image_bert_embeddings.py:10)."""
+    import jax
+    import numpy as np
+
+    from antmmf_tpu.modules.embeddings import (
+        ImageBertEmbeddings,
+        LearnedPositionEmbedding2D,
+    )
+
+    grid = jnp.ones((2, 5, 7, 16))
+    pe = LearnedPositionEmbedding2D(num_pos_feats=8)
+    v = pe.init(jax.random.PRNGKey(0), grid)
+    pos = pe.apply(v, grid)
+    assert pos.shape == (2, 5, 7, 16)
+    # row plane varies along h, col plane along w
+    assert not np.allclose(pos[0, 0, :, 8:], pos[0, 1, :, 8:])
+    np.testing.assert_allclose(pos[0, 0, :, :8], pos[0, 1, :, :8])
+
+    C, V = 16, 30
+    rng = np.random.default_rng(0)
+    word = jnp.asarray(rng.standard_normal((V, C)), jnp.float32)
+    positions = jnp.asarray(rng.standard_normal((12, C)), jnp.float32)
+    types = jnp.asarray(rng.standard_normal((2, C)), jnp.float32)
+    ibe = ImageBertEmbeddings(hidden_size=C)
+    feats = jnp.ones((2, 4, 10))
+    vv = ibe.init(jax.random.PRNGKey(0), feats, word, positions, types,
+                  cls_id=1, sep_id=2)
+    out = ibe.apply(vv, feats, word, positions, types, cls_id=1, sep_id=2)
+    assert out.shape == (2, 6, C)  # CLS + 4 + SEP
