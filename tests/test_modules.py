@@ -214,3 +214,42 @@ def test_learned_position_and_image_bert_embeddings():
                   cls_id=1, sep_id=2)
     out = ibe.apply(vv, feats, word, positions, types, cls_id=1, sep_id=2)
     assert out.shape == (2, 6, C)  # CLS + 4 + SEP
+
+
+def test_position_enhanced_transformer():
+    """Positions injected into q/k at every layer + detr/generation multi
+    decode (reference transformers/position_enhance.py:14-325)."""
+    import jax
+    import numpy as np
+
+    from antmmf_tpu.modules.transformers.position_enhance import (
+        PositionEnhancedTransformer,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L, C = 2, 6, 32
+    src = jnp.asarray(rng.standard_normal((B, L, C)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((B, L, C)), jnp.float32)
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]]))
+    tgt = jnp.asarray(rng.standard_normal((B, 5, C)), jnp.float32)
+
+    model = PositionEnhancedTransformer(
+        num_layers=1, num_decoder_layers=1, num_heads=4, num_queries=7,
+        decoding_type="detr+generation")
+    v = model.init(jax.random.PRNGKey(0), src, pos, mask, tgt)
+    out = model.apply(v, src, pos, mask, tgt)
+    assert out["memory"].shape == (B, L, C)
+    assert out["detr"].shape == (B, 7, C)
+    assert out["generation"].shape == (B, 5, C)
+
+    # positions matter: shifting pos changes the encoder memory
+    out2 = model.apply(v, src, pos + 1.0, mask, tgt)
+    assert not np.allclose(out["memory"], out2["memory"])
+
+    # generation branch is causal: changing a late tgt token leaves
+    # earlier outputs unchanged
+    tgt2 = tgt.at[:, -1].add(5.0)
+    out3 = model.apply(v, src, pos, mask, tgt2)
+    np.testing.assert_allclose(np.asarray(out["generation"][:, :4]),
+                               np.asarray(out3["generation"][:, :4]),
+                               atol=1e-5)
