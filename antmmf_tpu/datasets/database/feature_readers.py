@@ -123,6 +123,8 @@ class PaddedFasterRCNNFeatureReader:
         feat = self._unwrap(np.asarray(feat), info)
         if feat.ndim > 2:  # ResNet-grid case: flatten to tokens
             feat = feat.reshape(-1, feat.shape[-1])
+        if feat.ndim == 1:  # pooled vector → single region
+            feat = feat[None]
         loc, dim = feat.shape
         if self.feat_dim is not None:
             assert dim == self.feat_dim, (dim, self.feat_dim)
