@@ -46,3 +46,22 @@ def scatter_softmax(src: jnp.ndarray, index: jnp.ndarray,
     exp = jnp.exp(shifted)
     denom = jax.ops.segment_sum(exp, index, num_segments)
     return exp / jnp.maximum(denom[index], 1e-16)
+
+
+# graph-level readouts (reference utils/glob.py: global_{add,mean,max}_pool)
+
+
+def global_add_pool(x: jnp.ndarray, batch: jnp.ndarray,
+                    size: int) -> jnp.ndarray:
+    """Sum node features per graph: [N, F] + graph ids [N] → [B, F]."""
+    return scatter_add(x, batch, size)
+
+
+def global_mean_pool(x: jnp.ndarray, batch: jnp.ndarray,
+                     size: int) -> jnp.ndarray:
+    return scatter_mean(x, batch, size)
+
+
+def global_max_pool(x: jnp.ndarray, batch: jnp.ndarray,
+                    size: int) -> jnp.ndarray:
+    return scatter_max(x, batch, size)

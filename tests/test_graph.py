@@ -219,3 +219,18 @@ def test_graph_decoders():
     np.testing.assert_allclose(np.asarray(w[1:].sum(0)), 1.0, atol=1e-5)
     logits_eval, w_eval = ffn.apply(v, inp)
     assert w_eval is None
+
+
+def test_global_pools():
+    """Graph-level readouts (reference utils/glob.py)."""
+    from antmmf_tpu.utils.scatter import (
+        global_add_pool,
+        global_max_pool,
+        global_mean_pool,
+    )
+
+    x = jnp.asarray([[1.0], [2.0], [3.0]])
+    b = jnp.asarray([0, 0, 1])
+    assert global_add_pool(x, b, 2).tolist() == [[3.0], [3.0]]
+    assert global_mean_pool(x, b, 2).tolist() == [[1.5], [3.0]]
+    assert global_max_pool(x, b, 2).tolist() == [[2.0], [3.0]]
