@@ -188,8 +188,12 @@ def build_optimizer(
     if custom is not None:
         core = custom(learning_rate=inner_schedule, **p)
     elif name in ("adam_w", "adamw"):
+        # mu_dtype: store the first moment in a narrower dtype (e.g.
+        # "bfloat16") to cut optimizer HBM traffic; the second moment and
+        # the update math stay fp32 (optax upcasts before use).
+        mu_dtype = p.pop("mu_dtype", None)
         core = optax.adamw(inner_schedule, b1=b1, b2=b2, eps=eps,
-                           weight_decay=weight_decay,
+                           weight_decay=weight_decay, mu_dtype=mu_dtype,
                            mask=make_weight_decay_mask(params))
     elif name == "adam":
         core = optax.adam(inner_schedule, b1=b1, b2=b2, eps=eps)
