@@ -1,0 +1,96 @@
+"""Convert a PyTorch reference checkpoint into a serving-ready Orbax dir.
+
+The reference ships torch ``.ckpt``/``.pth`` files (reference
+common/checkpoint.py:368 final ``.pth``; predictors glob them at
+base_predictor.py:23-294). A reference user switching to this framework
+runs this once per checkpoint::
+
+    python -m antmmf_tpu.scripts.convert_checkpoint \
+        --torch_ckpt univl_final.pth --arch univl_retrieval \
+        --bert_layers 12 --out /path/to/model_dir [--config exp.yml]
+
+The output dir holds ``model_final`` (Orbax param tree, loadable by
+``BasePredictor._load_checkpoint`` / ``Checkpoint.load_model_weights``'s
+tolerant merge) and, when ``--config`` is given, the ``config.yaml`` the
+predictor reads to rebuild the model.
+
+Mappings live in ``antmmf_tpu/utils/torch_import.py`` (dense transposes,
+qkv splits, LayerNorm renames); anything unmapped is reported, not
+silently dropped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+import numpy as np
+
+ARCHS = ("bert", "clip_vit", "hf_clip_vision", "pvt_v2",
+         "univl_retrieval", "univl_pretrain")
+
+
+def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
+            vit_layers: int = 12, pvt_preset: str = "pvt_v2_b0",
+            config: str | None = None) -> dict:
+    from antmmf_tpu.utils import torch_import as ti
+
+    sd = ti.load_torch_state_dict(torch_ckpt)
+    if arch == "bert":
+        params = ti.bert_state_dict_to_params(sd, bert_layers)
+    elif arch == "clip_vit":
+        params = ti.clip_vit_state_dict_to_params(sd, vit_layers)
+    elif arch == "hf_clip_vision":
+        params = ti.hf_clip_vision_state_dict_to_params(sd, vit_layers)
+    elif arch == "pvt_v2":
+        params = ti.pvt_v2_state_dict_to_params(sd, pvt_preset)
+    elif arch == "univl_retrieval":
+        params = ti.univl_ref_state_dict_to_params(
+            sd, bert_layers, pvt_preset)
+    elif arch == "univl_pretrain":
+        params = ti.univl_ref_pretrain_state_dict_to_params(
+            sd, bert_layers, pvt_preset)
+    else:
+        raise SystemExit(f"--arch must be one of {ARCHS}")
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    leaves = jax.tree_util.tree_leaves(params)
+    nbytes = sum(np.asarray(x).nbytes for x in leaves)
+
+    os.makedirs(out, exist_ok=True)
+    path = os.path.abspath(os.path.join(out, "model_final"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ck:
+        ck.save(path, {"params": params})
+    if config:
+        shutil.copy(config, os.path.join(out, "config.yaml"))
+
+    return {"arch": arch, "out": path, "param_leaves": len(leaves),
+            "mb": round(nbytes / 1e6, 1),
+            "source_keys": len(sd)}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--arch", required=True, choices=ARCHS)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bert_layers", type=int, default=12)
+    p.add_argument("--vit_layers", type=int, default=12)
+    p.add_argument("--pvt_preset", default="pvt_v2_b0")
+    p.add_argument("--config", default=None,
+                   help="experiment yaml copied to <out>/config.yaml")
+    args = p.parse_args()
+    print(json.dumps(convert(
+        args.torch_ckpt, args.arch, args.out,
+        bert_layers=args.bert_layers, vit_layers=args.vit_layers,
+        pvt_preset=args.pvt_preset, config=args.config)))
+
+
+if __name__ == "__main__":
+    main()
