@@ -109,6 +109,29 @@ def attention_core(
     return xla_attention_core(q, k, v, bias=bias, scale=scale)
 
 
+# Global default for MultiHeadAttention.fuse_qkv (None-valued fields fall
+# back to this). Measured on v5e round 2b — see BASELINE.md; flip here once
+# the fused projection wins on the flagship step.
+FUSE_QKV_DEFAULT = False
+
+
+class _ProjParams(nn.Module):
+    """Declares ``kernel``/``bias`` with nn.Dense's exact naming and init so a
+    fused-QKV GEMM stays checkpoint/import-compatible with three nn.Dense
+    projections (params live at ``{q,k,v}_proj/{kernel,bias}`` either way)."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention. ``bias`` is an additive fp32 mask (see
     ``layers.make_attention_mask``)."""
@@ -117,6 +140,11 @@ class MultiHeadAttention(nn.Module):
     head_dim: Optional[int] = None
     dropout: float = 0.0
     use_pallas: bool = True
+    # Fuse q/k/v projections into one [C, 3·inner] GEMM for self-attention
+    # (one activation read from HBM instead of three per block; kernels are
+    # concatenated at call time so the param tree is unchanged). None = use
+    # the module-level FUSE_QKV_DEFAULT.
+    fuse_qkv: Optional[bool] = None
     # sequence parallelism over the mesh `seq` axis: "none" | "ulysses" |
     # "ring". Engages only when the active mesh (registry key "mesh") has a
     # seq axis > 1 and the call is self-attention with a key-padding bias —
@@ -148,6 +176,7 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         return_probs: bool = False,
     ):
+        is_self = kv is None
         kv = x if kv is None else kv
         C = x.shape[-1]
         head_dim = self.head_dim or C // self.num_heads
@@ -160,9 +189,21 @@ class MultiHeadAttention(nn.Module):
             B, L, _ = t.shape
             return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q = heads(dense(inner, name="q_proj")(x))
-        k = heads(dense(inner, name="k_proj")(kv))
-        v = heads(dense(inner, name="v_proj")(kv))
+        fused = self.fuse_qkv if self.fuse_qkv is not None else FUSE_QKV_DEFAULT
+        if fused and is_self:
+            proj = functools.partial(_ProjParams, inner,
+                                     param_dtype=self.param_dtype)
+            wq, bq = proj(name="q_proj")(C)
+            wk, bk = proj(name="k_proj")(C)
+            wv, bv = proj(name="v_proj")(C)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = x.astype(self.dtype) @ w + b
+            q, k, v = (heads(t) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = heads(dense(inner, name="q_proj")(x))
+            k = heads(dense(inner, name="k_proj")(kv))
+            v = heads(dense(inner, name="v_proj")(kv))
 
         probs = None
         if return_probs or self.sow_attention:

@@ -253,3 +253,39 @@ def test_position_enhanced_transformer():
     np.testing.assert_allclose(np.asarray(out["generation"][:, :4]),
                                np.asarray(out3["generation"][:, :4]),
                                atol=1e-5)
+
+
+def test_fused_qkv_matches_unfused(rng):
+    """fuse_qkv=True keeps the exact param tree of three nn.Dense projections
+    (checkpoint/torch-import compatible) and computes identical outputs."""
+    from antmmf_tpu.modules.attention import MultiHeadAttention
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 9, 32)),
+                    jnp.float32)
+    bias = make_attention_mask(jnp.asarray([[1] * 7 + [0] * 2,
+                                            [1] * 9], jnp.int32))
+    plain = MultiHeadAttention(num_heads=4, dtype=jnp.float32, fuse_qkv=False)
+    fused = MultiHeadAttention(num_heads=4, dtype=jnp.float32, fuse_qkv=True)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+    out_plain = plain.apply(v, x, bias=bias)
+    out_fused = fused.apply(v, x, bias=bias)  # same params, fused compute
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_fused),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients flow to every projection through the fused GEMM
+    def loss(p):
+        return jnp.sum(fused.apply({"params": p}, x, bias=bias) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        assert float(jnp.abs(g[name]["kernel"]).max()) > 0
+
+    # cross-attention ignores the flag (separate q vs kv projections)
+    kv = jnp.asarray(np.random.default_rng(1).standard_normal((2, 5, 32)),
+                     jnp.float32)
+    v3 = fused.init(jax.random.PRNGKey(0), x, kv)
+    out3 = fused.apply(v3, x, kv)
+    assert out3.shape == (2, 9, 32)
