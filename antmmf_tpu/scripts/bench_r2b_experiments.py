@@ -87,9 +87,16 @@ def _unpatch_fused_qkv():
         attn_mod.MultiHeadAttention.__call__ = _orig_attn_call
 
 
-def run(tag, batch_size=32, fused_qkv=False, mu_dtype=None):
+def run(tag, batch_size=32, fused_qkv=False, mu_dtype=None,
+        fused_prod=False):
     import jax
 
+    if fused_prod:
+        # production path: param-compatible runtime-concat fused QKV
+        # (modules/attention.py fuse_qkv flag)
+        from antmmf_tpu.modules import attention as attn_mod
+
+        attn_mod.FUSE_QKV_DEFAULT = True
     if fused_qkv:
         _patch_fused_qkv()
     try:
@@ -110,6 +117,10 @@ def run(tag, batch_size=32, fused_qkv=False, mu_dtype=None):
     finally:
         if fused_qkv:
             _unpatch_fused_qkv()
+        if fused_prod:
+            from antmmf_tpu.modules import attention as attn_mod
+
+            attn_mod.FUSE_QKV_DEFAULT = False
 
 
 def _build_with_opts(config_model, batch_example, mu_dtype):
@@ -167,6 +178,7 @@ def main():
         ("r2b_mu_bf16", {"mu_dtype": "bfloat16"}),
         ("r2b_fused_qkv_mu_bf16", {"fused_qkv": True,
                                    "mu_dtype": "bfloat16"}),
+        ("r2b_fused_prod_concat", {"fused_prod": True}),
     ):
         try:
             run(tag, **kw)
