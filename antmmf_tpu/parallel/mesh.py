@@ -37,17 +37,42 @@ BATCH_AXES = ("data", "fsdp")
 
 
 def build_mesh(
-    mesh_config: Optional[Mapping[str, int]] = None,
+    mesh_config: Optional[Mapping[str, Any]] = None,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     """Create a Mesh from an axis-size mapping. ``-1`` (on at most one axis) means
-    "all remaining devices"; missing axes default to 1."""
+    "all remaining devices"; missing axes default to 1.
+
+    Multi-slice (DCN) topologies: an optional ``dcn`` sub-mapping gives the
+    slice-spanning degree per logical axis; the remaining sizes describe the
+    within-slice (ICI) layout. Example — 2 slices of a v5e-8, data parallel
+    across slices over DCN, FSDP within each slice over ICI::
+
+        mesh: {dcn: {data: 2}, fsdp: -1}
+
+    The DCN factor is placed OUTERMOST on each combined axis (so e.g. the
+    gradient pmean hierarchically reduces over ICI first, then once over
+    DCN) via ``mesh_utils.create_hybrid_device_mesh``; non-TPU device sets
+    (CPU virtual meshes in tests) fall back to a slice-major reshape with
+    the same ordering guarantee.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
 
+    cfg = dict(mesh_config or {})
+    dcn_cfg = {a: int(s) for a, s in dict(cfg.pop("dcn", None) or {}).items()}
+    for axis in dcn_cfg:
+        if axis not in MESH_AXES:
+            raise ValueError(f"Unknown dcn mesh axis {axis!r}; valid: {MESH_AXES}")
+    dcn = {axis: dcn_cfg.get(axis, 1) for axis in MESH_AXES}
+    n_dcn = math.prod(dcn.values())
+    if n % n_dcn:
+        raise ValueError(f"{n} devices not divisible by dcn degree {n_dcn}")
+    n_ici = n // n_dcn
+
     sizes = {axis: 1 for axis in MESH_AXES}
     fill_axis = "data"
-    for axis, size in dict(mesh_config or {}).items():
+    for axis, size in cfg.items():
         if axis not in sizes:
             raise ValueError(f"Unknown mesh axis {axis!r}; valid: {MESH_AXES}")
         sizes[axis] = int(size)
@@ -58,21 +83,40 @@ def build_mesh(
         fill_axis = fills[0]
         sizes[fill_axis] = 1
         fixed = math.prod(sizes.values())
-        if n % fixed:
-            raise ValueError(f"{n} devices not divisible by fixed axes product {fixed}")
-        sizes[fill_axis] = n // fixed
+        if n_ici % fixed:
+            raise ValueError(
+                f"{n_ici} per-slice devices not divisible by fixed axes "
+                f"product {fixed}")
+        sizes[fill_axis] = n_ici // fixed
     total = math.prod(sizes.values())
-    if total != n:
+    if total != n_ici:
         raise ValueError(
-            f"Mesh axis sizes {sizes} multiply to {total}, but {n} devices are visible"
+            f"Mesh axis sizes {sizes} multiply to {total}, but {n_ici} "
+            f"devices are visible per slice"
         )
 
-    shape = tuple(sizes[a] for a in MESH_AXES)
+    ici_shape = tuple(sizes[a] for a in MESH_AXES)
+    if n_dcn > 1:
+        dcn_shape = tuple(dcn[a] for a in MESH_AXES)
+        try:
+            device_array = mesh_utils.create_hybrid_device_mesh(
+                ici_shape, dcn_shape, devices=devices)
+        except Exception:
+            # CPU virtual devices: slice-major reshape, DCN factor outermost
+            # on each combined axis — (d0..dk, i0..ik) → interleave → merge.
+            arr = np.asarray(devices).reshape(dcn_shape + ici_shape)
+            k = len(MESH_AXES)
+            order = [x for pair in zip(range(k), range(k, 2 * k)) for x in pair]
+            arr = arr.transpose(order)
+            device_array = arr.reshape(
+                tuple(d * i for d, i in zip(dcn_shape, ici_shape)))
+        return Mesh(device_array, MESH_AXES)
+
     try:
-        device_array = mesh_utils.create_device_mesh(shape, devices=devices)
+        device_array = mesh_utils.create_device_mesh(ici_shape, devices=devices)
     except Exception:
         # CPU virtual devices / odd topologies: plain reshape is fine.
-        device_array = np.asarray(devices).reshape(shape)
+        device_array = np.asarray(devices).reshape(ici_shape)
     return Mesh(device_array, MESH_AXES)
 
 

@@ -133,3 +133,32 @@ def test_spec_inference_rules():
 def test_spec_for_rank_mismatch():
     # bias (rank 1) matching a rank-2 rule keeps trailing entries
     assert spec_for("x/kernel", 1, [(r".*kernel", ("fsdp", None))]) == P(None)
+
+
+def test_build_hybrid_dcn_mesh():
+    """Multi-slice topology: dcn.data=2 slices × 4-way fsdp within each
+    slice on the 8-device CPU mesh; a data-sharded matmul + psum over the
+    combined axes matches the unsharded result."""
+    mesh = build_mesh({"dcn": {"data": 2}, "fsdp": -1})
+    assert mesh.shape["data"] == 2 and mesh.shape["fsdp"] == 4
+    assert data_parallel_size(mesh) == 8
+
+    x = np.random.default_rng(0).standard_normal((16, 8)).astype(np.float32)
+    w = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
+
+    @jax.jit
+    def global_sum(x, w):
+        return jnp.sum(x @ w)
+
+    xs = jax.device_put(x, batch_sharding(mesh, ndim=2))
+    ws = jax.device_put(w, jax.sharding.NamedSharding(mesh, P()))
+    with mesh:
+        got = float(global_sum(xs, ws))
+    np.testing.assert_allclose(got, float(np.sum(x @ w)), rtol=2e-4)
+
+
+def test_build_hybrid_dcn_mesh_validates():
+    with pytest.raises(ValueError):
+        build_mesh({"dcn": {"data": 3}})  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        build_mesh({"dcn": {"bogus": 2}})
