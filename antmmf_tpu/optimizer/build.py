@@ -70,13 +70,32 @@ def scale_by_multipliers(multipliers) -> optax.GradientTransformation:
 
 
 def build_lr_schedule(tp: Mapping[str, Any], base_lr: float):
-    """warmup_factor→1 over warmup_iterations, then ×lr_ratio at each lr_steps."""
+    """warmup_factor→1 over warmup_iterations, then decay.
+
+    ``lr_decay`` selects the decay family (reference ships step only —
+    utils/general.py:27-44 ``lr_lambda_update``; cosine/linear are the
+    standard finetuning additions):
+
+      step    ×lr_ratio at each of lr_steps (default)
+      cosine  cosine from base_lr to min_lr_ratio·base_lr over
+              lr_decay_iterations (fallback: max_iterations)
+      linear  linear over the same horizon
+    """
     tp = convert_to_config(tp)
     use_warmup = bool(tp.get("use_warmup", False))
     warmup_iters = int(tp.get("warmup_iterations", 0)) if use_warmup else 0
     warmup_factor = float(tp.get("warmup_factor", 0.2))
     steps = [int(s) for s in (tp.get("lr_steps", []) or [])]
     ratio = float(tp.get("lr_ratio", 0.1))
+    decay = str(tp.get("lr_decay", "step"))
+    horizon = int(tp.get("lr_decay_iterations",
+                         tp.get("max_iterations", 0)) or 0)
+    min_ratio = float(tp.get("min_lr_ratio", 0.0))
+    if decay not in ("step", "cosine", "linear"):
+        raise ValueError(f"Unknown lr_decay {decay!r}")
+    if decay != "step" and horizon <= 0:
+        raise ValueError(
+            f"lr_decay={decay!r} needs lr_decay_iterations or max_iterations")
 
     def schedule(count):
         count = jnp.asarray(count, jnp.float32)
@@ -84,9 +103,18 @@ def build_lr_schedule(tp: Mapping[str, Any], base_lr: float):
         if warmup_iters > 0:
             alpha = jnp.clip(count / warmup_iters, 0.0, 1.0)
             lr = lr * (warmup_factor * (1 - alpha) + alpha)
-        for s in steps:
-            lr = jnp.where(count >= s, lr * ratio, lr)
-        return lr
+        if decay == "step":
+            for s in steps:
+                lr = jnp.where(count >= s, lr * ratio, lr)
+            return lr
+        # cosine/linear: decay phase starts after warmup
+        t = jnp.clip((count - warmup_iters) / max(horizon - warmup_iters, 1),
+                     0.0, 1.0)
+        if decay == "cosine":
+            frac = min_ratio + (1 - min_ratio) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        else:  # linear
+            frac = min_ratio + (1 - min_ratio) * (1 - t)
+        return lr * frac
 
     return schedule
 
@@ -148,6 +176,7 @@ def build_optimizer(
     params,
     optimizer_attributes: Mapping[str, Any],
     training_parameters: Optional[Mapping[str, Any]] = None,
+    custom_schedule=None,
 ) -> tuple:
     """Returns (optax transform, schedule fn). Config shape (reference-compatible)::
 
@@ -155,6 +184,11 @@ def build_optimizer(
           type: adam_w
           params: {lr: 5.0e-5, weight_decay: 0.01, eps: 1.0e-8}
           lr_multipliers: [["img_encoder", 0.1]]
+
+    ``custom_schedule`` (a model-provided ``fn(count) -> lr``) overrides the
+    config-built schedule — the reference's ``get_custom_scheduler`` hook
+    (base_trainer.py:445-465); the trainer passes it when the model module
+    defines ``custom_lr_schedule(training_parameters)``.
     """
     cfg = convert_to_config(optimizer_attributes or {})
     tp = convert_to_config(training_parameters or {})
@@ -163,7 +197,8 @@ def build_optimizer(
         return build_combined_optimizer(params, cfg, tp)
     p = dict(cfg.get("params", {}))
     lr = float(p.pop("lr", p.pop("learning_rate", 1e-4)))
-    schedule = build_lr_schedule(tp, lr)
+    schedule = (custom_schedule if custom_schedule is not None
+                else build_lr_schedule(tp, lr))
     accum = int(tp.get("gradient_accumulation_steps", 1))
     if accum > 1:
         # MultiSteps advances the inner optimizer count once per k micro-

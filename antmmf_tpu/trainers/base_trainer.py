@@ -128,10 +128,15 @@ class BaseTrainer:
         return {k: jnp.asarray(v) for k, v in first.arrays().items()}
 
     def load_optimizer(self) -> None:
+        # model-supplied schedule (reference get_custom_scheduler hook,
+        # base_trainer.py:445-465): module.custom_lr_schedule(tp) -> fn
+        hook = getattr(self.shell.module, "custom_lr_schedule", None)
+        custom = hook(self.tp) if callable(hook) else None
         self.tx, self.lr_schedule = build_optimizer(
             self._init_variables["params"],
             self.config.get("optimizer_attributes", {}),
             self.tp,
+            custom_schedule=custom,
         )
 
     def load_extras(self) -> None:

@@ -137,3 +137,42 @@ def test_combined_optimizer_per_group_types():
     # different lrs per group applied
     np.testing.assert_allclose(np.asarray(new["img_encoder"]["kernel"]), 0.5)
     np.testing.assert_allclose(np.asarray(new["head"]["kernel"]), 0.9)
+
+
+def test_lr_schedule_cosine_and_linear():
+    from antmmf_tpu.optimizer.build import build_lr_schedule
+
+    tp = {"use_warmup": True, "warmup_iterations": 10, "warmup_factor": 0.1,
+          "lr_decay": "cosine", "max_iterations": 110, "min_lr_ratio": 0.1}
+    s = build_lr_schedule(tp, 1.0)
+    assert abs(float(s(0)) - 0.1) < 1e-6            # warmup start
+    assert abs(float(s(10)) - 1.0) < 1e-6           # warmup end = peak
+    mid = float(s(60))                               # halfway through decay
+    assert abs(mid - (0.1 + 0.9 * 0.5)) < 1e-5
+    assert abs(float(s(110)) - 0.1) < 1e-5          # floor = min_lr_ratio
+
+    lin = build_lr_schedule({"lr_decay": "linear", "max_iterations": 100}, 2.0)
+    assert abs(float(lin(0)) - 2.0) < 1e-6
+    assert abs(float(lin(50)) - 1.0) < 1e-5
+    assert abs(float(lin(100)) - 0.0) < 1e-6
+
+    with pytest.raises(ValueError):
+        build_lr_schedule({"lr_decay": "cosine"}, 1.0)  # no horizon
+    with pytest.raises(ValueError):
+        build_lr_schedule({"lr_decay": "bogus", "max_iterations": 5}, 1.0)
+
+
+def test_custom_schedule_overrides_config():
+    from antmmf_tpu.optimizer.build import build_optimizer
+
+    params = {"w": jnp.zeros((4, 4), jnp.float32)}
+    tx, sched = build_optimizer(
+        params, {"type": "adam_w", "params": {"lr": 1e-3}},
+        {"use_warmup": True, "warmup_iterations": 5},
+        custom_schedule=lambda c: jnp.asarray(0.123, jnp.float32))
+    assert abs(float(sched(0)) - 0.123) < 1e-6
+    assert abs(float(sched(999)) - 0.123) < 1e-6
+    state = tx.init(params)
+    g = {"w": jnp.ones((4, 4), jnp.float32)}
+    updates, _ = tx.update(g, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
