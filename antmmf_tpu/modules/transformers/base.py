@@ -115,6 +115,9 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = False
     pipeline_stages: int = 1  # GPipe over the `model` mesh axis (needs scan)
     pipeline_microbatches: int = 4
+    # ToMe (arXiv:2210.09461): merge r similar tokens between blocks —
+    # plain-layer path only, self-attention without padding bias (images)
+    token_merge_r: int = 0
     use_pallas: bool = True
     sequence_parallel: str = "none"
     sow_attention: bool = False
@@ -157,6 +160,12 @@ class TransformerEncoder(nn.Module):
             else:
                 x, _ = scanned(x, bias, None, deterministic)
         else:
+            if self.token_merge_r > 0:
+                assert bias is None and not return_importance, \
+                    "token_merge_r needs bias-free self-attention (images)"
+                from antmmf_tpu.modules.vision.token_merging import tome_merge
+
+                tome_size = jnp.ones(x.shape[:2], jnp.float32)
             # linearly scaled stochastic depth across layers
             importance = None
             for i in range(self.num_layers):
@@ -172,6 +181,9 @@ class TransformerEncoder(nn.Module):
                         else importance + contrib
                 else:
                     x = layer(x, bias, None, deterministic)
+                    if self.token_merge_r > 0 and i < self.num_layers - 1:
+                        x, tome_size = tome_merge(
+                            x, tome_size, self.token_merge_r)
         if self.final_norm and self.norm_style == "pre":
             x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="final_norm")(x)

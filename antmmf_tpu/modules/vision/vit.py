@@ -44,6 +44,9 @@ class VisionTransformer(nn.Module):
     scan_layers: bool = False
     use_pallas: bool = True
     sequence_parallel: str = "none"
+    # ToMe token merging (arXiv:2210.09461): merge r tokens between blocks
+    # (serving speedup knob; sequence output shrinks by r per block)
+    token_merge_r: int = 0
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -66,6 +69,7 @@ class VisionTransformer(nn.Module):
             activation="quick_gelu" if self.quick_gelu else "gelu",
             final_norm=True, remat=self.remat,
             scan_layers=self.scan_layers, use_pallas=self.use_pallas,
+            token_merge_r=self.token_merge_r,
             sequence_parallel=self.sequence_parallel,
             dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
         )(x, deterministic=deterministic)
