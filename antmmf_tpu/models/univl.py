@@ -72,6 +72,9 @@ class UnivlVideoBase(nn.Module):
     # sequence parallelism for the visual token stream over the mesh `seq`
     # axis (projects/base_vtp/configs/long_video.yml)
     sequence_parallel: str = "none"
+    # ToMe token merging in the ViT (serving speedup; modules/vision/
+    # token_merging.py)
+    token_merge_r: int = 0
     # fold the BERT stack into one nn.scan body (deep-stack compile lever)
     scan_layers: bool = False
     # GPipe the BERT layer stack over the mesh `model` axis (absent in the
@@ -89,7 +92,8 @@ class UnivlVideoBase(nn.Module):
         self.img_encoder = VisionTransformer(
             image_size=self.image_size, dropout=self.dropout, remat=self.remat,
             use_pallas=self.use_pallas,
-            sequence_parallel=self.sequence_parallel, dtype=self.dtype, **vit_kw,
+            sequence_parallel=self.sequence_parallel,
+            token_merge_r=self.token_merge_r, dtype=self.dtype, **vit_kw,
         )
         bert_kw = dict(BERT_PRESETS[self.bert_preset])
         hidden = bert_kw.pop("hidden_size")
@@ -281,6 +285,7 @@ class UnivlForVideoTextRetrieval(BaseModel):
     remat: bool = False
     use_pallas: bool = True
     sequence_parallel: str = "none"
+    token_merge_r: int = 0
     scan_layers: bool = False
     pipeline_stages: int = 1
     pipeline_microbatches: int = 4
@@ -296,6 +301,7 @@ class UnivlForVideoTextRetrieval(BaseModel):
             cross_layers=self.cross_layers, dropout=self.dropout,
             remat=self.remat, use_pallas=self.use_pallas,
             sequence_parallel=self.sequence_parallel,
+            token_merge_r=self.token_merge_r,
             scan_layers=self.scan_layers,
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,

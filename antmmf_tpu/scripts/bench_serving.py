@@ -128,6 +128,28 @@ def main() -> None:
             "clips_per_sec": round(b * 1e3 / float(np.mean(lat)), 1)}),
             flush=True)
 
+    # --- ToMe token merging: visual-encode speedup at serving batch size
+    for r in (2, 4, 8):
+        try:
+            tm = UnivlForVideoTextRetrieval(**{**kw, "token_merge_r": r})
+
+            @jax.jit
+            def encode_tm(variables, batch):
+                out = tm.apply(variables, batch, deterministic=True)
+                return out["text_embed"], out["visual_embed"]
+
+            db = batch_of(32)
+            lat = time_call(encode_tm, variables, db, iters=30)
+            print(json.dumps({
+                "exp": f"serving_full_encode_b32_tome_r{r}",
+                **percentiles(lat),
+                "clips_per_sec": round(32 * 1e3 / float(np.mean(lat)), 1)}),
+                flush=True)
+        except Exception as e:
+            print(json.dumps({"exp_error": f"tome_r{r}",
+                              "type": type(e).__name__,
+                              "msg": str(e)[:200]}), flush=True)
+
     # --- end-to-end predict() including host tokenisation
     try:
         from antmmf_tpu.predictors.base_predictor import BasePredictor

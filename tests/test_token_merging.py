@@ -65,3 +65,24 @@ def test_vit_token_merge_shapes_and_baseline():
     cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
                              * np.linalg.norm(b, axis=-1) + 1e-8)
     assert (cos > 0.8).all(), cos
+
+
+def test_retrieval_model_with_token_merging():
+    from antmmf_tpu.models.univl import UnivlForVideoTextRetrieval
+
+    m = UnivlForVideoTextRetrieval(
+        vit_preset="vit_tiny_test", bert_preset="bert_tiny_test",
+        image_size=32, embed_dim=32, dtype_str="float32", token_merge_r=1)
+    rng = np.random.default_rng(4)
+    batch = {
+        "image_data": rng.standard_normal((2, 2, 32, 32, 3)).astype(
+            np.float32),
+        "video_mask": np.ones((2, 2), np.int64),
+        "caption_input_ids": rng.integers(0, 30522, (2, 8)).astype(np.int64),
+        "caption_input_mask": np.ones((2, 8), np.int64),
+        "caption_segment_ids": np.zeros((2, 8), np.int64),
+    }
+    v = m.init(jax.random.PRNGKey(0), batch)
+    out = m.apply(v, batch, deterministic=True)
+    assert out["l1_simi"].shape == (2, 2)
+    assert np.isfinite(np.asarray(out["l1_simi"])).all()
