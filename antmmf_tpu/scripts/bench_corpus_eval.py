@@ -47,22 +47,37 @@ def main() -> None:
 
     B, F, S, L = args.batch, args.frames, args.size, args.text_len
     rng = np.random.default_rng(0)
-    batch = {
-        "image_data": np.asarray(
-            rng.standard_normal((B, F, S, S, 3)), np.float32),
-        "video_mask": np.ones((B, F), np.int64),
-        "caption_input_ids": rng.integers(0, 30522, (B, L)).astype(np.int64),
-        "caption_input_mask": np.ones((B, L), np.int64),
-        "caption_segment_ids": np.zeros((B, L), np.int64),
-    }
-    variables = model.init(jax.random.PRNGKey(0), batch)
 
+    def batch_of(b):
+        return {
+            "image_data": np.asarray(
+                rng.standard_normal((b, F, S, S, 3)), np.float32),
+            "video_mask": np.ones((b, F), np.int64),
+            "caption_input_ids": rng.integers(
+                0, 30522, (b, L)).astype(np.int64),
+            "caption_input_mask": np.ones((b, L), np.int64),
+            "caption_segment_ids": np.zeros((b, L), np.int64),
+        }
+
+    # init on a tiny batch: params are batch-independent, and the full
+    # __call__ at B=32 would cross-encode the B² pair grid (OOM-class at
+    # eval scale — exactly what the two-stage eval avoids)
+    variables = model.init(jax.random.PRNGKey(0), batch_of(2))
+    batch = batch_of(B)
+
+    # stage-1 towers only (RetrievalTrainer splits the batch the same way)
     @jax.jit
     def encode(variables, batch):
-        out = model.apply(variables, batch, deterministic=True)
-        return {k: out[k] for k in ("text_embed", "visual_embed",
-                                    "text_seq", "visual_tokens")
-                if k in out}
+        text = model.apply(variables, batch, deterministic=True,
+                           method=lambda m, b, deterministic: m.encode_text(
+                               b, deterministic))
+        video = model.apply(variables, batch, deterministic=True,
+                            method=lambda m, b, deterministic: m.encode_video(
+                                b, deterministic))
+        return {"text_embed": text["text_embed"],
+                "text_seq": text["sequence_output"],
+                "visual_embed": video["clip_embed"],
+                "visual_tokens": video["visual_tokens"]}
 
     @jax.jit
     def rescore(variables, tseq, tmask, vseq, vmask):
