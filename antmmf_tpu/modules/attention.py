@@ -110,8 +110,11 @@ def attention_core(
 
 
 # Global default for MultiHeadAttention.fuse_qkv (None-valued fields fall
-# back to this). Measured on v5e round 2b — see BASELINE.md; flip here once
-# the fused projection wins on the flagship step.
+# back to this). MEASURED OFF on v5e (round 2b, BASELINE.md): the flagship
+# retrieval step runs 85.7 ms with three separate q/k/v GEMMs vs 87.5 ms
+# with the runtime-concat fused GEMM (and 123.7 ms with a single wide
+# qkv_proj Dense) — XLA schedules the three narrow GEMMs better than one
+# 3×-wide one at these shapes. The knob stays for other shape regimes.
 FUSE_QKV_DEFAULT = False
 
 

@@ -66,7 +66,10 @@ def main() -> None:
             }
         },
         "optimizer_attributes": {
-            "type": "adam_w", "params": {"lr": 5e-5, "weight_decay": 0.01},
+            # bf16 first moment: measured 85.7 → 83.4 ms/step on v5e
+            # (r2b experiments, BASELINE.md); second moment stays fp32
+            "type": "adam_w", "params": {"lr": 5e-5, "weight_decay": 0.01,
+                                         "mu_dtype": "bfloat16"},
         },
         "training_parameters": {"clip_gradients": True, "max_grad_l2_norm": 1.0},
     }
