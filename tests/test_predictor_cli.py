@@ -1,0 +1,36 @@
+"""Serving CLI: one-shot and batch prediction from config + JSON."""
+
+import json
+
+import numpy as np
+
+
+def test_cli_single_and_batch(tmp_path, capsys):
+    cfg = tmp_path / "serve.yml"
+    cfg.write_text(
+        "model_attributes:\n"
+        "  univl_retrieval:\n"
+        "    vit_preset: vit_tiny_test\n"
+        "    bert_preset: bert_tiny_test\n"
+        "    image_size: 32\n"
+        "    embed_dim: 32\n"
+        "    dtype_str: float32\n"
+        "predictor_parameters: {}\n")
+    img = np.zeros((2, 32, 32, 3), np.float32).tolist()
+    req = tmp_path / "req.json"
+    req.write_text(json.dumps({"caption": "a dog runs", "image_data": img}))
+
+    from antmmf_tpu.predictors.cli import main
+
+    main(["--config", str(cfg), "--input", str(req), "--no_ckpt"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out, "empty prediction result"
+
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text("\n".join(
+        json.dumps({"caption": c, "image_data": img})
+        for c in ("a dog", "a cat")))
+    main(["--config", str(cfg), "--batch", str(reqs), "--no_ckpt"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
