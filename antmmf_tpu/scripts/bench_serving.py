@@ -110,8 +110,17 @@ def main() -> None:
         out = model.apply(variables, batch, deterministic=True)
         return out["text_embed"], out["visual_embed"]
 
+    # Inputs are device_put ONCE before timing: on this rig host→device goes
+    # through the axon relay (~30 MB/s measured), which would swamp every
+    # latency number with transfer time a real TPU VM doesn't pay (PCIe/DMA).
+    # The transfer cost is reported separately below.
+    def put(tree):
+        out = jax.device_put(tree)
+        jax.block_until_ready(out)
+        return out
+
     # --- text-query path (B=1): what a search request costs
-    b1 = batch_of(1)
+    b1 = put(batch_of(1))
     lat = time_call(encode_text, variables, b1["caption_input_ids"],
                     b1["caption_input_mask"], b1["caption_segment_ids"])
     print(json.dumps({"exp": "serving_text_query_b1",
@@ -119,9 +128,23 @@ def main() -> None:
                       "qps": round(1e3 / float(np.mean(lat)), 1)}),
           flush=True)
 
+    # --- host→device ingest transfer (relay artifact on this rig)
+    hb = batch_of(8)
+    nbytes = sum(v.nbytes for v in hb.values())
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(hb))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    print(json.dumps({"exp": "ingest_transfer_b8",
+                      "mb": round(nbytes / 1e6, 1), **percentiles(lat),
+                      "mb_per_s": round(nbytes / 1e6
+                                        / (float(np.median(lat)) / 1e3), 1)}),
+          flush=True)
+
     # --- full encode (text+video towers) at serving batch sizes
     for b in (1, 8, 32):
-        db = batch_of(b)
+        db = put(batch_of(b))
         lat = time_call(encode_full, variables, db, iters=30)
         print(json.dumps({
             "exp": f"serving_full_encode_b{b}", **percentiles(lat),
@@ -138,7 +161,7 @@ def main() -> None:
                 out = tm.apply(variables, batch, deterministic=True)
                 return out["text_embed"], out["visual_embed"]
 
-            db = batch_of(32)
+            db = put(batch_of(32))
             lat = time_call(encode_tm, variables, db, iters=30)
             print(json.dumps({
                 "exp": f"serving_full_encode_b32_tome_r{r}",
