@@ -147,6 +147,10 @@ class TransformerEncoder(nn.Module):
             sow_attention=self.sow_attention, dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if self.token_merge_r > 0:
+            assert not self.scan_layers and self.pipeline_stages == 1, \
+                "token_merge_r changes the token count per layer — " \
+                "incompatible with scan_layers/pipeline_stages"
         if self.scan_layers:
             scanned = nn.scan(
                 _ScanLayerBody,

@@ -194,6 +194,10 @@ def build_optimizer(
     tp = convert_to_config(training_parameters or {})
     name = cfg.get("type", "adam_w")
     if name == "combined":
+        if custom_schedule is not None:
+            raise ValueError(
+                "custom_lr_schedule is not supported with the 'combined' "
+                "optimizer (per-group schedules are config-built)")
         return build_combined_optimizer(params, cfg, tp)
     p = dict(cfg.get("params", {}))
     lr = float(p.pop("lr", p.pop("learning_rate", 1e-4)))
@@ -218,20 +222,21 @@ def build_optimizer(
     else:
         b1, b2 = float(p.pop("b1", 0.9)), float(p.pop("b2", 0.999))
     eps = float(p.pop("eps", 1e-8))
+    # mu_dtype: store the first moment in a narrower dtype (e.g. "bfloat16")
+    # to cut optimizer HBM traffic (measured 85.7→83.4 ms on the flagship
+    # step, BASELINE.md r2b); second moment and update math stay fp32.
+    mu_dtype = p.pop("mu_dtype", None)
 
     custom = registry.get_optimizer_class(name, default=None)
     if custom is not None:
         core = custom(learning_rate=inner_schedule, **p)
     elif name in ("adam_w", "adamw"):
-        # mu_dtype: store the first moment in a narrower dtype (e.g.
-        # "bfloat16") to cut optimizer HBM traffic; the second moment and
-        # the update math stay fp32 (optax upcasts before use).
-        mu_dtype = p.pop("mu_dtype", None)
         core = optax.adamw(inner_schedule, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay, mu_dtype=mu_dtype,
                            mask=make_weight_decay_mask(params))
     elif name == "adam":
-        core = optax.adam(inner_schedule, b1=b1, b2=b2, eps=eps)
+        core = optax.adam(inner_schedule, b1=b1, b2=b2, eps=eps,
+                          mu_dtype=mu_dtype)
     elif name == "sgd":
         core = optax.sgd(inner_schedule, momentum=float(p.pop("momentum", 0.9)))
     elif name == "radam":
@@ -247,9 +252,14 @@ def build_optimizer(
         core = optax.adafactor(inner_schedule)
     elif name == "lion":
         core = optax.lion(inner_schedule, weight_decay=weight_decay,
+                          mu_dtype=mu_dtype,
                           mask=make_weight_decay_mask(params))
     else:
         raise KeyError(f"Unknown optimizer {name!r}")
+    if mu_dtype is not None and name not in (
+            "adam_w", "adamw", "adam", "lion"):
+        raise ValueError(
+            f"mu_dtype is not supported by optimizer {name!r}")
 
     chain = []
     if bool(tp.get("clip_gradients", False)):

@@ -61,9 +61,12 @@ def build_mesh(
 
     cfg = dict(mesh_config or {})
     dcn_cfg = {a: int(s) for a, s in dict(cfg.pop("dcn", None) or {}).items()}
-    for axis in dcn_cfg:
+    for axis, size in dcn_cfg.items():
         if axis not in MESH_AXES:
             raise ValueError(f"Unknown dcn mesh axis {axis!r}; valid: {MESH_AXES}")
+        if size < 1:
+            raise ValueError(
+                f"dcn sizes must be positive (no -1 fill); got {axis}={size}")
     dcn = {axis: dcn_cfg.get(axis, 1) for axis in MESH_AXES}
     n_dcn = math.prod(dcn.values())
     if n % n_dcn:

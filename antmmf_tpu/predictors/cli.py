@@ -61,7 +61,7 @@ def main(argv=None) -> None:
     if args.model_dir:
         pp["model_dir"] = args.model_dir
     name = args.predictor or pp.get("predictor", "base_predictor")
-    cls = registry.get_predictor_class(name)
+    cls = registry.get_predictor_class(name, default=None)
     if cls is None:
         raise SystemExit(f"Unknown predictor {name!r}")
     cfg = dict(config)

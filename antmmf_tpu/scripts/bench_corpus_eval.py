@@ -45,19 +45,13 @@ def main() -> None:
         kw.update(image_size=args.size)
     model = UnivlForVideoTextRetrieval(**kw)
 
+    from antmmf_tpu.scripts.bench_r2_experiments import make_batch
+
     B, F, S, L = args.batch, args.frames, args.size, args.text_len
     rng = np.random.default_rng(0)
 
     def batch_of(b):
-        return {
-            "image_data": np.asarray(
-                rng.standard_normal((b, F, S, S, 3)), np.float32),
-            "video_mask": np.ones((b, F), np.int64),
-            "caption_input_ids": rng.integers(
-                0, 30522, (b, L)).astype(np.int64),
-            "caption_input_mask": np.ones((b, L), np.int64),
-            "caption_segment_ids": np.zeros((b, L), np.int64),
-        }
+        return make_batch(b, F, S, rng=rng, text_len=L)
 
     # init on a tiny batch: params are batch-independent, and the full
     # __call__ at B=32 would cross-encode the B² pair grid (OOM-class at

@@ -43,20 +43,20 @@ def flops_of(step, state, batch):
         return 0.0
 
 
-def make_batch(batch, frames, size, rng=None):
+def make_batch(batch, frames, size, rng=None, text_len=TEXT_LEN):
     rng = rng or np.random.default_rng(0)
     return {
         "image_data": rng.standard_normal(
             (batch, frames, size, size, 3)).astype(np.float32),
         "video_mask": np.ones((batch, frames), dtype=np.int64),
         "caption_input_ids": rng.integers(
-            0, VOCAB, (batch, TEXT_LEN)).astype(np.int64),
-        "caption_input_mask": np.ones((batch, TEXT_LEN), dtype=np.int64),
-        "caption_segment_ids": np.zeros((batch, TEXT_LEN), dtype=np.int64),
+            0, VOCAB, (batch, text_len)).astype(np.int64),
+        "caption_input_mask": np.ones((batch, text_len), dtype=np.int64),
+        "caption_segment_ids": np.zeros((batch, text_len), dtype=np.int64),
     }
 
 
-def build(config_model, batch_example):
+def build(config_model, batch_example, opt_params=None):
     import jax
 
     from antmmf_tpu.models.base_model import build_model
@@ -68,7 +68,9 @@ def build(config_model, batch_example):
     config = {
         "model_attributes": config_model,
         "optimizer_attributes": {
-            "type": "adam_w", "params": {"lr": 5e-5, "weight_decay": 0.01}},
+            "type": "adam_w",
+            "params": dict(opt_params or
+                           {"lr": 5e-5, "weight_decay": 0.01})},
         "training_parameters": {"clip_gradients": True,
                                 "max_grad_l2_norm": 1.0},
     }

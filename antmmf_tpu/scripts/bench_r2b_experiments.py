@@ -22,6 +22,7 @@ import json
 
 from antmmf_tpu.scripts.bench_r2_experiments import (
     RETRIEVAL,
+    build,
     flops_of,
     make_batch,
     timed_steps,
@@ -102,7 +103,10 @@ def run(tag, batch_size=32, fused_qkv=False, mu_dtype=None,
     try:
         host = make_batch(batch_size, 8, 224)
         cfg = {"univl_retrieval": dict(RETRIEVAL["univl_retrieval"])}
-        step, state, sharding, _ = _build_with_opts(cfg, host, mu_dtype)
+        opt = {"lr": 5e-5, "weight_decay": 0.01}
+        if mu_dtype is not None:
+            opt["mu_dtype"] = mu_dtype
+        step, state, sharding, _ = build(cfg, host, opt_params=opt)
         dbatch = jax.device_put(host, sharding)
         fl = flops_of(step, state, dbatch)
         dt, _ = timed_steps(step, state, dbatch)
@@ -121,50 +125,6 @@ def run(tag, batch_size=32, fused_qkv=False, mu_dtype=None,
             from antmmf_tpu.modules import attention as attn_mod
 
             attn_mod.FUSE_QKV_DEFAULT = False
-
-
-def _build_with_opts(config_model, batch_example, mu_dtype):
-    import jax
-
-    from antmmf_tpu.models.base_model import build_model
-    from antmmf_tpu.optimizer.build import build_optimizer
-    from antmmf_tpu.parallel.mesh import batch_spec, build_mesh
-    from antmmf_tpu.parallel.state_sharding import shard_state
-    from antmmf_tpu.trainers.train_state import TrainState
-
-    opt_params = {"lr": 5e-5, "weight_decay": 0.01}
-    if mu_dtype is not None:
-        opt_params["mu_dtype"] = mu_dtype
-    config = {
-        "model_attributes": config_model,
-        "optimizer_attributes": {"type": "adam_w", "params": opt_params},
-        "training_parameters": {"clip_gradients": True,
-                                "max_grad_l2_norm": 1.0},
-    }
-    mesh = build_mesh({"data": -1})
-    shell = build_model(config)
-    variables = shell.init(jax.random.PRNGKey(0), batch_example)
-    tx, _ = build_optimizer(variables["params"],
-                            config["optimizer_attributes"],
-                            config["training_parameters"])
-    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
-    state = shard_state(state, mesh)
-    sharding = jax.sharding.NamedSharding(mesh, batch_spec())
-
-    def train_step(state, batch):
-        def loss_of(p):
-            loss, (_, scalars) = shell.loss_fn(
-                {**state.variables, "params": p}, batch,
-                rngs={"dropout": jax.random.fold_in(state.rng, state.step)},
-                deterministic=False)
-            return loss, scalars
-
-        (loss, _), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(state.params)
-        return state.apply_gradients(grads, tx), loss
-
-    step = jax.jit(train_step, donate_argnums=(0,))
-    return step, state, sharding, mesh
 
 
 def main():

@@ -25,8 +25,7 @@ import time
 
 import numpy as np
 
-TEXT_LEN = 30
-VOCAB = 30522
+from antmmf_tpu.scripts.bench_r2_experiments import make_batch
 
 
 def percentiles(samples_ms):
@@ -77,15 +76,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     def batch_of(b):
-        return {
-            "image_data": rng.standard_normal(
-                (b, F, S, S, 3)).astype(np.float32),
-            "video_mask": np.ones((b, F), np.int64),
-            "caption_input_ids": rng.integers(
-                0, VOCAB, (b, TEXT_LEN)).astype(np.int64),
-            "caption_input_mask": np.ones((b, TEXT_LEN), np.int64),
-            "caption_segment_ids": np.zeros((b, TEXT_LEN), np.int64),
-        }
+        return make_batch(b, F, S, rng=rng)
 
     variables = model.init(jax.random.PRNGKey(0), batch_of(1))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(
