@@ -170,6 +170,10 @@ class TransformerEncoder(nn.Module):
                 from antmmf_tpu.modules.vision.token_merging import tome_merge
 
                 tome_size = jnp.ones(x.shape[:2], jnp.float32)
+                # proportional attention (ToMe §3): keys score + log(size)
+                # so a size-s merged token attracts attention like the s
+                # tokens it stands for; size 1 everywhere → bias 0
+                bias = jnp.log(tome_size)[:, None, None, :]
             # linearly scaled stochastic depth across layers
             importance = None
             for i in range(self.num_layers):
@@ -188,6 +192,7 @@ class TransformerEncoder(nn.Module):
                     if self.token_merge_r > 0 and i < self.num_layers - 1:
                         x, tome_size = tome_merge(
                             x, tome_size, self.token_merge_r)
+                        bias = jnp.log(tome_size)[:, None, None, :]
         if self.final_norm and self.norm_style == "pre":
             x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="final_norm")(x)
