@@ -50,6 +50,8 @@ def main(argv=None) -> None:
     p.add_argument("--input", default=None, help="JSON request file or '-'")
     p.add_argument("--batch", default=None, help="jsonl file of requests")
     p.add_argument("--no_ckpt", action="store_true")
+    p.add_argument("opts", nargs="*", default=[],
+                   help="dotted-path config overrides: key value [key value]")
     args = p.parse_args(argv)
 
     import antmmf_tpu.predictors  # registry side effects  # noqa: F401
@@ -57,6 +59,8 @@ def main(argv=None) -> None:
     from antmmf_tpu.common.registry import registry
 
     config = Configuration.from_file(args.config)
+    if args.opts:
+        config = config.override_with_opts(args.opts)
     pp = dict(config.get("predictor_parameters", {}) or {})
     if args.model_dir:
         pp["model_dir"] = args.model_dir

@@ -34,3 +34,30 @@ def test_cli_single_and_batch(tmp_path, capsys):
     lines = [json.loads(line) for line in
              capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 2
+
+
+def test_cli_serving_config_with_overrides(capsys):
+    """The shipped serving.yml runs through the CLI with tiny overrides."""
+    import json as _json
+
+    import numpy as np
+
+    from antmmf_tpu.predictors.cli import main
+
+    img = np.zeros((2, 32, 32, 3), np.float32).tolist()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        req = os.path.join(td, "r.json")
+        open(req, "w").write(_json.dumps(
+            {"caption": "a person cooks", "image_data": img}))
+        main(["--config", "projects/base_vtp/configs/serving.yml",
+              "--input", req, "--no_ckpt", "--predictor", "base_predictor",
+              "model_attributes.univl_retrieval.vit_preset", "vit_tiny_test",
+              "model_attributes.univl_retrieval.bert_preset",
+              "bert_tiny_test",
+              "model_attributes.univl_retrieval.image_size", "32",
+              "model_attributes.univl_retrieval.embed_dim", "32",
+              "model_attributes.univl_retrieval.dtype_str", "float32",
+              "model_attributes.univl_retrieval.token_merge_r", "1"])
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out
