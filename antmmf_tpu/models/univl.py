@@ -323,6 +323,16 @@ class UnivlForVideoTextRetrieval(BaseModel):
                 lambda: moco.init_queue(self.queue_size, self.embed_dim,
                                         random_init=self.with_momentum, seed=2))
 
+    def optimizer_lr_multipliers(self, tp):
+        """Reference per-model optimizer grouping (univl_video_ret.py:482-520
+        / univl_model.py:80-106): pretrained towers train at
+        ``encoder_lr_decay``×lr while new heads get full lr. Consumed by
+        BaseTrainer.load_optimizer; config lr_multipliers take precedence."""
+        decay = float(tp.get("encoder_lr_decay", 1.0) or 1.0)
+        if decay == 1.0:
+            return []
+        return [[r"base/(img_encoder|text_encoder)/", decay]]
+
     def encode_text(self, batch: Mapping, deterministic: bool = True):
         return self.base.forward_text_encoder(
             batch["caption_input_ids"], batch["caption_input_mask"],

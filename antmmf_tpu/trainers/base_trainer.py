@@ -132,9 +132,22 @@ class BaseTrainer:
         # base_trainer.py:445-465): module.custom_lr_schedule(tp) -> fn
         hook = getattr(self.shell.module, "custom_lr_schedule", None)
         custom = hook(self.tp) if callable(hook) else None
+        opt_cfg = dict(self.config.get("optimizer_attributes", {}) or {})
+        # model-supplied param grouping (reference get_optimizer_parameters,
+        # univl_video_ret.py:482-520 — e.g. pretrained towers at
+        # encoder_lr_decay×lr): module.optimizer_lr_multipliers(tp) ->
+        # [[path_regex, mult], ...]; config-provided rules take precedence
+        # (listed first — first match wins in make_lr_multiplier_mask)
+        grouping = getattr(self.shell.module, "optimizer_lr_multipliers", None)
+        if callable(grouping):
+            model_mults = [list(m) for m in (grouping(self.tp) or [])]
+            if model_mults:
+                opt_cfg["lr_multipliers"] = (
+                    [list(m) for m in (opt_cfg.get("lr_multipliers") or [])]
+                    + model_mults)
         self.tx, self.lr_schedule = build_optimizer(
             self._init_variables["params"],
-            self.config.get("optimizer_attributes", {}),
+            opt_cfg,
             self.tp,
             custom_schedule=custom,
         )

@@ -176,3 +176,24 @@ def test_custom_schedule_overrides_config():
     g = {"w": jnp.ones((4, 4), jnp.float32)}
     updates, _ = tx.update(g, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_model_optimizer_grouping_hook():
+    """encoder_lr_decay flows from the model hook into lr multipliers
+    (reference get_optimizer_parameters, univl_video_ret.py:482-520)."""
+    from antmmf_tpu.models.univl import UnivlForVideoTextRetrieval
+    from antmmf_tpu.optimizer.build import make_lr_multiplier_mask
+
+    m = UnivlForVideoTextRetrieval(vit_preset="vit_tiny_test",
+                                   bert_preset="bert_tiny_test")
+    assert m.optimizer_lr_multipliers({}) == []
+    rules = m.optimizer_lr_multipliers({"encoder_lr_decay": 0.1})
+    assert rules and rules[0][1] == 0.1
+
+    params = {"base": {"img_encoder": {"k": jnp.zeros(2)},
+                       "text_encoder": {"k": jnp.zeros(2)}},
+              "logit_scale": jnp.zeros(())}
+    mask = make_lr_multiplier_mask(params, rules)
+    assert float(mask["base"]["img_encoder"]["k"]) == 0.1
+    assert float(mask["base"]["text_encoder"]["k"]) == 0.1
+    assert float(mask["logit_scale"]) == 1.0
