@@ -288,6 +288,7 @@ class BaseTrainer:
             self.inference()
             return
         tp = self.tp
+        old_sigterm = self._install_preemption_handler()
         self.writer.write(f"Starting training: max_iterations={self.max_iterations}")
         self._profile_flops()
         timer = Timer()
@@ -314,6 +315,16 @@ class BaseTrainer:
                     self._capture_profile(sharded)
                 self.state, scalars = self._train_step(self.state, sharded)
 
+                if self._preempted:
+                    # graceful preemption (TPU-pod SIGTERM): persist state
+                    # and exit cleanly; `resume: true` continues from here
+                    self.checkpoint.save(self.state, iteration)
+                    self.checkpoint.finalize_writes()
+                    self.writer.write(
+                        f"preemption checkpoint saved @ iter {iteration}; "
+                        "exiting", "warning")
+                    self._restore_sigterm(old_sigterm)
+                    return
                 if iteration % self.log_interval == 0:
                     self._logistics_log(iteration, scalars, val_batch, timer)
                 if iteration % self.snapshot_interval == 0:
@@ -324,7 +335,37 @@ class BaseTrainer:
             if self.max_epochs is not None and epoch >= int(self.max_epochs):
                 break
 
+        self._restore_sigterm(old_sigterm)
         self.finalize(iteration)
+
+    def _install_preemption_handler(self):
+        """SIGTERM → checkpoint-and-exit at the next step boundary (the
+        graceful half of the reference launcher's terminate-survivors flow,
+        utils/launch.py:199-217; maintenance events and preemptible pods
+        deliver SIGTERM with a grace window). Main-thread only; disable
+        with ``checkpoint_on_preemption: false``."""
+        import signal
+        import threading
+
+        self._preempted = False
+        if not bool(self.tp.get("checkpoint_on_preemption", True)):
+            return None
+        if threading.current_thread() is not threading.main_thread():
+            return None
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        try:
+            return signal.signal(signal.SIGTERM, _on_term)
+        except (ValueError, OSError):  # non-main interpreter contexts
+            return None
+
+    def _restore_sigterm(self, old) -> None:
+        if old is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, old)
 
     def _capture_profile(self, sharded_batch) -> None:
         """One-step jax.profiler trace (reference's phase timers + CUDA-sync
