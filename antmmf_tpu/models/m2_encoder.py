@@ -66,13 +66,17 @@ class MultiwayBlock(nn.Module):
     moe_num_experts: int = 8
     layerscale_init: float = 0.0  # 0 disables LayerScale
     dropout: float = 0.0
+    layer_norm_eps: float = 1e-5  # reference VLMo uses 1e-6
+    ffn_activation: str = "gelu"  # VLMo torch nn.GELU = "gelu_exact"
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
     def _ffn(self, x: jnp.ndarray, expert: int,
              deterministic: bool) -> jnp.ndarray:
-        h = LayerNorm(dtype=self.dtype, name=f"norm2_expert_{expert}")(x)
+        h = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                      name=f"norm2_expert_{expert}")(x)
         return Mlp(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                   activation=self.ffn_activation,
                    dropout=self.dropout, dtype=self.dtype,
                    name=f"ffn_expert_{expert}")(h, deterministic=deterministic)
 
@@ -95,7 +99,8 @@ class MultiwayBlock(nn.Module):
         else:
             g1 = g2 = None
 
-        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                      name="norm1")(x)
         att = MultiHeadAttention(
             num_heads=self.num_heads, dropout=self.dropout,
             use_pallas=self.use_pallas, dtype=self.dtype, name="attention",
@@ -139,6 +144,8 @@ class MultiwayTransformer(nn.Module):
     vlffn_start_layer: int = -1
     layerscale_init: float = 0.0
     dropout: float = 0.0
+    layer_norm_eps: float = 1e-5
+    ffn_activation: str = "gelu"
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -156,11 +163,14 @@ class MultiwayTransformer(nn.Module):
                 moe=(i in self.moe_layers),
                 moe_num_experts=self.moe_num_experts,
                 layerscale_init=self.layerscale_init, dropout=self.dropout,
+                layer_norm_eps=self.layer_norm_eps,
+                ffn_activation=self.ffn_activation,
                 use_pallas=self.use_pallas, dtype=self.dtype, name=f"block_{i}",
             )(x, modality, bias, deterministic, text_len)
             for k, v in aux.items():
                 aux_total[k] = aux_total.get(k, 0.0) + v
-        x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                      name="final_norm")(x)
         return x, aux_total
 
 

@@ -303,3 +303,56 @@ def univl_ref_pretrain_state_dict_to_params(
         _set(p, "itm_cls/kernel", T(sd["itm_head.cls.seq_relationship.weight"]))
         _set(p, "itm_cls/bias", sd["itm_head.cls.seq_relationship.bias"])
     return p
+
+
+def vlmo_multiway_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], depth: int, prefix: str = "",
+) -> Dict[str, Any]:
+    """Reference VLMo ``MultiWayTransformer`` block stack → our
+    ``MultiwayTransformer`` params (models/m2_encoder.py).
+
+    Mapping (reference prj/M2_Encoder/vlmo/modules/multiway_transformer.py):
+    fused ``attn.qkv.weight`` [3C, C] splits into q/k/v kernels (k bias is
+    zero by construction — Attention.forward:88-91); per-modality FFNs
+    ``mlp_imag/mlp_text/mlp_vl`` map to ``ffn_expert_{0,1,2}`` with their
+    ``norm2_*`` partners; LayerScale ``gamma_1/gamma_2`` pass through;
+    final ``norm`` → ``final_norm``.
+    """
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    def ln(dst: str, src: str) -> None:
+        _set(p, f"{dst}/LayerNorm_0/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/LayerNorm_0/bias", sd[f"{src}.bias"])
+
+    expert_of = {"imag": 0, "text": 1, "vl": 2}
+    p: Dict[str, Any] = {}
+    for i in range(depth):
+        b, dst = f"{prefix}blocks.{i}", f"block_{i}"
+        ln(f"{dst}/norm1", f"{b}.norm1")
+        qkv = np.asarray(sd[f"{b}.attn.qkv.weight"])  # [3C, C]
+        C = qkv.shape[1]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(p, f"{dst}/attention/{name}/kernel", T(qkv[j * C:(j + 1) * C]))
+        zeros = np.zeros((C,), np.float32)
+        _set(p, f"{dst}/attention/q_proj/bias",
+             np.asarray(sd.get(f"{b}.attn.q_bias", zeros)))
+        _set(p, f"{dst}/attention/k_proj/bias", zeros)
+        _set(p, f"{dst}/attention/v_proj/bias",
+             np.asarray(sd.get(f"{b}.attn.v_bias", zeros)))
+        _set(p, f"{dst}/attention/out_proj/kernel", T(sd[f"{b}.attn.proj.weight"]))
+        _set(p, f"{dst}/attention/out_proj/bias", sd[f"{b}.attn.proj.bias"])
+        for mod, ex in expert_of.items():
+            if f"{b}.mlp_{mod}.fc1.weight" not in sd:
+                continue
+            ln(f"{dst}/norm2_expert_{ex}", f"{b}.norm2_{mod}")
+            _set(p, f"{dst}/ffn_expert_{ex}/fc1/kernel", T(sd[f"{b}.mlp_{mod}.fc1.weight"]))
+            _set(p, f"{dst}/ffn_expert_{ex}/fc1/bias", sd[f"{b}.mlp_{mod}.fc1.bias"])
+            _set(p, f"{dst}/ffn_expert_{ex}/fc2/kernel", T(sd[f"{b}.mlp_{mod}.fc2.weight"]))
+            _set(p, f"{dst}/ffn_expert_{ex}/fc2/bias", sd[f"{b}.mlp_{mod}.fc2.bias"])
+        for g in ("gamma_1", "gamma_2"):
+            if f"{b}.{g}" in sd:
+                _set(p, f"{dst}/{g}", sd[f"{b}.{g}"])
+    ln("final_norm", f"{prefix}norm")
+    return p

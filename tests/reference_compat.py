@@ -296,3 +296,44 @@ def build_ref_pretrain_model(seed: int = 0):
     model = mod.UnivlForVideoPretraining(make_ref_pretrain_config())
     model.eval()
     return model
+
+
+def load_vlmo_multiway():
+    """Import the reference VLMo MultiWayTransformer
+    (prj/M2_Encoder/vlmo/modules/multiway_transformer.py) with its three
+    absent deps stubbed (timm layers, timm registry, lightning log fn)."""
+    import importlib.util
+
+    import torch
+    import torch.nn as nn
+
+    if "timm.models.layers" not in sys.modules:
+        class _DropPath(nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):  # eval-time identity (parity runs eval)
+                return x
+
+        def _to_2tuple(v):
+            return v if isinstance(v, tuple) else (v, v)
+
+        _mod("timm")
+        _mod("timm.models")
+        _mod("timm.models.layers", DropPath=_DropPath, to_2tuple=_to_2tuple,
+             trunc_normal_=torch.nn.init.trunc_normal_)
+        _mod("timm.models.registry", register_model=lambda fn: fn)
+    if "pytorch_lightning.utilities.distributed" not in sys.modules:
+        _mod("pytorch_lightning")
+        _mod("pytorch_lightning.utilities")
+        _mod("pytorch_lightning.utilities.distributed",
+             rank_zero_info=lambda *a, **k: None)
+
+    path = os.path.join(REFERENCE_ROOT,
+                        "prj/M2_Encoder/vlmo/modules/multiway_transformer.py")
+    spec = importlib.util.spec_from_file_location("ref_vlmo_multiway", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vlmo_multiway"] = mod
+    spec.loader.exec_module(mod)
+    return mod
