@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -39,37 +40,63 @@ def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jnp.ndarray:
                             / head_dim))
 
 
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
 def apply_rope(
     x: jnp.ndarray,  # [B, H, L, D]
     positions: jnp.ndarray,  # int[B, L] or float
     theta: float = 10000.0,
 ) -> jnp.ndarray:
+    """Rotary embedding in the LLaMA/HF rotate-half convention (channel j
+    pairs with j+D/2) — exact weight compatibility with reference
+    checkpoints (modeling_llama_3d.py:191-240)."""
     D = x.shape[-1]
-    freqs = rope_frequencies(D, theta)  # [D/2]
-    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B,1,L,D/2]
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
-    x1, x2 = x[..., 0::2].astype(jnp.float32), x[..., 1::2].astype(jnp.float32)
-    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.reshape(x.shape).astype(x.dtype)
+    inv = rope_frequencies(D, theta)  # [D/2]
+    freqs = positions[:, :, None].astype(jnp.float32) * inv  # [B, L, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+
+def mrope_sections(half: int) -> tuple:
+    """Default temporal/height/width frequency split — the Qwen2-VL ratio
+    (16/24/24 of 64): h = w = round(3·half/8), t = the remainder."""
+    hw = max(1, round(3 * half / 8))
+    return (half - 2 * hw, hw, hw)
 
 
 def apply_rope_3d(
     x: jnp.ndarray,  # [B, H, L, D]
     positions: jnp.ndarray,  # int[B, L, 3] — (t, h, w); text rows use (p, p, p)
     theta: float = 10000.0,
+    sections: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """3D rotary embedding: head dim split into thirds, one rotation stream per
-    coordinate axis (modeling_llama_3d.py scheme)."""
+    """Multimodal 3D rotary embedding — the EXACT reference scheme
+    (modeling_llama_3d.py:197-240 `apply_rotary_pos_emb` + Qwen2-VL mrope):
+    one inv_freq table over the full head dim; the D/2 frequency channels
+    split into ``sections`` bands whose angles come from the temporal /
+    height / width position streams respectively (band i ← axis i mod 3);
+    rotate-half application as in 1D."""
     D = x.shape[-1]
-    third = D // 3 // 2 * 2  # even split per axis
-    parts = []
-    offset = 0
-    for axis in range(3):
-        width = third if axis < 2 else D - 2 * third
-        seg = x[..., offset:offset + width]
-        parts.append(apply_rope(seg, positions[..., axis], theta))
-        offset += width
-    return jnp.concatenate(parts, axis=-1)
+    half = D // 2
+    sections = tuple(sections) if sections else mrope_sections(half)
+    assert sum(sections) == half, (sections, half)
+    inv = rope_frequencies(D, theta)  # [half]
+    # per-axis angles [3, B, L, half]
+    fa = jnp.stack([positions[..., a][:, :, None].astype(jnp.float32) * inv
+                    for a in range(3)])
+    axis_idx = np.concatenate([np.full(s, i % 3) for i, s in
+                               enumerate(sections)])  # [half], static
+    onehot = jax.nn.one_hot(axis_idx, 3, dtype=jnp.float32).T  # [3, half]
+    freqs = (fa * onehot[:, None, None, :]).sum(axis=0)  # [B, L, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
 
 
 class GQAttention(nn.Module):

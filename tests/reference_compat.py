@@ -337,3 +337,21 @@ def load_vlmo_multiway():
     sys.modules["ref_vlmo_multiway"] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_m2omni_models():
+    """Import the reference M2-omni ``models`` package (HF-remote-code style,
+    relative imports → loaded as an aliased package)."""
+    import importlib
+    import importlib.util
+
+    if "ref_m2omni_models" in sys.modules:
+        return sys.modules["ref_m2omni_models"]
+    d = os.path.join(REFERENCE_ROOT, "prj/M2_omni/models")
+    spec = importlib.util.spec_from_file_location(
+        "ref_m2omni_models", os.path.join(d, "__init__.py"),
+        submodule_search_locations=[d])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["ref_m2omni_models"] = pkg
+    spec.loader.exec_module(pkg)
+    return pkg
