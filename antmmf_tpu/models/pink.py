@@ -22,6 +22,7 @@ from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.models.m2_omni import LM_PRESETS
 from antmmf_tpu.modules.llm import DecoderLM
 from antmmf_tpu.modules.lora import LoRADense
+from antmmf_tpu.modules.vision.eva_vit import EVA_PRESETS, EvaVisionTransformer
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
 
 Dtype = Any
@@ -30,7 +31,12 @@ Dtype = Any
 @registry.register_model("pink")
 class PinkModel(BaseModel):
     lm_preset: str = "omni_1b"
+    # visual tower family: "vit" (CLIP-style) or "eva" (the reference Pink
+    # tower — EVA-CLIP-g, create_eva_vit_g; weights import via
+    # eva_vit_state_dict_to_params, parity in tests/test_eva_parity.py)
+    visual_tower: str = "vit"
     vit_preset: str = "vit_base_patch32"
+    eva_preset: str = "eva_vit_g"
     image_size: int = 224
     lora_rank: int = 8
     # reference recipe: LoRA adapters ON the decoder q/v projections with the
@@ -51,9 +57,14 @@ class PinkModel(BaseModel):
             num_kv_heads=p["num_kv_heads"], rope_3d=False,
             lora_rank=self.lora_rank if self.lora_decoder else 0,
             lora_freeze_base=self.lora_freeze_base, dtype=dtype)
-        self.vision_tower = VisionTransformer(
-            image_size=self.image_size, dtype=dtype,
-            **dict(VIT_PRESETS[self.vit_preset]))
+        if self.visual_tower == "eva":
+            self.vision_tower = EvaVisionTransformer(
+                image_size=self.image_size, dtype=dtype,
+                **dict(EVA_PRESETS[self.eva_preset]))
+        else:
+            self.vision_tower = VisionTransformer(
+                image_size=self.image_size, dtype=dtype,
+                **dict(VIT_PRESETS[self.vit_preset]))
         # adapter path: LoRA projection from vision space into the LM
         self.vision_proj = LoRADense(self.hidden, rank=self.lora_rank,
                                      freeze_base=False, dtype=dtype)
@@ -72,7 +83,9 @@ class PinkModel(BaseModel):
         if img is not None:
             if img.ndim == 5:
                 img = img[:, 0]
-            seq = self.vision_tower(img, deterministic=deterministic)["sequence"]
+            seq = self.vision_tower(img, deterministic=deterministic)
+            if isinstance(seq, dict):  # CLIP-style tower returns a dict
+                seq = seq["sequence"]
             vtok = self.vision_proj(seq[:, 1:])
             segments.append(vtok)
             masks.append(jnp.ones(vtok.shape[:2], jnp.int32))

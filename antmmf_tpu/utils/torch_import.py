@@ -356,3 +356,51 @@ def vlmo_multiway_state_dict_to_params(
                 _set(p, f"{dst}/{g}", sd[f"{b}.{g}"])
     ln("final_norm", f"{prefix}norm")
     return p
+
+
+def eva_vit_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], depth: int, prefix: str = "",
+) -> Dict[str, Any]:
+    """Reference Pink EVA-ViT (``pink/model/eva_vit.py`` VisionTransformer)
+    → our ``EvaVisionTransformer`` params. Fused ``attn.qkv.weight``
+    [3C, C] splits into q/k/v kernels; ``q_bias``/``v_bias`` import with a
+    zero k bias (Attention.forward:129-134); patch conv transposes
+    [C,3,p,p] → [p,p,3,C]."""
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    def ln(dst: str, src: str) -> None:
+        _set(p, f"{dst}/LayerNorm_0/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/LayerNorm_0/bias", sd[f"{src}.bias"])
+
+    p: Dict[str, Any] = {}
+    conv = np.asarray(sd[f"{prefix}patch_embed.proj.weight"])
+    _set(p, "patch_embed/kernel",
+         np.ascontiguousarray(np.transpose(conv, (2, 3, 1, 0))))
+    _set(p, "patch_embed/bias", sd[f"{prefix}patch_embed.proj.bias"])
+    _set(p, "cls_token", sd[f"{prefix}cls_token"])
+    _set(p, "pos_embed", sd[f"{prefix}pos_embed"])
+    for i in range(depth):
+        b, dst = f"{prefix}blocks.{i}", f"layer_{i}"
+        ln(f"{dst}/norm1", f"{b}.norm1")
+        ln(f"{dst}/norm2", f"{b}.norm2")
+        qkv = np.asarray(sd[f"{b}.attn.qkv.weight"])
+        C = qkv.shape[1]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set(p, f"{dst}/attention/{name}/kernel",
+                 T(qkv[j * C:(j + 1) * C]))
+        zeros = np.zeros((C,), np.float32)
+        _set(p, f"{dst}/attention/q_proj/bias",
+             np.asarray(sd.get(f"{b}.attn.q_bias", zeros)))
+        _set(p, f"{dst}/attention/k_proj/bias", zeros)
+        _set(p, f"{dst}/attention/v_proj/bias",
+             np.asarray(sd.get(f"{b}.attn.v_bias", zeros)))
+        _set(p, f"{dst}/attention/out_proj/kernel",
+             T(sd[f"{b}.attn.proj.weight"]))
+        _set(p, f"{dst}/attention/out_proj/bias", sd[f"{b}.attn.proj.bias"])
+        _set(p, f"{dst}/mlp/fc1/kernel", T(sd[f"{b}.mlp.fc1.weight"]))
+        _set(p, f"{dst}/mlp/fc1/bias", sd[f"{b}.mlp.fc1.bias"])
+        _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{b}.mlp.fc2.weight"]))
+        _set(p, f"{dst}/mlp/fc2/bias", sd[f"{b}.mlp.fc2.bias"])
+    return p

@@ -322,6 +322,7 @@ def load_vlmo_multiway():
         _mod("timm")
         _mod("timm.models")
         _mod("timm.models.layers", DropPath=_DropPath, to_2tuple=_to_2tuple,
+             drop_path=lambda x, *a, **k: x,  # eval-time identity
              trunc_normal_=torch.nn.init.trunc_normal_)
         _mod("timm.models.registry", register_model=lambda fn: fn)
     if "pytorch_lightning.utilities.distributed" not in sys.modules:
@@ -355,3 +356,17 @@ def load_m2omni_models():
     sys.modules["ref_m2omni_models"] = pkg
     spec.loader.exec_module(pkg)
     return pkg
+
+
+def load_pink_eva_vit():
+    """Import the reference Pink EVA-ViT (pink/model/eva_vit.py) with the
+    timm stubs from load_vlmo_multiway (shared)."""
+    import importlib.util
+
+    load_vlmo_multiway()  # installs the timm/lightning stubs
+    path = os.path.join(REFERENCE_ROOT, "prj/Pink/pink/model/eva_vit.py")
+    spec = importlib.util.spec_from_file_location("ref_pink_eva", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_pink_eva"] = mod
+    spec.loader.exec_module(mod)
+    return mod
