@@ -29,7 +29,7 @@ import shutil
 import numpy as np
 
 ARCHS = ("bert", "clip_vit", "hf_clip_vision", "pvt_v2",
-         "univl_retrieval", "univl_pretrain", "vlmo_multiway")
+         "univl_retrieval", "univl_pretrain", "vlmo_multiway", "eva_vit")
 
 
 def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
@@ -52,6 +52,8 @@ def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
     elif arch == "univl_pretrain":
         params = ti.univl_ref_pretrain_state_dict_to_params(
             sd, bert_layers, pvt_preset)
+    elif arch == "eva_vit":
+        params = ti.eva_vit_state_dict_to_params(sd, vit_layers)
     elif arch == "vlmo_multiway":
         # M2-Encoder/VLMo checkpoints prefix the stack with "transformer."
         prefix = "transformer." if any(
