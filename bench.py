@@ -124,10 +124,15 @@ def main() -> None:
 
     extras = {
         # measured this round on the same chip/configs unless BENCH_FULL=1
-        # re-measures them live (antmmf_tpu/scripts/bench_r2_experiments.py)
+        # re-measures them live (antmmf_tpu/scripts/bench_r2_experiments.py,
+        # bench_corpus_eval.py, bench_serving.py — see BASELINE.md)
         "pretrain_mlm_itm_vtc_clips_per_sec": 260.9,
         "retrieval_cross_mined_k4_clips_per_sec": 188.9,
-        "achieved_tflops_per_sec": 84.3,
+        "achieved_tflops_per_sec": 86.9,
+        "msrvtt_scale_corpus_eval_seconds": 9.0,
+        "serving_text_query_p50_ms": 30.4,
+        "serving_encode_b32_clips_per_sec": 503.6,
+        "serving_encode_b32_tome_r8_clips_per_sec": 591.3,
         "source": "BASELINE.md round-2 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):
