@@ -110,7 +110,8 @@ class MultiwayBlock(nn.Module):
         x = x + att
 
         if self.moe:
-            h = LayerNorm(dtype=self.dtype, name="norm2_moe")(x)
+            h = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                          name="norm2_moe")(x)
             out, aux = MoELayer(
                 num_experts=self.moe_num_experts,
                 hidden_dim=int(C * self.mlp_ratio),
@@ -198,6 +199,11 @@ class M2Encoder(BaseModel):
     vlffn_start_layer: int = -1
     layerscale_init: float = 0.0
     dropout: float = 0.0
+    # reference VLMo numerics: eps 1e-6, torch nn.GELU (exact erf) — set
+    # these when loading converted vlmo_multiway checkpoints
+    # (tests/test_vlmo_parity.py proves the stack matches with them)
+    layer_norm_eps: float = 1e-5
+    ffn_activation: str = "gelu"
     use_pallas: bool = True
     dtype_str: str = "bfloat16"
 
@@ -218,6 +224,8 @@ class M2Encoder(BaseModel):
             num_ffn_experts=3 if self.with_itm else 2,
             vlffn_start_layer=self.vlffn_start_layer,
             layerscale_init=self.layerscale_init, dropout=self.dropout,
+            layer_norm_eps=self.layer_norm_eps,
+            ffn_activation=self.ffn_activation,
             use_pallas=self.use_pallas, dtype=dtype)
         self.image_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         self.text_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)

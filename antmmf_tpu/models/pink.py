@@ -57,6 +57,10 @@ class PinkModel(BaseModel):
             num_kv_heads=p["num_kv_heads"], rope_3d=False,
             lora_rank=self.lora_rank if self.lora_decoder else 0,
             lora_freeze_base=self.lora_freeze_base, dtype=dtype)
+        if self.visual_tower not in ("vit", "eva"):
+            raise ValueError(
+                f"visual_tower must be 'vit' or 'eva', got "
+                f"{self.visual_tower!r}")
         if self.visual_tower == "eva":
             self.vision_tower = EvaVisionTransformer(
                 image_size=self.image_size, dtype=dtype,

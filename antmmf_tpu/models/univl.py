@@ -323,12 +323,21 @@ class UnivlForVideoTextRetrieval(BaseModel):
                 lambda: moco.init_queue(self.queue_size, self.embed_dim,
                                         random_init=self.with_momentum, seed=2))
 
+    # reference reads encoder_lr_decay from the MODEL config with default
+    # 0.01 (univl_video_ret.py:482-520). Here the model field wins; the
+    # training_parameters key is an alias; the default is OFF (1.0) so
+    # from-scratch fixture configs keep full-lr towers — reference recipes
+    # set model_attributes.<model>.encoder_lr_decay: 0.01 explicitly.
+    encoder_lr_decay: float = 1.0
+
     def optimizer_lr_multipliers(self, tp):
         """Reference per-model optimizer grouping (univl_video_ret.py:482-520
         / univl_model.py:80-106): pretrained towers train at
         ``encoder_lr_decay``×lr while new heads get full lr. Consumed by
         BaseTrainer.load_optimizer; config lr_multipliers take precedence."""
-        decay = float(tp.get("encoder_lr_decay", 1.0) or 1.0)
+        decay = float(self.encoder_lr_decay
+                      if self.encoder_lr_decay != 1.0
+                      else tp.get("encoder_lr_decay", 1.0) or 1.0)
         if decay == 1.0:
             return []
         return [[r"base/(img_encoder|text_encoder)/", decay]]

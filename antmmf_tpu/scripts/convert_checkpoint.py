@@ -53,13 +53,15 @@ def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
         params = ti.univl_ref_pretrain_state_dict_to_params(
             sd, bert_layers, pvt_preset)
     elif arch == "eva_vit":
-        params = ti.eva_vit_state_dict_to_params(sd, vit_layers)
+        # depth inferred from the state dict (eva_vit_g has 39 blocks;
+        # never trust a default layer count for block-stack arches)
+        params = ti.eva_vit_state_dict_to_params(sd, depth=None)
     elif arch == "vlmo_multiway":
         # M2-Encoder/VLMo checkpoints prefix the stack with "transformer."
         prefix = "transformer." if any(
             k.startswith("transformer.blocks.") for k in sd) else ""
         params = ti.vlmo_multiway_state_dict_to_params(
-            sd, vit_layers, prefix=prefix)
+            sd, depth=None, prefix=prefix)
     else:
         raise SystemExit(f"--arch must be one of {ARCHS}")
 

@@ -289,53 +289,56 @@ class BaseTrainer:
             return
         tp = self.tp
         old_sigterm = self._install_preemption_handler()
-        self.writer.write(f"Starting training: max_iterations={self.max_iterations}")
-        self._profile_flops()
-        timer = Timer()
-        iteration = int(self.state.step)
-        epoch = 0
-        should_stop = False
-        val_batch = self._first_val_batch()
+        try:
+            self.writer.write(
+                f"Starting training: max_iterations={self.max_iterations}")
+            self._profile_flops()
+            timer = Timer()
+            iteration = int(self.state.step)
+            epoch = 0
+            should_stop = False
+            val_batch = self._first_val_batch()
 
-        while iteration < self.max_iterations and not should_stop:
-            self.task_loader.seed_sampler("train", epoch)
-            train_loaders = self.task_loader.get_loaders("train")
-            if not train_loaders:
-                raise RuntimeError("run_type includes train but no train datasets")
-            from antmmf_tpu.datasets.loader import prefetch_to_device
+            while iteration < self.max_iterations and not should_stop:
+                self.task_loader.seed_sampler("train", epoch)
+                train_loaders = self.task_loader.get_loaders("train")
+                if not train_loaders:
+                    raise RuntimeError(
+                        "run_type includes train but no train datasets")
+                from antmmf_tpu.datasets.loader import prefetch_to_device
 
-            batches = (b for b in itertools.chain(*train_loaders)
-                       if b.get_batch_size() > 0)
-            profile_at = int(self.tp.get("profile_at_iteration", 0) or 0)
-            for sharded in prefetch_to_device(batches, self._shard_batch):
-                iteration += 1
-                if iteration > self.max_iterations:
-                    break
-                if profile_at and iteration == profile_at:
-                    self._capture_profile(sharded)
-                self.state, scalars = self._train_step(self.state, sharded)
-
-                if self._preempted:
-                    # graceful preemption (TPU-pod SIGTERM): persist state
-                    # and exit cleanly; `resume: true` continues from here
-                    self.checkpoint.save(self.state, iteration)
-                    self.checkpoint.finalize_writes()
-                    self.writer.write(
-                        f"preemption checkpoint saved @ iter {iteration}; "
-                        "exiting", "warning")
-                    self._restore_sigterm(old_sigterm)
-                    return
-                if iteration % self.log_interval == 0:
-                    self._logistics_log(iteration, scalars, val_batch, timer)
-                if iteration % self.snapshot_interval == 0:
-                    should_stop = self._try_full_validation(iteration)
-                    if should_stop:
+                batches = (b for b in itertools.chain(*train_loaders)
+                           if b.get_batch_size() > 0)
+                profile_at = int(self.tp.get("profile_at_iteration", 0) or 0)
+                for sharded in prefetch_to_device(batches, self._shard_batch):
+                    iteration += 1
+                    if iteration > self.max_iterations:
                         break
-            epoch += 1
-            if self.max_epochs is not None and epoch >= int(self.max_epochs):
-                break
+                    if profile_at and iteration == profile_at:
+                        self._capture_profile(sharded)
+                    self.state, scalars = self._train_step(self.state, sharded)
 
-        self._restore_sigterm(old_sigterm)
+                    if self._preempted:
+                        # graceful preemption (TPU-pod SIGTERM): persist
+                        # state, exit cleanly; `resume: true` continues here
+                        self.checkpoint.save(self.state, iteration)
+                        self.checkpoint.finalize_writes()
+                        self.writer.write(
+                            f"preemption checkpoint saved @ iter {iteration};"
+                            " exiting", "warning")
+                        return
+                    if iteration % self.log_interval == 0:
+                        self._logistics_log(iteration, scalars, val_batch,
+                                            timer)
+                    if iteration % self.snapshot_interval == 0:
+                        should_stop = self._try_full_validation(iteration)
+                        if should_stop:
+                            break
+                epoch += 1
+                if self.max_epochs is not None and epoch >= int(self.max_epochs):
+                    break
+        finally:
+            self._restore_sigterm(old_sigterm)
         self.finalize(iteration)
 
     def _install_preemption_handler(self):
@@ -348,6 +351,7 @@ class BaseTrainer:
         import threading
 
         self._preempted = False
+        self._sigterm_installed = False
         if not bool(self.tp.get("checkpoint_on_preemption", True)):
             return None
         if threading.current_thread() is not threading.main_thread():
@@ -357,15 +361,21 @@ class BaseTrainer:
             self._preempted = True
 
         try:
-            return signal.signal(signal.SIGTERM, _on_term)
+            old = signal.signal(signal.SIGTERM, _on_term)
         except (ValueError, OSError):  # non-main interpreter contexts
             return None
+        self._sigterm_installed = True
+        return old
 
     def _restore_sigterm(self, old) -> None:
-        if old is not None:
+        if getattr(self, "_sigterm_installed", False):
             import signal
 
-            signal.signal(signal.SIGTERM, old)
+            # signal.signal returns None when the previous handler was set
+            # outside Python — restore the OS default in that case
+            signal.signal(signal.SIGTERM, old if old is not None
+                          else signal.SIG_DFL)
+            self._sigterm_installed = False
 
     def _capture_profile(self, sharded_batch) -> None:
         """One-step jax.profiler trace (reference's phase timers + CUDA-sync

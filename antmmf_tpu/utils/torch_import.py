@@ -305,8 +305,17 @@ def univl_ref_pretrain_state_dict_to_params(
     return p
 
 
+def _infer_block_depth(sd: Mapping[str, np.ndarray], prefix: str) -> int:
+    idx = [int(k[len(prefix) + 7:].split(".")[0]) for k in sd
+           if k.startswith(f"{prefix}blocks.")]
+    if not idx:
+        raise KeyError(f"no '{prefix}blocks.*' keys in state dict")
+    return max(idx) + 1
+
+
 def vlmo_multiway_state_dict_to_params(
-    sd: Mapping[str, np.ndarray], depth: int, prefix: str = "",
+    sd: Mapping[str, np.ndarray], depth: Optional[int] = None,
+    prefix: str = "",
 ) -> Dict[str, Any]:
     """Reference VLMo ``MultiWayTransformer`` block stack → our
     ``MultiwayTransformer`` params (models/m2_encoder.py).
@@ -326,6 +335,8 @@ def vlmo_multiway_state_dict_to_params(
         _set(p, f"{dst}/LayerNorm_0/scale", sd[f"{src}.weight"])
         _set(p, f"{dst}/LayerNorm_0/bias", sd[f"{src}.bias"])
 
+    if depth is None:
+        depth = _infer_block_depth(sd, prefix)
     expert_of = {"imag": 0, "text": 1, "vl": 2}
     p: Dict[str, Any] = {}
     for i in range(depth):
@@ -359,7 +370,8 @@ def vlmo_multiway_state_dict_to_params(
 
 
 def eva_vit_state_dict_to_params(
-    sd: Mapping[str, np.ndarray], depth: int, prefix: str = "",
+    sd: Mapping[str, np.ndarray], depth: Optional[int] = None,
+    prefix: str = "",
 ) -> Dict[str, Any]:
     """Reference Pink EVA-ViT (``pink/model/eva_vit.py`` VisionTransformer)
     → our ``EvaVisionTransformer`` params. Fused ``attn.qkv.weight``
@@ -374,6 +386,8 @@ def eva_vit_state_dict_to_params(
         _set(p, f"{dst}/LayerNorm_0/scale", sd[f"{src}.weight"])
         _set(p, f"{dst}/LayerNorm_0/bias", sd[f"{src}.bias"])
 
+    if depth is None:
+        depth = _infer_block_depth(sd, prefix)
     p: Dict[str, Any] = {}
     conv = np.asarray(sd[f"{prefix}patch_embed.proj.weight"])
     _set(p, "patch_embed/kernel",
