@@ -307,24 +307,25 @@ def load_vlmo_multiway():
     import torch
     import torch.nn as nn
 
-    if "timm.models.layers" not in sys.modules:
-        class _DropPath(nn.Module):
-            def __init__(self, drop_prob=0.0):
-                super().__init__()
-                self.drop_prob = drop_prob
+    class _DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
 
-            def forward(self, x):  # eval-time identity (parity runs eval)
-                return x
+        def forward(self, x):  # eval-time identity (parity runs eval)
+            return x
 
-        def _to_2tuple(v):
-            return v if isinstance(v, tuple) else (v, v)
+    def _to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
 
-        _mod("timm")
-        _mod("timm.models")
-        _mod("timm.models.layers", DropPath=_DropPath, to_2tuple=_to_2tuple,
-             drop_path=lambda x, *a, **k: x,  # eval-time identity
-             trunc_normal_=torch.nn.init.trunc_normal_)
-        _mod("timm.models.registry", register_model=lambda fn: fn)
+    # install_stubs() may already have placed a BARE timm.models.layers —
+    # always (re)install with the symbols the reference files import
+    _mod("timm")
+    _mod("timm.models")
+    _mod("timm.models.layers", DropPath=_DropPath, to_2tuple=_to_2tuple,
+         drop_path=lambda x, *a, **k: x,  # eval-time identity
+         trunc_normal_=torch.nn.init.trunc_normal_)
+    _mod("timm.models.registry", register_model=lambda fn: fn)
     if "pytorch_lightning.utilities.distributed" not in sys.modules:
         _mod("pytorch_lightning")
         _mod("pytorch_lightning.utilities")
