@@ -369,15 +369,37 @@ def vlmo_multiway_state_dict_to_params(
     return p
 
 
+def interpolate_grid_pos_embed(pos: np.ndarray, target_tokens: int,
+                               num_extra: int = 1) -> np.ndarray:
+    """Resize a [1, extra+G², C] abs pos table to ``target_tokens`` total
+    tokens by bilinear grid interpolation (the reference's
+    ``interpolate_pos_embed``, eva_vit.py:382-403, with jax.image.resize
+    in place of torch bicubic); extra (cls) rows pass through."""
+    pos = np.asarray(pos)
+    if pos.shape[1] == target_tokens:
+        return pos
+    import jax
+
+    extra, grid = pos[:, :num_extra], pos[:, num_extra:]
+    orig = int(round(grid.shape[1] ** 0.5))
+    new = int(round((target_tokens - num_extra) ** 0.5))
+    g = grid.reshape(1, orig, orig, -1)
+    g = np.asarray(jax.image.resize(
+        g, (1, new, new, g.shape[-1]), method="bilinear"))
+    return np.concatenate([extra, g.reshape(1, new * new, -1)], axis=1)
+
+
 def eva_vit_state_dict_to_params(
     sd: Mapping[str, np.ndarray], depth: Optional[int] = None,
-    prefix: str = "",
+    prefix: str = "", target_tokens: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Reference Pink EVA-ViT (``pink/model/eva_vit.py`` VisionTransformer)
     → our ``EvaVisionTransformer`` params. Fused ``attn.qkv.weight``
     [3C, C] splits into q/k/v kernels; ``q_bias``/``v_bias`` import with a
     zero k bias (Attention.forward:129-134); patch conv transposes
-    [C,3,p,p] → [p,p,3,C]."""
+    [C,3,p,p] → [p,p,3,C]. ``target_tokens`` (1 + grid²) resizes the abs
+    pos table for a different image size (reference interpolate_pos_embed,
+    eva_vit.py:382-403)."""
 
     def T(v):
         return np.ascontiguousarray(np.asarray(v).T)
@@ -394,7 +416,10 @@ def eva_vit_state_dict_to_params(
          np.ascontiguousarray(np.transpose(conv, (2, 3, 1, 0))))
     _set(p, "patch_embed/bias", sd[f"{prefix}patch_embed.proj.bias"])
     _set(p, "cls_token", sd[f"{prefix}cls_token"])
-    _set(p, "pos_embed", sd[f"{prefix}pos_embed"])
+    pos = np.asarray(sd[f"{prefix}pos_embed"])
+    if target_tokens is not None:
+        pos = interpolate_grid_pos_embed(pos, target_tokens)
+    _set(p, "pos_embed", pos)
     for i in range(depth):
         b, dst = f"{prefix}blocks.{i}", f"layer_{i}"
         ln(f"{dst}/norm1", f"{b}.norm1")

@@ -83,3 +83,24 @@ def test_pink_with_eva_tower_trains():
     v = m.init(jax.random.PRNGKey(0), batch)
     out = m.apply(v, batch, deterministic=True)
     assert np.isfinite(float(out["losses"]["lm_loss"]))
+
+
+def test_pos_embed_interpolation(pair):
+    """Importing at a different image size resizes the abs pos grid (the
+    reference interpolate_pos_embed path)."""
+    from antmmf_tpu.utils.torch_import import eva_vit_state_dict_to_params
+
+    ref, _, _ = pair
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    # 28/14 → 2x2 grid + cls = 5 tokens; target 56/14 → 4x4 + cls = 17
+    params = eva_vit_state_dict_to_params(sd, DEPTH, target_tokens=17)
+    assert params["pos_embed"].shape == (1, 17, DIM)
+
+    big = EvaVisionTransformer(
+        image_size=56, patch_size=PATCH, embed_dim=DIM, num_layers=DEPTH,
+        num_heads=HEADS, mlp_ratio=4.0, use_pallas=False, dtype=jnp.float32)
+    img = np.random.default_rng(5).standard_normal(
+        (1, 56, 56, 3)).astype(np.float32)
+    out = big.apply({"params": params}, jnp.asarray(img))
+    assert out.shape == (1, 17, DIM)
+    assert np.isfinite(np.asarray(out)).all()
