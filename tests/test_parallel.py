@@ -162,3 +162,31 @@ def test_build_hybrid_dcn_mesh_validates():
         build_mesh({"dcn": {"data": 3}})  # 8 % 3 != 0
     with pytest.raises(ValueError):
         build_mesh({"dcn": {"bogus": 2}})
+
+
+def test_trainer_config_hybrid_dcn_mesh(tmp_path):
+    """The multi-slice mesh is reachable from YAML: a trainer configured
+    with mesh {dcn: {data: 2}, fsdp: -1} loads and takes train steps."""
+    import os
+
+    from antmmf_tpu.common.build import build_config
+    from antmmf_tpu.trainers.build import build_trainer
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "projects", "base_vtp", "configs", "video_retrieval.local.yml")
+    cfg = build_config(cfg_path, opts=[
+        "training_parameters.save_dir", str(tmp_path),
+        "training_parameters.max_iterations", "2",
+        "training_parameters.mesh.dcn.data", "2",
+        "training_parameters.mesh.data", "1",
+        "training_parameters.mesh.fsdp", "-1",
+    ])
+    trainer = build_trainer(cfg)
+    trainer.load()
+    # dcn 2 (slices) × per-slice fsdp 2 × model 2 (from the base config)
+    assert trainer.mesh.shape["data"] == 2
+    assert trainer.mesh.shape["fsdp"] == 2
+    assert trainer.mesh.shape["model"] == 2
+    trainer.train()
+    assert int(trainer.state.step) == 2
