@@ -71,9 +71,16 @@ class BasePredictor:
 
         from antmmf_tpu.common.checkpoint import merge_params_tolerant
 
+        def ckpt_key(path):
+            # model_<iter> sorts numerically — lexicographic would pick
+            # model_999 over model_1000
+            tail = os.path.basename(path).rsplit("_", 1)[-1]
+            return (0, int(tail), "") if tail.isdigit() else (1, 0, path)
+
         candidates = sorted(glob.glob(os.path.join(model_dir, "*_final"))) or \
             sorted(glob.glob(os.path.join(model_dir, "models", "best"))) or \
-            sorted(glob.glob(os.path.join(model_dir, "models", "model_*")))
+            sorted(glob.glob(os.path.join(model_dir, "models", "model_*")),
+                   key=ckpt_key)
         if not candidates:
             raise FileNotFoundError(f"No checkpoint found in {model_dir!r}")
         with ocp.PyTreeCheckpointer() as ck:

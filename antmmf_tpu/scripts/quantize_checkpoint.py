@@ -23,10 +23,18 @@ import json
 import os
 
 
+def _ckpt_sort_key(path: str):
+    """model_<iter> sorts numerically (lexicographic picks model_999 over
+    model_1000); non-numeric names sort after, alphabetically."""
+    tail = os.path.basename(path).rsplit("_", 1)[-1]
+    return (0, int(tail), "") if tail.isdigit() else (1, 0, path)
+
+
 def find_checkpoint(model_dir: str) -> str:
     candidates = sorted(glob.glob(os.path.join(model_dir, "*_final"))) or \
         sorted(glob.glob(os.path.join(model_dir, "models", "best"))) or \
-        sorted(glob.glob(os.path.join(model_dir, "models", "model_*")))
+        sorted(glob.glob(os.path.join(model_dir, "models", "model_*")),
+               key=_ckpt_sort_key)
     if not candidates:
         raise SystemExit(f"No checkpoint found in {model_dir!r}")
     return candidates[-1]
