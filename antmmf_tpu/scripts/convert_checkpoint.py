@@ -29,7 +29,8 @@ import shutil
 import numpy as np
 
 ARCHS = ("bert", "clip_vit", "hf_clip_vision", "pvt_v2",
-         "univl_retrieval", "univl_pretrain", "vlmo_multiway", "eva_vit")
+         "univl_retrieval", "univl_pretrain", "vlmo_multiway", "eva_vit",
+         "s3d")
 
 
 def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
@@ -52,6 +53,8 @@ def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
     elif arch == "univl_pretrain":
         params = ti.univl_ref_pretrain_state_dict_to_params(
             sd, bert_layers, pvt_preset)
+    elif arch == "s3d":
+        params = ti.s3d_state_dict_to_params(sd)
     elif arch == "eva_vit":
         # depth inferred from the state dict (eva_vit_g has 39 blocks;
         # never trust a default layer count for block-stack arches)

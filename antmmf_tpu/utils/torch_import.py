@@ -443,3 +443,48 @@ def eva_vit_state_dict_to_params(
         _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{b}.mlp.fc2.weight"]))
         _set(p, f"{dst}/mlp/fc2/bias", sd[f"{b}.mlp.fc2.bias"])
     return p
+
+
+def s3d_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference S3D-G state_dict (s3dg.py ``S3D``) → our ``S3DRef`` params
+    (models/s3d_ref.py). Conv3d [O,I,kt,kh,kw] → [kt,kh,kw,I,O]; BatchNorm
+    weight/bias/running_mean/running_var → scale/bias/mean/var."""
+
+    def TC(v):  # conv3d
+        return np.ascontiguousarray(np.transpose(np.asarray(v),
+                                                 (2, 3, 4, 1, 0)))
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    p: Dict[str, Any] = {}
+
+    def stconv(dst: str, src: str) -> None:
+        _set(p, f"{dst}/conv1/kernel", TC(sd[f"{src}.conv1.weight"]))
+        for bn in ("bn1",) + (("bn2",) if f"{src}.conv2.weight" in sd
+                              else ()):
+            _set(p, f"{dst}/{bn}/scale", sd[f"{src}.{bn}.weight"])
+            _set(p, f"{dst}/{bn}/bias", sd[f"{src}.{bn}.bias"])
+            _set(p, f"{dst}/{bn}/mean", sd[f"{src}.{bn}.running_mean"])
+            _set(p, f"{dst}/{bn}/var", sd[f"{src}.{bn}.running_var"])
+        if f"{src}.conv2.weight" in sd:
+            _set(p, f"{dst}/conv2/kernel", TC(sd[f"{src}.conv2.weight"]))
+
+    def gating(dst: str, src: str) -> None:
+        _set(p, f"{dst}/fc/kernel", T(sd[f"{src}.fc.weight"]))
+        _set(p, f"{dst}/fc/bias", sd[f"{src}.fc.bias"])
+
+    stconv("conv1", "conv1")
+    stconv("conv_2b", "conv_2b")
+    stconv("conv_2c", "conv_2c")
+    gating("gating", "gating")
+    for blk in ("mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c", "mixed_4d",
+                "mixed_4e", "mixed_4f", "mixed_5b", "mixed_5c"):
+        for branch in ("conv_b0", "conv_b1_a", "conv_b1_b", "conv_b2_a",
+                       "conv_b2_b", "conv_b3_b"):
+            stconv(f"{blk}/{branch}", f"{blk}.{branch}")
+        for g in ("gating_b0", "gating_b1", "gating_b2", "gating_b3"):
+            gating(f"{blk}/{g}", f"{blk}.{g}")
+    _set(p, "fc/kernel", T(sd["fc.weight"]))
+    _set(p, "fc/bias", sd["fc.bias"])
+    return p
