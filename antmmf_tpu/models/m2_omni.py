@@ -122,28 +122,77 @@ class M2Omni(BaseModel):
         return tokens, jnp.broadcast_to(pos[None], (B, F * N, 3))
 
     @staticmethod
-    def _splice(text_embeds: jnp.ndarray, positions: jnp.ndarray,
-                input_ids: jnp.ndarray, token_id: int,
-                modal_tokens: jnp.ndarray, modal_pos: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _splice_embeds(text_embeds: jnp.ndarray, input_ids: jnp.ndarray,
+                       token_id: int, modal_tokens: jnp.ndarray
+                       ) -> jnp.ndarray:
         """Replace placeholder-token slots with modality embeddings
-        (reference prompt_wrap, modeling_m2omni.py:695-771). The k-th
-        placeholder in each row takes modal_tokens[:, k]; 3D positions at
-        those slots come from modal_pos offset by the slot's text position
-        (the get_rope_index convention, modeling_m2omni.py:327-494)."""
+        (reference prompt_wrap, modeling_m2omni.py:695-771): the k-th
+        placeholder slot in each row takes modal_tokens[:, k]."""
         mask = input_ids == token_id  # [B, L]
         k = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0,
                      modal_tokens.shape[1] - 1)  # [B, L]
         gathered = jnp.take_along_axis(
             modal_tokens, k[..., None], axis=1)  # [B, L, C]
-        out = jnp.where(mask[..., None], gathered, text_embeds)
-        # temporal offset = text position where the modal run starts
-        start = jnp.argmax(mask, axis=1)  # first placeholder slot per row
-        gpos = jnp.take_along_axis(
-            modal_pos, k[..., None], axis=1)  # [B, L, 3]
-        gpos = gpos + start[:, None, None]
-        pos = jnp.where(mask[..., None], gpos, positions)
-        return out, pos
+        return jnp.where(mask[..., None], gathered, text_embeds)
+
+    @staticmethod
+    def _modal_rel_positions(mask: jnp.ndarray, modal_pos: jnp.ndarray
+                             ) -> jnp.ndarray:
+        """Per-slot RELATIVE 3D positions for a modality's placeholder slots:
+        modal_pos of the k-th placeholder minus modal_pos at its RUN start,
+        so each contiguous placeholder run restarts at (0, 0, 0). mask
+        bool[B, L]; modal_pos int[B, Lm, 3] → rel int[B, L, 3] (0 off-run)."""
+        B, L = mask.shape
+        k = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0,
+                     modal_pos.shape[1] - 1)  # [B, L]
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), mask[:, :-1]], axis=1)
+        run_start = mask & ~prev
+        # k at the most recent run start (valid wherever mask is set)
+        k_start = jax.lax.cummax(jnp.where(run_start, k, -1), axis=1)
+        gathered = jnp.take_along_axis(modal_pos, k[..., None], axis=1)
+        base = jnp.take_along_axis(
+            modal_pos, jnp.clip(k_start, 0)[..., None], axis=1)
+        rel = gathered - base
+        return jnp.where(mask[..., None], rel, 0), run_start
+
+    @staticmethod
+    def get_rope_index(modal_mask: jnp.ndarray, run_start: jnp.ndarray,
+                       rel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """EXACT reference ``get_rope_index`` semantics
+        (modeling_m2omni.py:327-494): positions advance sequentially; a text
+        slot takes (base, base, base) and advances base by 1; a placeholder
+        run's slots take run-start base + relative (t, h, w) grid positions,
+        and the slot after the run resumes at run base + run max + 1.
+
+        modal_mask bool[B, L] (True = placeholder slot, any modality);
+        run_start bool[B, L] (True at the first slot of each run);
+        rel int[B, L, 3] relative positions within each run (0 elsewhere).
+        Returns (positions int[B, L, 3], next_base int[B] — the base after
+        the final slot, i.e. the continuation position for incremental
+        decoding, matching ``mrope_position_deltas``)."""
+        B, L = modal_mask.shape
+
+        def step(carry, xs):
+            base, run_base, run_max = carry
+            is_m, is_start, rel_i = xs  # [B], [B], [B, 3]
+            run_base = jnp.where(is_start, base, run_base)
+            cur_max = jnp.max(rel_i, axis=-1)  # [B]
+            run_max = jnp.where(
+                is_start, cur_max,
+                jnp.where(is_m, jnp.maximum(run_max, cur_max), run_max))
+            pos_i = jnp.where(is_m[:, None], run_base[:, None] + rel_i,
+                              base[:, None])
+            base = jnp.where(is_m, run_base + run_max + 1, base + 1)
+            return (base, run_base, run_max), pos_i
+
+        init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), jnp.int32))
+        (base, _, _), pos = jax.lax.scan(
+            step, init,
+            (modal_mask.T, run_start.T,
+             rel.astype(jnp.int32).transpose(1, 0, 2)))
+        return pos.transpose(1, 0, 2), base
 
     def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
         input_ids = batch["input_ids"]  # int[B, Lt]
@@ -154,9 +203,24 @@ class M2Omni(BaseModel):
             return self._forward_spliced(batch, input_ids, text_mask,
                                          deterministic)
 
-        segments = []
-        seg_positions = []
-        seg_masks = []
+        embeds, positions, mask = self._assemble_prefix(
+            batch, input_ids, text_mask, deterministic)
+        hidden = self.decoder(embeds, positions, mask,
+                              deterministic=deterministic)
+        text_hidden = hidden[:, -Lt:]
+        logits = self.lm_head(text_hidden).astype(jnp.float32)  # [B, Lt, V]
+
+        out: Dict[str, Any] = {"logits": logits, "hidden": text_hidden}
+        out.update(self._lm_loss(logits, batch.get("labels")))
+        return out
+
+    def _assemble_prefix(self, batch: Mapping[str, Any],
+                         input_ids: jnp.ndarray, text_mask: jnp.ndarray,
+                         deterministic: bool):
+        """Legacy prefix layout: [vision][audio][text] segments concatenated.
+        Returns (embeds [B, L, C], positions int[B, L, 3], mask [B, L])."""
+        B, Lt = input_ids.shape
+        segments, seg_positions, seg_masks = [], [], []
         pos_offset = jnp.zeros((B,), jnp.int32)
 
         if "image_data" in batch and batch["image_data"] is not None:
@@ -188,15 +252,7 @@ class M2Omni(BaseModel):
         embeds = jnp.concatenate(segments, axis=1)
         positions = jnp.concatenate(seg_positions, axis=1)
         mask = jnp.concatenate(seg_masks, axis=1)
-
-        hidden = self.decoder(embeds, positions, mask,
-                              deterministic=deterministic)
-        text_hidden = hidden[:, -Lt:]
-        logits = self.lm_head(text_hidden).astype(jnp.float32)  # [B, Lt, V]
-
-        out: Dict[str, Any] = {"logits": logits, "hidden": text_hidden}
-        out.update(self._lm_loss(logits, batch.get("labels")))
-        return out
+        return embeds, positions, mask
 
     def _lm_loss(self, logits: jnp.ndarray,
                  labels: Optional[jnp.ndarray]) -> Dict[str, Any]:
@@ -216,16 +272,20 @@ class M2Omni(BaseModel):
                 False).sum() / denom},
         }
 
-    def _forward_spliced(self, batch: Mapping[str, Any],
-                         input_ids: jnp.ndarray, text_mask: jnp.ndarray,
-                         deterministic: bool) -> Dict[str, Any]:
+    def _assemble_spliced(self, batch: Mapping[str, Any],
+                          input_ids: jnp.ndarray,
+                          deterministic: bool):
         """Interleaved layout: modality embeddings live INSIDE the text
         sequence at placeholder slots, so conversations like
-        ``text <image>... text`` keep their order (reference prompt_wrap)."""
+        ``text <image>... text`` keep their order (reference prompt_wrap).
+        Returns (embeds [B, L, C], positions int[B, L, 3], next_base int[B])
+        with positions per the reference get_rope_index convention — each
+        placeholder run restarts its (t, h, w) grid at the run's base."""
         B, L = input_ids.shape
         embeds = self.token_embed(input_ids)
-        positions = jnp.repeat(
-            jnp.broadcast_to(jnp.arange(L)[None], (B, L))[..., None], 3, -1)
+        modal_mask = jnp.zeros((B, L), bool)
+        run_start = jnp.zeros((B, L), bool)
+        rel = jnp.zeros((B, L, 3), jnp.int32)
 
         if self.image_token_id is not None and \
                 batch.get("image_data") is not None:
@@ -233,19 +293,33 @@ class M2Omni(BaseModel):
             if img.ndim == 4:
                 img = img[:, None]
             vtok, vpos = self._vision_tokens(img, deterministic)
-            embeds, positions = self._splice(
-                embeds, positions, input_ids, self.image_token_id,
-                vtok.astype(embeds.dtype), vpos)
+            embeds = self._splice_embeds(
+                embeds, input_ids, self.image_token_id,
+                vtok.astype(embeds.dtype))
+            m = input_ids == self.image_token_id
+            r, rs = self._modal_rel_positions(m, vpos)
+            modal_mask, run_start, rel = modal_mask | m, run_start | rs, rel + r
         if self.audio_token_id is not None and batch.get("audio") is not None:
             atok = self.audio_proj(self.audio_tower(
                 batch["audio"], deterministic=deterministic))
             apos = jnp.repeat(
                 jnp.broadcast_to(jnp.arange(atok.shape[1])[None],
                                  atok.shape[:2])[..., None], 3, -1)
-            embeds, positions = self._splice(
-                embeds, positions, input_ids, self.audio_token_id,
-                atok.astype(embeds.dtype), apos)
+            embeds = self._splice_embeds(
+                embeds, input_ids, self.audio_token_id,
+                atok.astype(embeds.dtype))
+            m = input_ids == self.audio_token_id
+            r, rs = self._modal_rel_positions(m, apos)
+            modal_mask, run_start, rel = modal_mask | m, run_start | rs, rel + r
 
+        positions, next_base = self.get_rope_index(modal_mask, run_start, rel)
+        return embeds, positions, next_base
+
+    def _forward_spliced(self, batch: Mapping[str, Any],
+                         input_ids: jnp.ndarray, text_mask: jnp.ndarray,
+                         deterministic: bool) -> Dict[str, Any]:
+        embeds, positions, _ = self._assemble_spliced(
+            batch, input_ids, deterministic)
         hidden = self.decoder(embeds, positions,
                               text_mask.astype(jnp.int32),
                               deterministic=deterministic)
@@ -253,3 +327,120 @@ class M2Omni(BaseModel):
         out: Dict[str, Any] = {"logits": logits, "hidden": hidden}
         out.update(self._lm_loss(logits, batch.get("labels")))
         return out
+
+    # -- KV-cache generation -----------------------------------------------
+    # The reference decodes through HF ``GenerationMixin`` with
+    # ``past_key_values`` (modeling_llama_3d.py:900-1000). TPU-native: one
+    # jitted prefill writes the cache, then jitted single-token decode steps
+    # with explicit (rope position, cache slot) streams — the two differ
+    # because 3D-RoPE positions are NOT slot indices (get_rope_index).
+
+    def prefill(self, batch: Mapping[str, Any], extra_slots: int):
+        """Prefill over the assembled multimodal prompt. Returns
+        (last-token logits f32[B, V], cache with ``extra_slots`` free slots,
+        lens_full int[B] = first free cache slot, next_p int[B] = next RoPE
+        position per the get_rope_index continuation convention)."""
+        input_ids = batch["input_ids"]
+        text_mask = batch.get("input_mask", jnp.ones_like(input_ids))
+        if self.image_token_id is not None or self.audio_token_id is not None:
+            embeds, positions, _ = self._assemble_spliced(
+                batch, input_ids, True)
+            full_mask = text_mask.astype(jnp.int32)
+        else:
+            embeds, positions, full_mask = self._assemble_prefix(
+                batch, input_ids, text_mask, True)
+        B, L, _ = embeds.shape
+        cache = self.decoder.make_cache(B, L + extra_slots, self.hidden)
+        hidden, cache = self.decoder(embeds, positions, full_mask, True,
+                                     cache=cache)
+        lens_full = full_mask.sum(-1).astype(jnp.int32)
+        idx = (lens_full - 1).clip(0, L - 1)
+        last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+        logits = self.lm_head(last).astype(jnp.float32)
+        valid = full_mask > 0
+        next_p = jnp.max(jnp.where(valid, positions.max(-1), -1), axis=1) + 1
+        return logits, cache, lens_full, next_p.astype(jnp.int32)
+
+    def decode_step(self, token: jnp.ndarray, rope_pos: jnp.ndarray,
+                    slot: jnp.ndarray, cache):
+        """One token per row: RoPE position ``rope_pos`` int[B] (text tokens
+        use (p, p, p)), written at cache slot ``slot`` int[B]."""
+        emb = self.token_embed(token[:, None])
+        pos3 = jnp.repeat(rope_pos[:, None, None], 3, axis=-1)
+        hidden, cache = self.decoder(emb, pos3, None, True,
+                                     cache=cache, decode_pos=slot)
+        return self.lm_head(hidden[:, 0]).astype(jnp.float32), cache
+
+    def generate(
+        self, variables, batch: Mapping[str, Any],
+        eos_id: int = 2, max_length: Optional[int] = None,
+        num_beams: int = 1,
+    ):
+        """KV-cache decoding (greedy or beam). Generations are written after
+        each row's text prompt in a shared [B, Lp+max_new] buffer; returns
+        (tokens, prompt_lens int[B])."""
+        max_new = int(max_length or 16)
+        ids = jnp.asarray(batch["input_ids"], jnp.int32)
+        mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
+                           jnp.int32)
+        B, Lp = ids.shape
+        total = Lp + max_new
+        lens_text = mask.sum(-1).astype(jnp.int32)
+        tokens0 = jnp.concatenate(
+            [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
+        fixed = {k: v for k, v in batch.items()
+                 if k not in ("input_ids", "input_mask")}
+
+        def run_prefill(tokens):
+            fwd = dict(fixed)
+            fwd["input_ids"] = tokens[:, :Lp]
+            fwd["input_mask"] = mask
+            return self.apply(variables, fwd, max_new,
+                              method=M2Omni.prefill)
+
+        if num_beams > 1:
+            from antmmf_tpu.utils.text_utils import beam_search_cached
+
+            @jax.jit
+            def run_beam(tokens0):
+                logits0, cache, lens_full, next_p = run_prefill(tokens0)
+                nf = jnp.repeat(next_p, num_beams)
+                sf = jnp.repeat(lens_full, num_beams)
+
+                def decode_fn(tok, slot, cache):
+                    return self.apply(variables, tok, nf + (slot - sf), slot,
+                                      cache, method=M2Omni.decode_step)
+
+                best, scores = beam_search_cached(
+                    decode_fn, logits0, cache, lens_full, eos_id,
+                    max_new=max_new, num_beams=num_beams)
+                tokens = jax.vmap(
+                    lambda row, gen, l: jax.lax.dynamic_update_slice(
+                        row, gen, (l,)))(tokens0, best, lens_text)
+                return tokens, scores
+
+            tokens, _ = run_beam(tokens0)
+            return tokens, lens_text
+
+        @jax.jit
+        def run_greedy(tokens0):
+            logits0, cache, lens_full, next_p = run_prefill(tokens0)
+
+            def step(t, carry):
+                tokens, done, last_logits, cache = carry
+                nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+                nxt = jnp.where(done, eos_id, nxt)
+                write = jax.nn.one_hot(lens_text + t, total, dtype=bool)
+                tokens = jnp.where(write, nxt[:, None], tokens)
+                done = done | (nxt == eos_id)
+                last_logits, cache = self.apply(
+                    variables, nxt, next_p + t, lens_full + t, cache,
+                    method=M2Omni.decode_step)
+                return tokens, done, last_logits, cache
+
+            tokens, _, _, _ = jax.lax.fori_loop(
+                0, max_new, step,
+                (tokens0, jnp.zeros((B,), bool), logits0, cache))
+            return tokens
+
+        return run_greedy(tokens0), lens_text

@@ -77,11 +77,11 @@ class PinkModel(BaseModel):
         self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
                                 param_dtype=jnp.float32)
 
-    def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
+    def _assemble(self, batch: Mapping[str, Any], deterministic: bool = True):
+        """[vision tokens][text tokens] prefix layout →
+        (embeds [B, Lv+Lt, C], mask [B, Lv+Lt], Lv static)."""
         input_ids = batch["input_ids"]
         mask = batch.get("input_mask", jnp.ones_like(input_ids))
-        B, Lt = input_ids.shape
-
         img = batch.get("image_data")
         segments, masks = [], []
         if img is not None:
@@ -95,9 +95,22 @@ class PinkModel(BaseModel):
             masks.append(jnp.ones(vtok.shape[:2], jnp.int32))
         segments.append(self.token_embed(input_ids))
         masks.append(mask.astype(jnp.int32))
-
         embeds = jnp.concatenate(segments, axis=1)
         full_mask = jnp.concatenate(masks, axis=1)
+        Lv = embeds.shape[1] - input_ids.shape[1]
+        return embeds, full_mask, Lv
+
+    def num_vision_tokens(self, batch: Mapping[str, Any]) -> int:
+        if batch.get("image_data") is None:
+            return 0
+        preset = (EVA_PRESETS[self.eva_preset] if self.visual_tower == "eva"
+                  else VIT_PRESETS[self.vit_preset])
+        return (self.image_size // preset["patch_size"]) ** 2
+
+    def __call__(self, batch: Mapping[str, Any], deterministic: bool = True) -> Dict:
+        input_ids = batch["input_ids"]
+        B, Lt = input_ids.shape
+        embeds, full_mask, _ = self._assemble(batch, deterministic)
         L = embeds.shape[1]
         positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
 
@@ -119,20 +132,46 @@ class PinkModel(BaseModel):
             out["losses"] = {"lm_loss": jnp.where(valid, nll, 0.0).sum() / denom}
         return out
 
+    # -- KV-cache generation -----------------------------------------------
+    # The reference eval harnesses decode through HF ``model.generate`` with
+    # ``past_key_values`` (prj/Pink/pink/eval/model_vqav2.py:141). Here:
+    # one jitted prefill over [vision; padded prompt] writes the cache, then a
+    # jitted per-token decode loop — O(L) per token instead of the previous
+    # O(L²) full-prefix re-encode. Token-for-token identical to the
+    # re-encoding greedy path (regression-tested in test_llm_generate.py).
+
+    def prefill(self, batch: Mapping[str, Any], cache, lens: jnp.ndarray):
+        """Run the full padded prompt, writing the KV cache.
+        Returns (last-valid-token logits f32[B, V], cache)."""
+        embeds, full_mask, Lv = self._assemble(batch, True)
+        B, L, _ = embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        hidden, cache = self.decoder(embeds, positions, full_mask, True,
+                                     cache=cache)
+        hidden = hidden + self.output_adapter(hidden)
+        idx = (Lv + lens - 1).clip(0, L - 1)
+        last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+        logits = self.lm_head(last).astype(jnp.float32)
+        return logits, cache
+
+    def decode_step(self, token: jnp.ndarray, pos: jnp.ndarray, cache):
+        """One token per row at absolute slot/RoPE position ``pos`` int[B].
+        Returns (logits f32[B, V], cache)."""
+        emb = self.token_embed(token[:, None])
+        hidden, cache = self.decoder(emb, pos[:, None], None, True,
+                                     cache=cache, decode_pos=pos)
+        hidden = hidden + self.output_adapter(hidden)
+        return self.lm_head(hidden[:, 0]).astype(jnp.float32), cache
+
     def generate(
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 102, max_length: Optional[int] = None,
-        num_beams: int = 1,
+        num_beams: int = 1, use_cache: bool = True,
     ):
-        """Greedy decoding for the eval harnesses (reference
-        ``prj/Pink/pink/eval/model_*.py`` all decode with
-        ``model.generate(do_sample=False)``). Ragged prompts share one padded
-        [B, Lp+max_new] buffer; each step re-encodes the full prefix under one
-        jitted ``lax.fori_loop`` (static shapes — eval-harness scale; a KV-cache
-        serving path would cache per-layer k/v instead). Returns
-        (tokens int[B, Lp+max_new] with generations written after each row's
-        prompt, prompt_lens int[B])."""
-        del num_beams  # greedy only; kept for the predictor calling convention
+        """Decode for the eval harnesses. Greedy (num_beams=1) or true beam
+        search (num_beams>1 — the reference accepts ``num_beams`` in every
+        eval driver). Returns (tokens int[B, Lp+max_new] with generations
+        written after each row's prompt, prompt_lens int[B])."""
         max_new = int(max_length or 16)
         ids = jnp.asarray(batch["input_ids"], jnp.int32)
         mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
@@ -143,6 +182,81 @@ class PinkModel(BaseModel):
         tokens0 = jnp.concatenate(
             [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
         lens = mask.sum(-1).astype(jnp.int32)  # [B] prompt lengths
+
+        if not use_cache:
+            return self._generate_reencode(
+                variables, tokens0, lens, img, eos_id, max_new, total, B)
+
+        Lv = self.num_vision_tokens(batch)
+        T = Lv + Lp + max_new
+        preset = LM_PRESETS[self.lm_preset]
+
+        def make_cache():
+            from antmmf_tpu.modules.llm import init_decoder_cache
+            n_kv = preset["num_kv_heads"] or preset["num_heads"]
+            return init_decoder_cache(
+                preset["num_layers"], B, n_kv, T,
+                preset["hidden"] // preset["num_heads"],
+                jnp.dtype(self.dtype_str))
+
+        def fwd_batch(tokens, cur_mask):
+            fwd = {"input_ids": tokens, "input_mask": cur_mask}
+            if img is not None:
+                fwd["image_data"] = img
+            return fwd
+
+        def decode_fn(tok, pos, cache):
+            return self.apply(variables, tok, pos, cache,
+                              method=PinkModel.decode_step)
+
+        if num_beams > 1:
+            from antmmf_tpu.utils.text_utils import beam_search_cached
+
+            @jax.jit
+            def run_beam(tokens0):
+                cache = make_cache()
+                logits0, cache = self.apply(
+                    variables, fwd_batch(tokens0[:, :Lp], mask), cache, lens,
+                    method=PinkModel.prefill)
+                best, scores = beam_search_cached(
+                    decode_fn, logits0, cache, Lv + lens, eos_id,
+                    max_new=max_new, num_beams=num_beams)
+                tokens = jax.vmap(
+                    lambda row, gen, l: jax.lax.dynamic_update_slice(
+                        row, gen, (l,)))(tokens0, best, lens)
+                return tokens, scores
+
+            tokens, _ = run_beam(tokens0)
+            return tokens, lens
+
+        @jax.jit
+        def run_greedy(tokens0):
+            cache = make_cache()
+            logits0, cache = self.apply(
+                variables, fwd_batch(tokens0[:, :Lp], mask), cache, lens,
+                method=PinkModel.prefill)
+
+            def step(t, carry):
+                tokens, done, last_logits, cache = carry
+                nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+                nxt = jnp.where(done, eos_id, nxt)
+                write = jax.nn.one_hot(lens + t, total, dtype=bool)
+                tokens = jnp.where(write, nxt[:, None], tokens)
+                done = done | (nxt == eos_id)
+                last_logits, cache = decode_fn(nxt, Lv + lens + t, cache)
+                return tokens, done, last_logits, cache
+
+            tokens, _, _, _ = jax.lax.fori_loop(
+                0, max_new, step,
+                (tokens0, jnp.zeros((B,), bool), logits0, cache))
+            return tokens
+
+        return run_greedy(tokens0), lens
+
+    def _generate_reencode(self, variables, tokens0, lens, img, eos_id,
+                           max_new, total, B):
+        """Legacy full-prefix re-encoding greedy decode (the pre-KV-cache
+        path) — kept as the regression anchor for the cached path."""
 
         @jax.jit
         def decode(tokens0):

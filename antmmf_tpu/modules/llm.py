@@ -11,7 +11,7 @@ split across head-dim thirds (the published 3D-RoPE scheme).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -19,6 +19,32 @@ import jax.numpy as jnp
 import numpy as np
 
 Dtype = Any
+
+# ---------------------------------------------------------------------------
+# KV cache
+#
+# The reference LLM family decodes through HF ``past_key_values``
+# (modeling_llama_3d.py:900-1000; Pink eval model_vqav2.py:141 calls
+# ``model.generate``). TPU-native equivalent: a static-shape explicit pytree —
+# one {"k","v"} dict per layer, each [B, n_kv_heads, T, head_dim] with keys
+# stored POST-RoPE — threaded through ``DecoderLM.__call__``. Two modes:
+#   * prefill: the padded prompt chunk [B, Lp] runs the normal causal forward
+#     and its k/v are written at slots 0..Lp-1 (dynamic_update_slice);
+#   * decode: one token per row at per-row slot ``decode_pos`` (scatter
+#     write); attention reads the whole cache with validity
+#     ``slot <= decode_pos`` — generated tokens progressively overwrite the
+#     stale right-padding slots, so validity stays contiguous.
+# ---------------------------------------------------------------------------
+
+
+def init_decoder_cache(
+    num_layers: int, batch: int, num_kv_heads: int, max_len: int,
+    head_dim: int, dtype: Dtype = jnp.bfloat16,
+) -> List[Dict[str, jnp.ndarray]]:
+    """Zeroed per-layer KV cache pytree for ``DecoderLM`` decode."""
+    shape = (batch, num_kv_heads, max_len, head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(num_layers)]
 
 
 class RMSNorm(nn.Module):
@@ -128,7 +154,9 @@ class GQAttention(nn.Module):
         positions: jnp.ndarray,  # [B, L] or [B, L, 3]
         bias: Optional[jnp.ndarray] = None,  # additive [B|1, 1, L|1, L]
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        cache: Optional[Dict[str, jnp.ndarray]] = None,  # {"k","v"} [B,kvh,T,d]
+        decode_pos: Optional[jnp.ndarray] = None,  # int[B] decode slot
+    ):
         B, L, C = x.shape
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = self.head_dim or C // self.num_heads
@@ -162,6 +190,32 @@ class GQAttention(nn.Module):
         q = rope(q, positions, self.rope_theta)
         k = rope(k, positions, self.rope_theta)
 
+        new_cache = None
+        if cache is not None:
+            if decode_pos is None:
+                # prefill: write the chunk at slots 0..L-1 (keys post-RoPE,
+                # kv-head count — repeated lazily at decode)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], k.astype(cache["k"].dtype), (0, 0, 0, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], v.astype(cache["v"].dtype), (0, 0, 0, 0)),
+                }
+                # attention below runs on the fresh chunk exactly as uncached
+            else:
+                # decode: L == 1; per-row scatter write at decode_pos, then
+                # attend over the cache with validity slot <= decode_pos
+                T = cache["k"].shape[2]
+                slot = (jnp.arange(T)[None] == decode_pos[:, None])  # [B, T]
+                w = slot[:, None, :, None]
+                new_cache = {
+                    "k": jnp.where(w, k.astype(cache["k"].dtype), cache["k"]),
+                    "v": jnp.where(w, v.astype(cache["v"].dtype), cache["v"]),
+                }
+                k, v = new_cache["k"], new_cache["v"]
+                valid = (jnp.arange(T)[None] <= decode_pos[:, None])  # [B, T]
+                bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+
         if n_kv != self.num_heads:  # expand kv groups
             rep = self.num_heads // n_kv
             k = jnp.repeat(k, rep, axis=1)
@@ -190,7 +244,10 @@ class GQAttention(nn.Module):
                 self.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        return dense(C, "o_proj")(out)
+        out = dense(C, "o_proj")(out)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class SwiGLU(nn.Module):
@@ -219,17 +276,26 @@ class DecoderLayer(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions, bias=None, deterministic: bool = True):
+    def __call__(self, x, positions, bias=None, deterministic: bool = True,
+                 cache=None, decode_pos=None):
         h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
-        x = x + GQAttention(
+        attn_out = GQAttention(
             num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
             rope_theta=self.rope_theta, rope_3d=self.rope_3d,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             lora_freeze_base=self.lora_freeze_base, dtype=self.dtype,
-            name="attention")(h, positions, bias, deterministic)
+            name="attention")(h, positions, bias, deterministic,
+                              cache=cache, decode_pos=decode_pos)
+        new_cache = None
+        if cache is not None:
+            attn_out, new_cache = attn_out
+        x = x + attn_out
         h = RMSNorm(dtype=self.dtype, name="post_attn_norm")(x)
-        return x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
-                          dtype=self.dtype, name="mlp")(h)
+        out = x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                         dtype=self.dtype, name="mlp")(h)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class DecoderLM(nn.Module):
@@ -254,22 +320,49 @@ class DecoderLM(nn.Module):
         positions: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray] = None,  # [B, L] 1=valid
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        cache: Optional[List[Dict[str, jnp.ndarray]]] = None,
+        decode_pos: Optional[jnp.ndarray] = None,  # int[B] — decode mode
+    ):
+        """Without ``cache``: the plain causal forward (returns hidden).
+        With ``cache`` (see ``init_decoder_cache``): returns
+        ``(hidden, new_cache)`` — prefill when ``decode_pos`` is None
+        (chunk written at slots 0..L-1), single-token decode otherwise."""
         L = embeds.shape[1]
-        causal = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0, -1e30)[
-            None, None].astype(jnp.float32)
-        bias = causal
-        if attention_mask is not None:
-            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e30)
-            bias = bias + pad
+        if cache is not None and decode_pos is not None:
+            bias = None  # attention builds the cache-validity bias itself
+        else:
+            causal = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0, -1e30)[
+                None, None].astype(jnp.float32)
+            bias = causal
+            if attention_mask is not None:
+                pad = jnp.where(attention_mask[:, None, None, :] > 0,
+                                0.0, -1e30)
+                bias = bias + pad
         x = embeds
+        new_cache = [] if cache is not None else None
         for i in range(self.num_layers):
-            x = DecoderLayer(
+            layer = DecoderLayer(
                 num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
                 mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
                 rope_3d=self.rope_3d, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
                 lora_freeze_base=self.lora_freeze_base,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, positions, bias, deterministic)
-        return RMSNorm(dtype=self.dtype, name="final_norm")(x)
+            )
+            if cache is not None:
+                x, lc = layer(x, positions, bias, deterministic,
+                              cache=cache[i], decode_pos=decode_pos)
+                new_cache.append(lc)
+            else:
+                x = layer(x, positions, bias, deterministic)
+        x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+        if cache is not None:
+            return x, new_cache
+        return x
+
+    def make_cache(self, batch: int, max_len: int, hidden: int,
+                   dtype: Dtype = None) -> List[Dict[str, jnp.ndarray]]:
+        n_kv = self.num_kv_heads or self.num_heads
+        head_dim = hidden // self.num_heads
+        return init_decoder_cache(self.num_layers, batch, n_kv, max_len,
+                                  head_dim, dtype or self.dtype)

@@ -1,0 +1,156 @@
+"""LLM decode throughput: prefill latency + per-token decode tokens/s.
+
+The reference's LLM family (Pink, M2-omni, captioning) serves through HF
+``generate`` with ``past_key_values`` (reference
+prj/Pink/pink/eval/model_vqav2.py:141, modeling_llama_3d.py:900-1000). This
+bench measures the TPU-native KV-cache path (``modules/llm.DecoderLM`` prefill
++ decode jits) against the O(L²) full-prefix re-encode it replaced.
+
+One JSON line per measurement:
+  {"exp": "decode_L512_b1", "prefill_ms": ..., "per_token_ms": ...,
+   "tokens_per_sec": ..., "reencode_per_token_ms": ..., "speedup": ...}
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+    python -m antmmf_tpu.scripts.bench_decode [--tiny] [--preset omni_1b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--preset", default="omni_1b")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--lens", type=int, nargs="+", default=[512, 1024, 2048])
+    p.add_argument("--decode_steps", type=int, default=32)
+    p.add_argument("--reencode_max_len", type=int, default=1024,
+                   help="skip the O(L^2) re-encode comparison above this L")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from antmmf_tpu.models.m2_omni import LM_PRESETS
+    from antmmf_tpu.modules.llm import DecoderLM, init_decoder_cache
+
+    preset = "omni_tiny_test" if args.tiny else args.preset
+    cfg = LM_PRESETS[preset]
+    hidden, vocab = cfg["hidden"], cfg["vocab_size"]
+    n_kv = cfg["num_kv_heads"] or cfg["num_heads"]
+    head_dim = hidden // cfg["num_heads"]
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+
+    import flax.linen as nn
+
+    class LMWithHead(nn.Module):
+        @nn.compact
+        def __call__(self, embeds, positions, mask=None, cache=None,
+                     decode_pos=None):
+            dec = DecoderLM(
+                num_layers=cfg["num_layers"], num_heads=cfg["num_heads"],
+                num_kv_heads=cfg["num_kv_heads"], dtype=dtype, name="decoder")
+            out = dec(embeds, positions, mask, True, cache=cache,
+                      decode_pos=decode_pos)
+            head = nn.Dense(vocab, use_bias=False, dtype=dtype,
+                            param_dtype=jnp.float32, name="lm_head")
+            if cache is not None:
+                hiddens, cache = out
+                return head(hiddens[:, -1:])[:, 0].astype(jnp.float32), cache
+            return head(out).astype(jnp.float32)
+
+    model = LMWithHead()
+    embed_table = jax.random.normal(
+        jax.random.PRNGKey(1), (vocab, hidden)).astype(dtype) * 0.02
+
+    B = args.batch
+    rng = jax.random.PRNGKey(0)
+    ex = jax.random.normal(rng, (B, 8, hidden)).astype(dtype)
+    params = model.init(rng, ex, jnp.zeros((B, 8), jnp.int32))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(json.dumps({"model": f"decoder_{preset}",
+                      "params_m": round(n_params / 1e6, 1),
+                      "backend": jax.default_backend()}), flush=True)
+
+    @jax.jit
+    def prefill(params, embeds, positions, mask, cache):
+        return model.apply(params, embeds, positions, mask, cache=cache)
+
+    @jax.jit
+    def decode(params, logits0, cache, pos0, steps_tokens):
+        """Greedy-decode args.decode_steps tokens under one jit."""
+        def step(t, carry):
+            toks, last_logits, cache = carry
+            nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+            toks = toks.at[:, t].set(nxt)
+            emb = embed_table[nxt][:, None]
+            pos = pos0 + t
+            last_logits, cache = model.apply(
+                params, emb, pos[:, None], None, cache=cache, decode_pos=pos)
+            return toks, last_logits, cache
+
+        toks, _, cache = jax.lax.fori_loop(
+            0, args.decode_steps, step, (steps_tokens, logits0, cache))
+        return toks, cache
+
+    @jax.jit
+    def reencode_logits(params, embeds, positions, mask):
+        full = model.apply(params, embeds, positions, mask)
+        return full[:, -1]
+
+    for L in args.lens:
+        T = L + args.decode_steps
+        ids = jax.random.randint(jax.random.PRNGKey(2), (B, L), 0, vocab)
+        embeds = embed_table[ids]
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        mask = jnp.ones((B, L), jnp.int32)
+        cache0 = init_decoder_cache(cfg["num_layers"], B, n_kv, T, head_dim,
+                                    dtype)
+
+        # prefill timing
+        lat_pre = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            logits0, cache = prefill(params, embeds, positions, mask, cache0)
+            float(np.asarray(logits0).reshape(-1)[0])
+            lat_pre.append((time.perf_counter() - t0) * 1e3)
+        prefill_ms = float(np.median(lat_pre[1:]))
+
+        # decode timing (steps under one jit; amortized per token)
+        toks0 = jnp.zeros((B, args.decode_steps), jnp.int32)
+        pos0 = jnp.full((B,), L, jnp.int32)
+        lat_dec = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            toks, _ = decode(params, logits0, cache, pos0, toks0)
+            int(np.asarray(toks)[0, -1])
+            lat_dec.append((time.perf_counter() - t0) * 1e3)
+        per_token_ms = float(np.median(lat_dec[1:])) / args.decode_steps
+
+        row = {"exp": f"decode_L{L}_b{B}",
+               "prefill_ms": round(prefill_ms, 2),
+               "per_token_ms": round(per_token_ms, 3),
+               "tokens_per_sec": round(B * 1e3 / per_token_ms, 1)}
+
+        # O(L^2) re-encode comparison (the pre-round-3 path)
+        if L <= args.reencode_max_len:
+            lat_re = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                lg = reencode_logits(params, embeds, positions, mask)
+                float(np.asarray(lg).reshape(-1)[0])
+                lat_re.append((time.perf_counter() - t0) * 1e3)
+            re_ms = float(np.median(lat_re[1:]))
+            row["reencode_per_token_ms"] = round(re_ms, 2)
+            row["speedup"] = round(re_ms / per_token_ms, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -382,6 +382,118 @@ def nucleus_sampling(
     return tokens
 
 
+def beam_search_cached(
+    decode_fn: Callable,
+    init_logits: jnp.ndarray,  # f32[B, V] next-token logits after prefill
+    cache: Any,  # pytree, leading dim B on every leaf
+    start_pos: jnp.ndarray,  # int[B] absolute slot/position of first new token
+    eos_id: int,
+    max_new: int = 20,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KV-cache beam search (the reference decodes through HF ``generate`` with
+    ``past_key_values``, e.g. prj/Pink/pink/eval/model_vqav2.py:141 — this is
+    the TPU-native equivalent: O(L) per step instead of O(L²) full re-encode).
+
+    ``decode_fn(tokens int[N], pos int[N], cache) -> (logits f32[N, V], cache)``
+    scores ONE token per row against the cache and writes its k/v at ``pos``.
+    The cache is expanded to ``B*num_beams`` rows internally and beam-reordered
+    (row gather) each step. Returns (best tokens int[B, max_new], scores f32[B]).
+    """
+    B, V = init_logits.shape
+    K = num_beams
+
+    logp0 = jax.nn.log_softmax(init_logits.astype(jnp.float32), -1)
+    scores, tok0 = jax.lax.top_k(logp0, K)  # [B, K]
+    tokens = jnp.full((B, K, max_new), eos_id, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(tok0)
+    finished = tok0 == eos_id
+
+    cache = jax.tree.map(lambda c: jnp.repeat(c, K, axis=0), cache)
+    pos_flat = jnp.repeat(start_pos, K)  # [B*K]
+
+    def step(carry, t):
+        tokens, scores, finished, cache = carry
+        last = jnp.take_along_axis(
+            tokens, (t - 1)[None, None, None].repeat(B, 0).repeat(K, 1),
+            axis=2)[:, :, 0]
+        logits, cache = decode_fn(last.reshape(B * K), pos_flat + t - 1, cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(
+            B, K, V)
+        frozen = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+        logp = jnp.where(finished[:, :, None], frozen[None, None, :], logp)
+        cand = (scores[:, :, None] + logp).reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand, K)
+        beam_idx = top_idx // V  # [B, K]
+        tok_idx = top_idx % V
+        new_tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        new_tokens = jax.vmap(
+            lambda tk, ti: tk.at[:, t].set(ti))(new_tokens, tok_idx)
+        new_finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (
+            tok_idx == eos_id)
+        flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(B * K)
+        cache = jax.tree.map(lambda c: jnp.take(c, flat_idx, axis=0), cache)
+        return (new_tokens, top_scores, new_finished, cache), None
+
+    (tokens, scores, finished, _), _ = jax.lax.scan(
+        step, (tokens, scores, finished, cache), jnp.arange(1, max_new))
+
+    lengths = jnp.sum(tokens != eos_id, axis=-1) + 1
+    norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm, axis=-1)
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
+def nucleus_sampling_cached(
+    decode_fn: Callable,
+    init_logits: jnp.ndarray,  # f32[B, V]
+    cache: Any,
+    start_pos: jnp.ndarray,  # int[B]
+    rng: jax.Array,
+    eos_id: int,
+    max_new: int = 20,
+    top_p: float = 0.9,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """KV-cache top-p sampling; returns sequences int[B, max_new]."""
+    B = init_logits.shape[0]
+
+    def sample_one(rng, logits):
+        logits = logits.astype(jnp.float32) / temperature
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, -1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff_logit = jnp.take_along_axis(
+            sorted_logits, cutoff_idx[:, None], axis=-1)
+        filtered = jnp.where(logits < cutoff_logit, NEG_INF, logits)
+        return jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+
+    rng, sub = jax.random.split(rng)
+    tok0 = sample_one(sub, init_logits)
+    tokens = jnp.full((B, max_new), eos_id, jnp.int32).at[:, 0].set(tok0)
+    done = tok0 == eos_id
+
+    def step(carry, t):
+        tokens, done, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        last = jnp.take_along_axis(tokens, (t - 1)[None, None].repeat(B, 0),
+                                   axis=1)[:, 0]
+        logits, cache = decode_fn(last, start_pos + t - 1, cache)
+        sample = jnp.where(done, eos_id, sample_one(sub, logits))
+        tokens = jax.vmap(lambda tk, s: tk.at[t].set(s))(tokens, sample)
+        done = done | (sample == eos_id)
+        return (tokens, done, cache, rng), None
+
+    (tokens, done, _, _), _ = jax.lax.scan(
+        step, (tokens, done, cache, rng), jnp.arange(1, max_new))
+    return tokens
+
+
 @registry.register_decoder("beam_search")
 class BeamSearchDecoder:
     def __init__(self, params: Optional[Dict[str, Any]] = None):
