@@ -18,35 +18,48 @@ from antmmf_tpu.datasets.processors.processors import BaseProcessor
 
 
 def hz_to_mel(f):
-    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    """Kaldi mel scale: 1127 * ln(1 + f/700)."""
+    return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
 
 
 def mel_to_hz(m):
-    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    return 700.0 * (np.exp(np.asarray(m, np.float64) / 1127.0) - 1.0)
 
 
 def mel_filterbank(n_mels: int, n_fft: int, sr: int,
-                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
-    """[n_mels, n_fft//2+1] triangular mel filters."""
+                   fmin: float = 20.0, fmax: Optional[float] = None) -> np.ndarray:
+    """[n_mels, n_fft//2+1] Kaldi-style triangular mel filters: weights
+    computed IN MEL SPACE at each FFT bin's center frequency (no rounding to
+    bins, no area normalization), low_freq 20 Hz default — matching
+    torchaudio.compliance.kaldi.fbank used by the reference
+    (feature_extraction_sanm.py:406-416)."""
     fmax = fmax or sr / 2.0
-    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    freqs = mel_to_hz(mels)
-    bins = np.floor((n_fft + 1) * freqs / sr).astype(int)
-    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
-    for i in range(n_mels):
-        lo, mid, hi = bins[i], bins[i + 1], bins[i + 2]
-        for b in range(lo, mid):
-            if mid > lo:
-                fb[i, b] = (b - lo) / (mid - lo)
-        for b in range(mid, hi):
-            if hi > mid:
-                fb[i, b] = (hi - b) / (hi - mid)
-    return fb
+    mel_lo, mel_hi = hz_to_mel(fmin), hz_to_mel(fmax)
+    mel_pts = np.linspace(mel_lo, mel_hi, n_mels + 2)
+    bin_freqs = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    bin_mels = hz_to_mel(bin_freqs)  # [n_bins]
+    left = mel_pts[:-2][:, None]
+    center = mel_pts[1:-1][:, None]
+    right = mel_pts[2:][:, None]
+    up = (bin_mels[None] - left) / (center - left)
+    down = (right - bin_mels[None]) / (right - center)
+    fb = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float32)
 
 
 def log_mel_fbank(waveform: np.ndarray, sr: int = 16000, n_mels: int = 80,
-                  win_ms: float = 25.0, hop_ms: float = 10.0) -> np.ndarray:
-    """[T] float waveform → [frames, n_mels] log-mel features."""
+                  win_ms: float = 25.0, hop_ms: float = 10.0,
+                  preemphasis: float = 0.97, remove_dc: bool = True,
+                  up_sample: bool = False) -> np.ndarray:
+    """[T] float waveform → [frames, n_mels] log-mel features, Kaldi
+    semantics (snip_edges, hamming window, DC removal, pre-emphasis 0.97,
+    pow2 FFT, power spectrum, log with float-eps floor) — the reference
+    front-end is ``kaldi.fbank(..., window_type='hamming', dither=0,
+    energy_floor=0, snip_edges=True)`` on the ×32768 waveform
+    (feature_extraction_sanm.py:402-416)."""
+    waveform = np.asarray(waveform, np.float64)
+    if up_sample:
+        waveform = waveform * 32768.0
     win = int(sr * win_ms / 1000)
     hop = int(sr * hop_ms / 1000)
     n_fft = 1 << (win - 1).bit_length()
@@ -54,11 +67,18 @@ def log_mel_fbank(waveform: np.ndarray, sr: int = 16000, n_mels: int = 80,
         waveform = np.pad(waveform, (0, win - len(waveform)))
     n_frames = 1 + (len(waveform) - win) // hop
     idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = waveform[idx] * np.hamming(win)[None, :]
+    frames = waveform[idx]
+    if remove_dc:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if preemphasis:
+        pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - preemphasis * pre
+    frames = frames * np.hamming(win)[None, :]
     spec = np.abs(np.fft.rfft(frames, n_fft, axis=-1)) ** 2
     fb = mel_filterbank(n_mels, n_fft, sr)
     mel = spec @ fb.T
-    return np.log(np.maximum(mel, 1e-10)).astype(np.float32)
+    eps = np.finfo(np.float32).eps
+    return np.log(np.maximum(mel, eps)).astype(np.float32)
 
 
 def apply_lfr(feats: np.ndarray, m: int = 7, n: int = 6) -> np.ndarray:
@@ -85,6 +105,19 @@ def apply_cmvn(feats: np.ndarray) -> np.ndarray:
     return ((feats - mu) / np.maximum(sd, 1e-6)).astype(np.float32)
 
 
+def de_normalize(feats: np.ndarray, mean: np.ndarray,
+                 std: np.ndarray) -> np.ndarray:
+    """Reference ``de_normalize`` (feature_extraction_sanm.py:358-365):
+    inverse global CMVN, ``(x + mean) * std`` — the Bailing checkpoints were
+    trained on un-normalized features reconstructed from CMVN'd fbank. The
+    mean/std tables ship with the model (audio_mean_std.py); load them via
+    the processor's ``mean_std_file`` (npz with 'mean'/'std')."""
+    dim = feats.shape[-1]
+    mean = np.asarray(mean, np.float32)[:dim]
+    std = np.asarray(std, np.float32)[:dim]
+    return ((feats + mean) * std).astype(np.float32)
+
+
 @registry.register_processor("sanm_audio")
 @registry.register_processor("audio_fbank")
 class SANMAudioProcessor(BaseProcessor):
@@ -100,13 +133,24 @@ class SANMAudioProcessor(BaseProcessor):
         self.lfr_n = int(cfg.get("lfr_n", 6))
         self.max_frames = int(cfg.get("max_frames", 256))
         self.cmvn = bool(cfg.get("cmvn", True))
+        self.up_sample = bool(cfg.get("up_sample", True))
+        # Bailing inverse-norm tables (reference audio_mean_std.py): npz
+        # with 'mean'/'std' arrays; takes precedence over per-utterance cmvn
+        self.mean_std = None
+        path = cfg.get("mean_std_file")
+        if path:
+            data = np.load(path)
+            self.mean_std = (np.asarray(data["mean"], np.float32),
+                             np.asarray(data["std"], np.float32))
 
     def __call__(self, item: Mapping[str, Any], *a, **k) -> Dict[str, Any]:
         wav = np.asarray(item["waveform"], np.float32).reshape(-1)
         feats = log_mel_fbank(wav, int(item.get("sampling_rate", self.sr)),
-                              self.n_mels)
+                              self.n_mels, up_sample=self.up_sample)
         feats = apply_lfr(feats, self.lfr_m, self.lfr_n)
-        if self.cmvn:
+        if self.mean_std is not None:
+            feats = de_normalize(feats, *self.mean_std)
+        elif self.cmvn:
             feats = apply_cmvn(feats)
         T, D = feats.shape
         out = np.zeros((self.max_frames, D), np.float32)

@@ -18,3 +18,4 @@ from antmmf_tpu.models import video_audio  # noqa: F401
 from antmmf_tpu.models import vilbert  # noqa: F401
 from antmmf_tpu.modules import graph as _graph  # noqa: F401  (comp_gcn model)
 from antmmf_tpu.models import aliases  # noqa: F401  (reference-name aliases)
+from antmmf_tpu.models import m2_encoder_ref  # noqa: F401  (BEiT3 eval twin)

@@ -68,8 +68,25 @@ class AudioEncoder(nn.Module):
 @registry.register_model("m2_omni")
 class M2Omni(BaseModel):
     lm_preset: str = "omni_1b"
+    # visual tower family: "vit" (CLIP-style, legacy) or "qwen2" — the
+    # faithful reference tower (qwen2_vit.py Qwen2ViT: conv3d patchify, 2D
+    # rope, temporal-group attention, PatchMerger; parity in
+    # tests/test_qwen2_vit_parity.py, import via convert_checkpoint
+    # --arch qwen2_vit)
+    visual_tower: str = "vit"
     vit_preset: str = "vit_base_patch32"
+    qwen2_preset: str = "qwen2_vit"
     image_size: int = 224
+    # audio tower family: "conv" (generic conv+transformer, legacy) or
+    # "sanm" — the faithful reference tower (sanm_audio.py SANMEncoder,
+    # funasr schema; parity in tests/test_sanm_parity.py; import via
+    # convert_checkpoint --arch sanm) with the reference post-processing:
+    # 3× frame compression + linear_proj_audio MLP + L2 normalize
+    # (modeling_m2omni.py:640-693)
+    audio_tower: str = "conv"
+    sanm_preset: str = "bailing2_audio"
+    audio_compress: int = 3
+    mlp_depths: int = 1
     audio_hidden: int = 256
     max_vision_tokens: int = 256
     # in-text placeholder splicing (reference prompt_wrap_image/audio,
@@ -95,20 +112,99 @@ class M2Omni(BaseModel):
             num_layers=p["num_layers"], num_heads=p["num_heads"],
             num_kv_heads=p["num_kv_heads"], rope_3d=True,
             lora_rank=self.llm_lora_rank, dtype=dtype)
-        self.vision_tower = VisionTransformer(
-            image_size=self.image_size, dtype=dtype,
-            **dict(VIT_PRESETS[self.vit_preset]))
-        self.vision_proj = nn.Dense(self.hidden, dtype=dtype,
-                                    param_dtype=jnp.float32)
-        self.audio_tower = AudioEncoder(hidden=self.audio_hidden, dtype=dtype)
-        self.audio_proj = nn.Dense(self.hidden, dtype=dtype,
-                                   param_dtype=jnp.float32)
+        if self.visual_tower == "qwen2":
+            from antmmf_tpu.modules.vision.qwen2_vit import build_qwen2_vit
+
+            # reference wiring (modeling_m2omni.py:255-267): the PatchMerger
+            # outputs vit_hidden_size; linear_proj = Linear +
+            # (mlp_depths-1)×[GELU, Linear] maps into the LM width, then
+            # F.normalize (extract_image_feature, :652-660)
+            self.vision_tower = build_qwen2_vit(
+                self.qwen2_preset, image_size=self.image_size, dtype=dtype)
+            self.vision_proj = [nn.Dense(self.hidden, dtype=dtype,
+                                         param_dtype=jnp.float32)
+                                for _ in range(self.mlp_depths)]
+        elif self.visual_tower == "vit":
+            self.vision_tower = VisionTransformer(
+                image_size=self.image_size, dtype=dtype,
+                **dict(VIT_PRESETS[self.vit_preset]))
+            self.vision_proj = nn.Dense(self.hidden, dtype=dtype,
+                                        param_dtype=jnp.float32)
+        else:
+            raise ValueError(
+                f"visual_tower must be 'vit' or 'qwen2', got "
+                f"{self.visual_tower!r}")
+        if self.audio_tower == "sanm":
+            from antmmf_tpu.modules.encoders.sanm_audio import (
+                build_sanm_encoder)
+
+            self.audio_encoder = build_sanm_encoder(self.sanm_preset,
+                                                    dtype=dtype)
+            # reference linear_proj_audio: Linear + (mlp_depths-1)×[GELU,
+            # Linear] (modeling_m2omni.py:269-275)
+            self.audio_proj = [nn.Dense(self.hidden, dtype=dtype,
+                                        param_dtype=jnp.float32)
+                               for _ in range(self.mlp_depths)]
+        elif self.audio_tower == "conv":
+            self.audio_encoder = AudioEncoder(hidden=self.audio_hidden,
+                                              dtype=dtype)
+            self.audio_proj = nn.Dense(self.hidden, dtype=dtype,
+                                       param_dtype=jnp.float32)
+        else:
+            raise ValueError(
+                f"audio_tower must be 'conv' or 'sanm', got "
+                f"{self.audio_tower!r}")
         self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
                                 param_dtype=jnp.float32)
 
+    def _audio_tokens(self, batch: Mapping[str, Any],
+                      deterministic: bool) -> jnp.ndarray:
+        """audio fbank [B, T, F] (+ optional 'audio_mask' [B, T]) →
+        LM-space audio tokens [B, Ta, hidden]."""
+        feats = batch["audio"]
+        if self.audio_tower == "sanm":
+            from antmmf_tpu.modules.encoders.sanm_audio import (
+                compress_audio_tokens)
+
+            enc = self.audio_encoder(feats, batch.get("audio_mask"),
+                                     deterministic=deterministic)
+            x = compress_audio_tokens(enc, self.audio_compress)
+            for i, layer in enumerate(self.audio_proj):
+                if i:
+                    x = nn.gelu(x, approximate=False)
+                x = layer(x)
+            # reference F.normalize(audio_embeds, dim=-1)
+            # (modeling_m2omni.py:693)
+            norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                   keepdims=True)
+            return (x.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(
+                x.dtype)
+        return self.audio_proj(self.audio_encoder(
+            feats, deterministic=deterministic))
+
     def _vision_tokens(self, images: jnp.ndarray, deterministic: bool):
-        """images [B, F, H, W, 3] → (tokens [B, F*N, C], positions [B, F*N, 3])."""
+        """images [B, F, H, W, 3] → (tokens [B, L, C], positions [B, L, 3])
+        with (t, h, w) grid positions per the get_rope_index llm grids."""
         B, F = images.shape[:2]
+        if self.visual_tower == "qwen2":
+            out = self.vision_tower(images, deterministic=deterministic)
+            x = out["sequence"]  # [B, t*gh*gw, vit_hidden]
+            for i, layer in enumerate(self.vision_proj):
+                if i:
+                    x = nn.gelu(x, approximate=False)
+                x = layer(x)
+            # reference F.normalize(image_embeds) (modeling_m2omni.py:659)
+            norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                   keepdims=True)
+            tokens = (x.astype(jnp.float32)
+                      / jnp.maximum(norm, 1e-12)).astype(x.dtype)
+            t, gh, gw = out["grid_thw"]
+            t_pos = jnp.repeat(jnp.arange(t), gh * gw)
+            h_pos = jnp.tile(jnp.repeat(jnp.arange(gh), gw), t)
+            w_pos = jnp.tile(jnp.tile(jnp.arange(gw), gh), t)
+            pos = jnp.stack([t_pos, h_pos, w_pos], axis=-1)
+            L = tokens.shape[1]
+            return tokens, jnp.broadcast_to(pos[None], (B, L, 3))
         flat = images.reshape((B * F,) + images.shape[2:])
         seq = self.vision_tower(flat, deterministic=deterministic)["sequence"]
         seq = seq[:, 1:]  # drop CLS
@@ -234,8 +330,7 @@ class M2Omni(BaseModel):
             pos_offset = pos_offset + jnp.max(vpos[..., 0], axis=-1) + 1
 
         if "audio" in batch and batch["audio"] is not None:
-            atok = self.audio_proj(self.audio_tower(
-                batch["audio"], deterministic=deterministic))
+            atok = self._audio_tokens(batch, deterministic)
             La = atok.shape[1]
             apos = pos_offset[:, None] + jnp.arange(La)[None]
             segments.append(atok)
@@ -300,8 +395,7 @@ class M2Omni(BaseModel):
             r, rs = self._modal_rel_positions(m, vpos)
             modal_mask, run_start, rel = modal_mask | m, run_start | rs, rel + r
         if self.audio_token_id is not None and batch.get("audio") is not None:
-            atok = self.audio_proj(self.audio_tower(
-                batch["audio"], deterministic=deterministic))
+            atok = self._audio_tokens(batch, deterministic)
             apos = jnp.repeat(
                 jnp.broadcast_to(jnp.arange(atok.shape[1])[None],
                                  atok.shape[:2])[..., None], 3, -1)

@@ -43,6 +43,15 @@ class PinkModel(BaseModel):
     # base LLM frozen (pink/model/adapter.py mark_only_adapter_as_trainable)
     lora_decoder: bool = True
     lora_freeze_base: bool = True
+    # adapter_style "pink" = the EXACT reference scheme: serial bottleneck
+    # adapters after the decoder norms (AdapterLayer, adapter.py:24-58 +
+    # LlamaAdapterDecoderLayer :286-361), plain-Dense mm_projector, no
+    # output adapter — the layout reference Pink checkpoints import into
+    # (convert_checkpoint --arch pink). "lora" = the round-2 q/v-LoRA recipe.
+    adapter_style: str = "lora"
+    adapter_dim: int = 8
+    adapter_mlp: bool = False
+    adapter_non_linear: bool = False
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -52,11 +61,20 @@ class PinkModel(BaseModel):
         self.vocab_size = p["vocab_size"]
         self.token_embed = nn.Embed(self.vocab_size, self.hidden, dtype=dtype,
                                     param_dtype=jnp.float32)
+        if self.adapter_style not in ("lora", "pink"):
+            raise ValueError(
+                f"adapter_style must be 'lora' or 'pink', got "
+                f"{self.adapter_style!r}")
+        pink_style = self.adapter_style == "pink"
         self.decoder = DecoderLM(
             num_layers=p["num_layers"], num_heads=p["num_heads"],
             num_kv_heads=p["num_kv_heads"], rope_3d=False,
-            lora_rank=self.lora_rank if self.lora_decoder else 0,
-            lora_freeze_base=self.lora_freeze_base, dtype=dtype)
+            lora_rank=0 if pink_style else (
+                self.lora_rank if self.lora_decoder else 0),
+            lora_freeze_base=self.lora_freeze_base,
+            adapter_dim=self.adapter_dim if pink_style else 0,
+            adapter_mlp=self.adapter_mlp,
+            adapter_non_linear=self.adapter_non_linear, dtype=dtype)
         if self.visual_tower not in ("vit", "eva"):
             raise ValueError(
                 f"visual_tower must be 'vit' or 'eva', got "
@@ -69,11 +87,18 @@ class PinkModel(BaseModel):
             self.vision_tower = VisionTransformer(
                 image_size=self.image_size, dtype=dtype,
                 **dict(VIT_PRESETS[self.vit_preset]))
-        # adapter path: LoRA projection from vision space into the LM
-        self.vision_proj = LoRADense(self.hidden, rank=self.lora_rank,
-                                     freeze_base=False, dtype=dtype)
-        self.output_adapter = LoRADense(self.hidden, rank=self.lora_rank,
-                                        freeze_base=True, dtype=dtype)
+        if self.adapter_style == "pink":
+            # reference mm_projector: a plain Linear (pink.py:145); no
+            # output adapter in the reference forward
+            self.vision_proj = nn.Dense(self.hidden, dtype=dtype,
+                                        param_dtype=jnp.float32)
+            self.output_adapter = None
+        else:
+            # adapter path: LoRA projection from vision space into the LM
+            self.vision_proj = LoRADense(self.hidden, rank=self.lora_rank,
+                                         freeze_base=False, dtype=dtype)
+            self.output_adapter = LoRADense(self.hidden, rank=self.lora_rank,
+                                            freeze_base=True, dtype=dtype)
         self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
                                 param_dtype=jnp.float32)
 
@@ -116,7 +141,8 @@ class PinkModel(BaseModel):
 
         hidden = self.decoder(embeds, positions, full_mask,
                               deterministic=deterministic)
-        hidden = hidden + self.output_adapter(hidden)
+        if self.output_adapter is not None:
+            hidden = hidden + self.output_adapter(hidden)
         text_hidden = hidden[:, -Lt:]
         logits = self.lm_head(text_hidden).astype(jnp.float32)
 
@@ -148,7 +174,8 @@ class PinkModel(BaseModel):
         positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
         hidden, cache = self.decoder(embeds, positions, full_mask, True,
                                      cache=cache)
-        hidden = hidden + self.output_adapter(hidden)
+        if self.output_adapter is not None:
+            hidden = hidden + self.output_adapter(hidden)
         idx = (Lv + lens - 1).clip(0, L - 1)
         last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
         logits = self.lm_head(last).astype(jnp.float32)
@@ -160,7 +187,8 @@ class PinkModel(BaseModel):
         emb = self.token_embed(token[:, None])
         hidden, cache = self.decoder(emb, pos[:, None], None, True,
                                      cache=cache, decode_pos=pos)
-        hidden = hidden + self.output_adapter(hidden)
+        if self.output_adapter is not None:
+            hidden = hidden + self.output_adapter(hidden)
         return self.lm_head(hidden[:, 0]).astype(jnp.float32), cache
 
     def generate(

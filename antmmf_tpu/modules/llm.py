@@ -264,6 +264,27 @@ class SwiGLU(nn.Module):
             * dense(self.hidden_dim, "up_proj")(x))
 
 
+class SerialAdapter(nn.Module):
+    """Pink-style bottleneck adapter (reference AdapterLayer,
+    prj/Pink/pink/model/adapter.py:24-58): ``x + B(act(A(x)))``, biased
+    down/up projections, optional SiLU. Inserted after the pre-attention /
+    pre-MLP norms (LlamaAdapterDecoderLayer, adapter.py:286-361)."""
+
+    hidden_dim: int = 8
+    non_linear: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        down = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="down")(x)
+        if self.non_linear:
+            down = nn.silu(down)
+        up = nn.Dense(x.shape[-1], dtype=self.dtype,
+                      param_dtype=jnp.float32, name="up")(down)
+        return x + up
+
+
 class DecoderLayer(nn.Module):
     num_heads: int
     num_kv_heads: Optional[int] = None
@@ -273,12 +294,22 @@ class DecoderLayer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    # Pink serial adapters (reference adapter.py): bottleneck after the
+    # input norm (adapter_attn) and optionally after the post-attn norm
+    # (adapter_mlp); 0 = off
+    adapter_dim: int = 0
+    adapter_mlp: bool = False
+    adapter_non_linear: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, positions, bias=None, deterministic: bool = True,
                  cache=None, decode_pos=None):
         h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
+        if self.adapter_dim:
+            h = SerialAdapter(hidden_dim=self.adapter_dim,
+                              non_linear=self.adapter_non_linear,
+                              dtype=self.dtype, name="adapter_attn")(h)
         attn_out = GQAttention(
             num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
             rope_theta=self.rope_theta, rope_3d=self.rope_3d,
@@ -291,6 +322,10 @@ class DecoderLayer(nn.Module):
             attn_out, new_cache = attn_out
         x = x + attn_out
         h = RMSNorm(dtype=self.dtype, name="post_attn_norm")(x)
+        if self.adapter_dim and self.adapter_mlp:
+            h = SerialAdapter(hidden_dim=self.adapter_dim,
+                              non_linear=self.adapter_non_linear,
+                              dtype=self.dtype, name="adapter_mlp_layer")(h)
         out = x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
                          dtype=self.dtype, name="mlp")(h)
         if cache is not None:
@@ -311,6 +346,9 @@ class DecoderLM(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    adapter_dim: int = 0
+    adapter_mlp: bool = False
+    adapter_non_linear: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -347,6 +385,8 @@ class DecoderLM(nn.Module):
                 rope_3d=self.rope_3d, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
                 lora_freeze_base=self.lora_freeze_base,
+                adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
+                adapter_non_linear=self.adapter_non_linear,
                 dtype=self.dtype, name=f"layer_{i}",
             )
             if cache is not None:

@@ -83,13 +83,15 @@ def main() -> None:
         return model.apply(params, embeds, positions, mask, cache=cache)
 
     @jax.jit
-    def decode(params, logits0, cache, pos0, steps_tokens):
-        """Greedy-decode args.decode_steps tokens under one jit."""
+    def decode(params, table, logits0, cache, pos0, steps_tokens):
+        """Greedy-decode args.decode_steps tokens under one jit. The embed
+        table is an ARGUMENT (a closure capture would bake a 1.2 GB constant
+        into the HLO and crawl through the compile relay)."""
         def step(t, carry):
             toks, last_logits, cache = carry
             nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
             toks = toks.at[:, t].set(nxt)
-            emb = embed_table[nxt][:, None]
+            emb = table[nxt][:, None]
             pos = pos0 + t
             last_logits, cache = model.apply(
                 params, emb, pos[:, None], None, cache=cache, decode_pos=pos)
@@ -128,7 +130,7 @@ def main() -> None:
         lat_dec = []
         for i in range(4):
             t0 = time.perf_counter()
-            toks, _ = decode(params, logits0, cache, pos0, toks0)
+            toks, _ = decode(params, embed_table, logits0, cache, pos0, toks0)
             int(np.asarray(toks)[0, -1])
             lat_dec.append((time.perf_counter() - t0) * 1e3)
         per_token_ms = float(np.median(lat_dec[1:])) / args.decode_steps

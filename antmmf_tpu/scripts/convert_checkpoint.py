@@ -30,7 +30,8 @@ import numpy as np
 
 ARCHS = ("bert", "clip_vit", "hf_clip_vision", "pvt_v2",
          "univl_retrieval", "univl_pretrain", "vlmo_multiway", "eva_vit",
-         "s3d")
+         "s3d", "qwen2_vit", "sanm", "llama_3d", "pink", "m2_omni",
+         "m2_encoder")
 
 
 def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
@@ -59,6 +60,38 @@ def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
         # depth inferred from the state dict (eva_vit_g has 39 blocks;
         # never trust a default layer count for block-stack arches)
         params = ti.eva_vit_state_dict_to_params(sd, depth=None)
+    elif arch == "m2_encoder":
+        # released VLMo/BEiT3 checkpoints may carry the deepspeed
+        # "_forward_module." wrapper (reference convert_deepspeed_ckpt,
+        # vlmo_module.py:59) — strip it, then import the full model
+        sd = {(k[len("_forward_module."):] if k.startswith("_forward_module.")
+               else k): v for k, v in sd.items()}
+        params = ti.m2_encoder_beit3_state_dict_to_params(sd)
+    elif arch == "llama_3d":
+        prefix = "language_model.model." if any(
+            k.startswith("language_model.model.") for k in sd) else "model."
+        head = ("language_model.lm_head.weight"
+                if prefix.startswith("language_model.") else "lm_head.weight")
+        params = ti.llama_3d_state_dict_to_params(sd, prefix=prefix,
+                                                  lm_head_key=head)
+    elif arch == "pink":
+        params = ti.pink_state_dict_to_params(sd)
+    elif arch == "m2_omni":
+        params = ti.m2_omni_state_dict_to_params(sd)
+    elif arch == "sanm":
+        # Bailing audio checkpoints prefix with "audio_model.encoder." or
+        # bare "encoder."; detect which
+        prefix = "audio_model.encoder." if any(
+            k.startswith("audio_model.encoder.") for k in sd) else "encoder."
+        if not any(k.startswith(prefix) for k in sd):
+            prefix = ""
+        params = ti.sanm_state_dict_to_params(sd, prefix=prefix)
+    elif arch == "qwen2_vit":
+        # M2-omni checkpoints may prefix the tower with "vision_model."
+        prefix = "vision_model." if any(
+            k.startswith("vision_model.blocks.") for k in sd) else ""
+        params = ti.qwen2_vit_state_dict_to_params(sd, depth=None,
+                                                   prefix=prefix)
     elif arch == "vlmo_multiway":
         # M2-Encoder/VLMo checkpoints prefix the stack with "transformer."
         prefix = "transformer." if any(

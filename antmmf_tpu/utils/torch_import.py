@@ -488,3 +488,279 @@ def s3d_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     _set(p, "fc/kernel", T(sd["fc.weight"]))
     _set(p, "fc/bias", sd["fc.bias"])
     return p
+
+
+def qwen2_vit_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], depth: Optional[int] = None,
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """Reference M2-omni Qwen2-ViT (``qwen2_vit.py`` Qwen2ViT) → our
+    ``Qwen2VisionTransformer`` params. The stride-equal Conv3d patchify
+    weight [E, C, tps, ps, ps] flattens to our patch Dense kernel
+    [C*tps*ps*ps, E] (same (C, tps, ps, ps) patch-vector order); fused
+    ``attn.qkv`` imports directly (our qkv Dense keeps the reference's
+    row order); merger.mlp.{0,2} map to merger_fc{1,2}."""
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    def ln(dst: str, src: str) -> None:
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    if depth is None:
+        depth = _infer_block_depth(sd, prefix)
+    p: Dict[str, Any] = {}
+    conv = np.asarray(sd[f"{prefix}patch_embed.proj.weight"])
+    _set(p, "patch_embed/kernel", T(conv.reshape(conv.shape[0], -1)))
+    for i in range(depth):
+        b, dst = f"{prefix}blocks.{i}", f"layer_{i}"
+        ln(f"{dst}/norm1", f"{b}.norm1")
+        ln(f"{dst}/norm2", f"{b}.norm2")
+        _set(p, f"{dst}/qkv/kernel", T(sd[f"{b}.attn.qkv.weight"]))
+        _set(p, f"{dst}/qkv/bias", sd[f"{b}.attn.qkv.bias"])
+        _set(p, f"{dst}/proj/kernel", T(sd[f"{b}.attn.proj.weight"]))
+        _set(p, f"{dst}/proj/bias", sd[f"{b}.attn.proj.bias"])
+        _set(p, f"{dst}/fc1/kernel", T(sd[f"{b}.mlp.fc1.weight"]))
+        _set(p, f"{dst}/fc1/bias", sd[f"{b}.mlp.fc1.bias"])
+        _set(p, f"{dst}/fc2/kernel", T(sd[f"{b}.mlp.fc2.weight"]))
+        _set(p, f"{dst}/fc2/bias", sd[f"{b}.mlp.fc2.bias"])
+    ln("ln_q", f"{prefix}merger.ln_q")
+    _set(p, "merger_fc1/kernel", T(sd[f"{prefix}merger.mlp.0.weight"]))
+    _set(p, "merger_fc1/bias", sd[f"{prefix}merger.mlp.0.bias"])
+    _set(p, "merger_fc2/kernel", T(sd[f"{prefix}merger.mlp.2.weight"]))
+    _set(p, "merger_fc2/bias", sd[f"{prefix}merger.mlp.2.bias"])
+    return p
+
+
+def sanm_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_blocks: Optional[int] = None,
+    prefix: str = "encoder.",
+) -> Dict[str, Any]:
+    """Reference M2-omni SANM audio encoder (``sanm_audio.py`` SANMEncoder,
+    funasr parameter schema) → our ``SANMEncoder`` params. funasr layers
+    ``encoders0.0`` (560→512) and ``encoders.{i}`` map to ``layer_0`` and
+    ``layer_{i+1}``; the depthwise ``fsmn_block`` conv [d, 1, k] transposes
+    to our [k, 1, d] kernel."""
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    def ln(dst: str, src: str) -> None:
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def block(dst: str, src: str) -> None:
+        ln(f"{dst}/norm1", f"{src}.norm1")
+        ln(f"{dst}/norm2", f"{src}.norm2")
+        a = f"{src}.self_attn"
+        _set(p, f"{dst}/self_attn/linear_q_k_v/kernel",
+             T(sd[f"{a}.linear_q_k_v.weight"]))
+        _set(p, f"{dst}/self_attn/linear_q_k_v/bias",
+             sd[f"{a}.linear_q_k_v.bias"])
+        _set(p, f"{dst}/self_attn/fsmn_kernel", np.ascontiguousarray(
+            np.transpose(np.asarray(sd[f"{a}.fsmn_block.weight"]),
+                         (2, 1, 0))))
+        _set(p, f"{dst}/self_attn/linear_out/kernel",
+             T(sd[f"{a}.linear_out.weight"]))
+        _set(p, f"{dst}/self_attn/linear_out/bias",
+             sd[f"{a}.linear_out.bias"])
+        _set(p, f"{dst}/w_1/kernel", T(sd[f"{src}.feed_forward.w_1.weight"]))
+        _set(p, f"{dst}/w_1/bias", sd[f"{src}.feed_forward.w_1.bias"])
+        _set(p, f"{dst}/w_2/kernel", T(sd[f"{src}.feed_forward.w_2.weight"]))
+        _set(p, f"{dst}/w_2/bias", sd[f"{src}.feed_forward.w_2.bias"])
+
+    if num_blocks is None:
+        idx = [int(k.replace(prefix, "").split(".")[1]) for k in sd
+               if k.startswith(f"{prefix}encoders.")]
+        num_blocks = (max(idx) + 2) if idx else 1
+    p: Dict[str, Any] = {}
+    block("layer_0", f"{prefix}encoders0.0")
+    for i in range(num_blocks - 1):
+        block(f"layer_{i + 1}", f"{prefix}encoders.{i}")
+    ln("after_norm", f"{prefix}after_norm")
+    return p
+
+
+def llama_3d_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_layers: Optional[int] = None,
+    prefix: str = "model.", lm_head_key: str = "lm_head.weight",
+) -> Dict[str, Any]:
+    """Reference LLaMA-3D decoder (``modeling_llama_3d.py`` Llama3dForCausalLM
+    — HF-LLaMA layout) → ``{token_embed, decoder, lm_head}`` params matching
+    ``modules/llm.DecoderLM`` (the shared substrate of Pink / M2-omni).
+    Tied lm_head falls back to the embedding. Pink serial adapters
+    (``adapter_attn.tune_adapter_a/b``, adapter.py:286-361) map to
+    ``adapter_attn/down|up`` when present."""
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    if num_layers is None:
+        idx = [int(k.replace(prefix, "").split(".")[1]) for k in sd
+               if k.startswith(f"{prefix}layers.")]
+        num_layers = max(idx) + 1
+    p: Dict[str, Any] = {}
+    _set(p, "token_embed/embedding", sd[f"{prefix}embed_tokens.weight"])
+    for i in range(num_layers):
+        b, dst = f"{prefix}layers.{i}", f"decoder/layer_{i}"
+        _set(p, f"{dst}/input_norm/scale",
+             sd[f"{b}.input_layernorm.weight"])
+        _set(p, f"{dst}/post_attn_norm/scale",
+             sd[f"{b}.post_attention_layernorm.weight"])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            _set(p, f"{dst}/attention/{name}/kernel",
+                 T(sd[f"{b}.self_attn.{name}.weight"]))
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            _set(p, f"{dst}/mlp/{name}/kernel",
+                 T(sd[f"{b}.mlp.{name}.weight"]))
+        for ada, dst_ada in (("adapter_attn", "adapter_attn"),
+                             ("adapter_mlp", "adapter_mlp_layer")):
+            if f"{b}.{ada}.tune_adapter_a.weight" in sd:
+                _set(p, f"{dst}/{dst_ada}/down/kernel",
+                     T(sd[f"{b}.{ada}.tune_adapter_a.weight"]))
+                _set(p, f"{dst}/{dst_ada}/down/bias",
+                     sd[f"{b}.{ada}.tune_adapter_a.bias"])
+                _set(p, f"{dst}/{dst_ada}/up/kernel",
+                     T(sd[f"{b}.{ada}.tune_adapter_b.weight"]))
+                _set(p, f"{dst}/{dst_ada}/up/bias",
+                     sd[f"{b}.{ada}.tune_adapter_b.bias"])
+    _set(p, "decoder/final_norm/scale", sd[f"{prefix}norm.weight"])
+    head = sd.get(lm_head_key, sd[f"{prefix}embed_tokens.weight"])
+    _set(p, "lm_head/kernel", T(head))
+    return p
+
+
+def pink_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference Pink checkpoint (``prj/Pink/pink/model/pink.py`` PinkModel =
+    LlamaForCausalLM + CLIP/EVA vision_model + mm_projector + serial
+    adapters) → our ``models/pink.PinkModel`` params with
+    ``adapter_style="pink"``. Vision tower routes by key shape: EVA
+    (``vision_model.blocks.``) → eva importer; CLIP
+    (``vision_model.vision_model.``) → hf_clip_vision importer."""
+    p = llama_3d_state_dict_to_params(sd)
+    if any(k.startswith("vision_model.blocks.") for k in sd):
+        p["vision_tower"] = eva_vit_state_dict_to_params(
+            sd, depth=None, prefix="vision_model.")
+    elif any(k.startswith("vision_model.vision_model.") for k in sd):
+        depth = max(int(k.split(".")[4]) for k in sd
+                    if k.startswith("vision_model.vision_model.encoder.layers."))
+        p["vision_tower"] = hf_clip_vision_state_dict_to_params(
+            {k.replace("vision_model.vision_model.", "vision_model."): v
+             for k, v in sd.items() if k.startswith("vision_model.")},
+            depth + 1)
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+    _set(p, "vision_proj/kernel", T(sd["mm_projector.weight"]))
+    _set(p, "vision_proj/bias", sd["mm_projector.bias"])
+    return p
+
+
+def m2_omni_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], mlp_depths: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Reference M2-omni checkpoint (``modeling_m2omni.py`` Bailing2 model:
+    ``language_model`` LLaMA-3D + ``vision_model`` Qwen2-ViT +
+    ``audio_model.encoder`` SANM + ``linear_proj``/``linear_proj_audio``
+    MLPs) → our ``models/m2_omni.M2Omni`` params (qwen2 + sanm towers)."""
+    p = llama_3d_state_dict_to_params(
+        sd, prefix="language_model.model.",
+        lm_head_key="language_model.lm_head.weight")
+    p["vision_tower"] = qwen2_vit_state_dict_to_params(
+        sd, depth=None, prefix="vision_model.")
+    p["audio_encoder"] = sanm_state_dict_to_params(
+        sd, prefix="audio_model.encoder.")
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    # Sequential [Linear] + (depth-1)*[GELU, Linear] -> Linear indices 0,2,4..
+    for seq, dst in (("linear_proj", "vision_proj"),
+                     ("linear_proj_audio", "audio_proj")):
+        idxs = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith(f"{seq}.") and k.endswith(".weight")})
+        for j, si in enumerate(idxs):
+            _set(p, f"{dst}_{j}/kernel", T(sd[f"{seq}.{si}.weight"]))
+            _set(p, f"{dst}_{j}/bias", sd[f"{seq}.{si}.bias"])
+    return p
+
+
+def m2_encoder_beit3_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], num_layers: Optional[int] = None,
+    vl_layers: Optional[int] = None, prefix: str = "",
+) -> Dict[str, Any]:
+    """Released M2-Encoder checkpoint (torchscale BEiT3 VLMo — the layout
+    ``convert_deepspeed_ckpt`` emits, reference vlmo_module.py:59) → our
+    ``models/m2_encoder_ref.M2EncoderRef`` params. Covers the backbone
+    (multiway A/B projections+norms, subln inner/ffn norms, fairseq
+    positions), the vl stack, ITC heads, pooler and logit scale."""
+
+    def T(v):
+        return np.ascontiguousarray(np.asarray(v).T)
+
+    def ln(dst: str, src: str) -> None:
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def mw_dense(dst: str, src: str) -> None:
+        for w in ("A", "B"):
+            _set(p, f"{dst}/{w}/kernel", T(sd[f"{src}.{w}.weight"]))
+            _set(p, f"{dst}/{w}/bias", sd[f"{src}.{w}.bias"])
+
+    def mw_ln(dst: str, src: str) -> None:
+        for w in ("A", "B"):
+            ln(f"{dst}/{w}", f"{src}.{w}")
+
+    def stack(dst_root: str, src_root: str, n: int) -> None:
+        for i in range(n):
+            b, dst = f"{src_root}.layers.{i}", f"{dst_root}/layer_{i}"
+            mw_ln(f"{dst}/self_attn_layer_norm", f"{b}.self_attn_layer_norm")
+            mw_ln(f"{dst}/final_layer_norm", f"{b}.final_layer_norm")
+            mw_ln(f"{dst}/inner_attn_ln", f"{b}.self_attn.inner_attn_ln")
+            for name in ("q_proj", "k_proj", "v_proj"):
+                mw_dense(f"{dst}/{name}", f"{b}.self_attn.{name}")
+            mw_dense(f"{dst}/out_proj", f"{b}.self_attn.out_proj")
+            for w in ("A", "B"):
+                _set(p, f"{dst}/ffn/{w}_fc1/kernel",
+                     T(sd[f"{b}.ffn.{w}.fc1.weight"]))
+                _set(p, f"{dst}/ffn/{w}_fc1/bias", sd[f"{b}.ffn.{w}.fc1.bias"])
+                _set(p, f"{dst}/ffn/{w}_ffn_ln/scale",
+                     sd[f"{b}.ffn.{w}.ffn_layernorm.weight"])
+                _set(p, f"{dst}/ffn/{w}_ffn_ln/bias",
+                     sd[f"{b}.ffn.{w}.ffn_layernorm.bias"])
+                _set(p, f"{dst}/ffn/{w}_fc2/kernel",
+                     T(sd[f"{b}.ffn.{w}.fc2.weight"]))
+                _set(p, f"{dst}/ffn/{w}_fc2/bias", sd[f"{b}.ffn.{w}.fc2.bias"])
+        mw_ln(f"{dst_root}/layer_norm", f"{src_root}.layer_norm")
+
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    if num_layers is None:
+        num_layers = 1 + max(int(k.split(".")[3]) for k in sd
+                             if k.startswith("backbone.encoder.layers."))
+    p: Dict[str, Any] = {}
+    _set(p, "text_embed/embedding", sd["backbone.text_embed.weight"])
+    conv = np.asarray(sd["backbone.vision_embed.proj.weight"])
+    _set(p, "vision_proj_conv/kernel",
+         np.ascontiguousarray(conv.transpose(2, 3, 1, 0)))
+    _set(p, "vision_proj_conv/bias", sd["backbone.vision_embed.proj.bias"])
+    _set(p, "cls_token", sd["backbone.vision_embed.cls_token"])
+    _set(p, "pos_vision/embedding",
+         sd["backbone.encoder.embed_positions.A.weight"])
+    _set(p, "pos_text/embedding",
+         sd["backbone.encoder.embed_positions.B.weight"])
+    stack("backbone", "backbone.encoder", num_layers)
+    if any(k.startswith("backbone_vl.") for k in sd):
+        if vl_layers is None:
+            vl_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                                if k.startswith("backbone_vl.layers."))
+        stack("backbone_vl", "backbone_vl", vl_layers)
+    for head in ("itc_text_proj", "itc_image_proj",
+                 "itc_vl_text_proj", "itc_vl_image_proj"):
+        if f"{head}.fc.weight" in sd:
+            _set(p, f"{head}/kernel", T(sd[f"{head}.fc.weight"]))
+    if "pooler.dense.weight" in sd:
+        _set(p, "pooler/kernel", T(sd["pooler.dense.weight"]))
+        _set(p, "pooler/bias", sd["pooler.dense.bias"])
+    if "logit_scale" in sd:
+        _set(p, "logit_scale", np.asarray(sd["logit_scale"]).reshape(()))
+    return p

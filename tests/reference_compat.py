@@ -371,3 +371,49 @@ def load_pink_eva_vit():
     sys.modules["ref_pink_eva"] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_vlmo_beit3():
+    """Import the REAL M2-Encoder backbone — the torchscale BEiT3 stack
+    (vlmo/torchscale/model/BEiT3.py + architecture/encoder.py) — with
+    fairscale/apex/timm/lightning stubbed and vlmo.modules' heavy __init__
+    bypassed. Returns (BEiT3_module, encoder_module, heads_module,
+    config_module)."""
+    import importlib
+    import importlib.util
+
+    if "vlmo" in sys.modules and hasattr(sys.modules["vlmo"], "_beit3_ready"):
+        import vlmo  # noqa
+
+        return (sys.modules["vlmo.torchscale.model.BEiT3"],
+                sys.modules["vlmo.torchscale.architecture.encoder"],
+                sys.modules["vlmo.modules.heads"],
+                sys.modules["vlmo.torchscale.architecture.config"])
+
+    load_vlmo_multiway()  # timm + lightning stubs
+    fs = _mod("fairscale")
+    fs.__path__ = []
+    _mod("fairscale.nn", checkpoint_wrapper=lambda m, *a, **k: m,
+         wrap=lambda m, *a, **k: m)
+    fs.nn = sys.modules["fairscale.nn"]
+
+    root = os.path.join(REFERENCE_ROOT, "prj/M2_Encoder/vlmo")
+    spec = importlib.util.spec_from_file_location(
+        "vlmo", os.path.join(root, "__init__.py"),
+        submodule_search_locations=[root])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["vlmo"] = pkg
+    spec.loader.exec_module(pkg)
+    # bypass vlmo.modules.__init__ (it imports the full lightning module)
+    mdir = os.path.join(root, "modules")
+    mpkg = types.ModuleType("vlmo.modules")
+    mpkg.__path__ = [mdir]
+    mpkg.__package__ = "vlmo.modules"
+    sys.modules["vlmo.modules"] = mpkg
+
+    beit3 = importlib.import_module("vlmo.torchscale.model.BEiT3")
+    enc = importlib.import_module("vlmo.torchscale.architecture.encoder")
+    heads = importlib.import_module("vlmo.modules.heads")
+    cfg = importlib.import_module("vlmo.torchscale.architecture.config")
+    pkg._beit3_ready = True
+    return beit3, enc, heads, cfg
