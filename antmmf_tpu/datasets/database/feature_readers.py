@@ -165,20 +165,14 @@ class LMDBFeatureReader(PaddedFasterRCNNFeatureReader):
     def __init__(self, max_loc: int, feat_dim: Optional[int],
                  db_path: str):
         super().__init__(max_loc, feat_dim)
-        try:
-            import lmdb
-        except ImportError as e:
-            raise RuntimeError(
-                "LMDB feature source requested but the lmdb package is not "
-                "in this image — repack with scripts/lmdb_conversion or use "
-                "the npy directory layout") from e
-        self.env = lmdb.open(db_path, readonly=True, lock=False,
-                             readahead=False)
+        from antmmf_tpu.utils.lmdb_lite import open_lmdb
+
+        # real lmdb when installed, pure-Python reader otherwise
+        self.env = open_lmdb(db_path)
 
     def read(self, feat_path: str) -> ReadResult:
         key = os.path.splitext(os.path.basename(feat_path))[0]
-        with self.env.begin() as txn:
-            buf = txn.get(key.encode())
+        buf = self.env.get(key.encode())
         if buf is None:
             raise KeyError(f"Feature {key!r} not in lmdb")
         feat = np.load(io.BytesIO(buf), allow_pickle=True)

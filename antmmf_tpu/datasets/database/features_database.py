@@ -22,20 +22,14 @@ class FeaturesDatabase:
         self.feature_dim = feature_dim
         self._lmdb = None
         if features_root.endswith(".lmdb"):
-            try:
-                import lmdb
+            from antmmf_tpu.utils.lmdb_lite import open_lmdb
 
-                self._lmdb = lmdb.open(
-                    features_root, readonly=True, lock=False, readahead=False)
-            except ImportError as e:
-                raise RuntimeError(
-                    "lmdb feature source requested but lmdb is unavailable"
-                ) from e
+            # real lmdb when installed, pure-Python reader otherwise
+            self._lmdb = open_lmdb(features_root)
 
     def _load_raw(self, name: str) -> np.ndarray:
         if self._lmdb is not None:
-            with self._lmdb.begin() as txn:
-                buf = txn.get(name.encode())
+            buf = self._lmdb.get(name.encode())
             if buf is None:
                 raise KeyError(f"Feature {name!r} not in lmdb")
             import io

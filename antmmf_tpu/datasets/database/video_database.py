@@ -9,6 +9,7 @@ optional import (lmdb is not in this image).
 
 from __future__ import annotations
 
+import io
 import os
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -102,6 +103,34 @@ class KeyFramesDatabase:
         return flat.reshape(n_clips, frames_per_clip, *flat.shape[1:])
 
 
+class LmdbVideoDatabase:
+    """Packed-frames LMDB source (reference MultiSourceLoader lmdb txn path,
+    video_database.py:289-335). Keys are clip names; values are npy-encoded
+    uint8 frame stacks [F, H, W, 3] (packed by
+    ``scripts/extract_keyframes.py --pack_lmdb``). Reads through
+    ``utils.lmdb_lite.open_lmdb`` — real lmdb when installed, the
+    pure-Python reader otherwise."""
+
+    def __init__(self, db_path: str, seed: Optional[int] = None, **_: Any):
+        from antmmf_tpu.utils.lmdb_lite import open_lmdb
+
+        self.env = open_lmdb(db_path)
+        self.rng = np.random.default_rng(seed)
+
+    def get(self, name: str, n_clips: int = 1, frames_per_clip: int = 8,
+            is_training: bool = False, **_: Any) -> np.ndarray:
+        key = os.path.splitext(name)[0]
+        buf = self.env.get(key.encode())
+        if buf is None:
+            raise KeyError(f"Clip {key!r} not in lmdb")
+        frames = np.load(io.BytesIO(buf), allow_pickle=False)
+        idx = sample_clip_indices(
+            frames.shape[0], n_clips, frames_per_clip,
+            "random" if is_training else "uniform", self.rng)
+        flat = frames[idx.reshape(-1)]
+        return flat.reshape(n_clips, frames_per_clip, *flat.shape[1:])
+
+
 class MultiSourceLoader:
     """Dispatch clip loads across source kinds: video files, keyframe dirs, or LMDB
     (reference video_database.py:289-335)."""
@@ -121,11 +150,7 @@ class MultiSourceLoader:
         elif source == "keyframes":
             self.db = KeyFramesDatabase(root, **kwargs)
         elif source == "lmdb":
-            try:
-                import lmdb  # noqa: F401
-            except ImportError as e:
-                raise RuntimeError("lmdb source requested but lmdb is not installed") from e
-            raise NotImplementedError("LMDB video source: pending lmdb availability")
+            self.db = LmdbVideoDatabase(root, **kwargs)
         else:
             raise ValueError(f"Unknown video source {source!r}")
 

@@ -28,8 +28,12 @@ from antmmf_tpu.utils.tokenization import BertTokenizer
 def _resolve_vocab_path(path: str) -> str:
     if os.path.exists(path):
         return path
-    # common fixture locations
-    for root in (os.getcwd(), os.path.join(os.getcwd(), "tests", "data")):
+    # common fixture locations; the repo root anchors the default vocab
+    # when the caller's cwd is elsewhere (library use)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    for root in (os.getcwd(), os.path.join(os.getcwd(), "tests", "data"),
+                 repo_root, os.path.join(repo_root, "tests", "data")):
         cand = os.path.join(root, path)
         if os.path.exists(cand):
             return cand

@@ -118,15 +118,25 @@ def main(argv=None) -> None:
     if args.pack_lmdb:
         try:
             import lmdb
+
+            env = lmdb.open(args.pack_lmdb, map_size=1 << 40)
+            with env.begin(write=True) as txn:
+                for name in names:
+                    key = os.path.splitext(name)[0]
+                    path = os.path.join(args.out_dir, key + ".npy")
+                    with open(path, "rb") as f:
+                        txn.put(key.encode(), f.read())
         except ImportError:
-            raise SystemExit("--pack_lmdb requires the lmdb package")
-        env = lmdb.open(args.pack_lmdb, map_size=1 << 40)
-        with env.begin(write=True) as txn:
+            # pure-Python packer (utils/lmdb_lite) — same on-disk format
+            from antmmf_tpu.utils.lmdb_lite import LmdbLiteWriter
+
+            w = LmdbLiteWriter(args.pack_lmdb)
             for name in names:
                 key = os.path.splitext(name)[0]
                 path = os.path.join(args.out_dir, key + ".npy")
                 with open(path, "rb") as f:
-                    txn.put(key.encode(), f.read())
+                    w.put(key, f.read())
+            w.save()
         print(f"packed into {args.pack_lmdb}")
 
 

@@ -69,9 +69,53 @@ def main(argv=None) -> None:
     parser.add_argument("--quality", type=int, default=92)
     parser.add_argument("--size", type=int, default=0,
                         help="pre-resize short side at extraction (0 = keep)")
+    parser.add_argument("--pack_lmdb", default=None,
+                        help="also pack frames into a .lmdb environment "
+                             "(npy uint8 [F,H,W,3] per clip; readable by "
+                             "MultiSourceLoader source=lmdb)")
     args = parser.parse_args(argv)
+    out_root = extract_keyframes_out(args)
+    if args.pack_lmdb:
+        pack_lmdb(out_root, args.pack_lmdb)
+
+
+def extract_keyframes_out(args):
+    out_root = args.out_root or args.video_root.rstrip("/") + "_keyframes"
     extract_keyframes(args.video_root, args.out_root, args.frames,
                       args.quality, args.size)
+    return out_root
+
+
+def pack_lmdb(keyframes_root: str, lmdb_path: str) -> str:
+    """Pack keyframe dirs into one LMDB env: key = clip name, value =
+    npy-encoded uint8 frame stack (LmdbVideoDatabase's format). Uses the
+    pure-Python writer when the lmdb package is absent."""
+    import io
+
+    import cv2
+    import numpy as np
+
+    from antmmf_tpu.utils.lmdb_lite import LmdbLiteWriter
+
+    w = LmdbLiteWriter(lmdb_path)
+    n = 0
+    for clip in sorted(os.listdir(keyframes_root)):
+        d = os.path.join(keyframes_root, clip)
+        if not os.path.isdir(d):
+            continue
+        frames = []
+        for f in sorted(os.listdir(d)):
+            if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                frames.append(cv2.imread(os.path.join(d, f))[:, :, ::-1])
+        if not frames:
+            continue
+        buf = io.BytesIO()
+        np.save(buf, np.stack(frames).astype(np.uint8))
+        w.put(clip, buf.getvalue())
+        n += 1
+    path = w.save()
+    print(f"packed {n} clips into {path}")
+    return path
 
 
 if __name__ == "__main__":

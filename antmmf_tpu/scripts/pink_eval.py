@@ -93,22 +93,70 @@ def pointing_score(
     return float(gt_box[0] <= cx <= gt_box[2] and gt_box[1] <= cy <= gt_box[3])
 
 
+def mc_score(pred: str, answer: str, options: Sequence[str]) -> float:
+    """Multiple-choice accuracy (reference model_seed/iconqa/mmbench class):
+    the prediction names the correct option letter or its text."""
+    p = pred.strip().lower()
+    ans = answer.strip().lower()
+    letters = "abcdefgh"[: max(1, len(options))]
+    if ans in letters:  # answer given as a letter
+        idx = letters.index(ans)
+        opt = options[idx].strip().lower() if idx < len(options) else ""
+    else:
+        opt = ans
+        idx = next((i for i, o in enumerate(options)
+                    if o.strip().lower() == ans), -1)
+    first = p.split(".")[0].split(")")[0].strip()
+    if idx >= 0 and first == letters[idx]:
+        return 1.0
+    return 1.0 if opt and opt in p else 0.0
+
+
+def binary_score(pred: str, answer) -> float:
+    """True/false accuracy (reference model_vsr.py class)."""
+    p = pred.strip().lower()
+    truthy = {"true", "yes", "1"}
+    want = (str(answer).strip().lower() in truthy) if not isinstance(
+        answer, bool) else answer
+    got = any(t in p.split()[:3] for t in truthy) if p else False
+    falsy = {"false", "no", "0"}
+    if any(t in p.split()[:3] for t in falsy):
+        got = False
+    return float(got == want)
+
+
 def score_rows(
     rows: Sequence[Dict], predictions: Sequence[str], task: str,
 ) -> Dict[str, float]:
-    """Aggregate per-row scores → summary dict (pure; unit-testable)."""
+    """Aggregate per-row scores → summary dict (pure; unit-testable).
+
+    Task families mirror the reference eval drivers
+    (prj/Pink/pink/eval/model_*.py): vqa/gqa/okvqa (open answer match),
+    grounding (IoU@0.5), pointing (point-in-box), mc (seed/iconqa/mmbench
+    multiple-choice), binary (vsr true/false), caption (dump only)."""
     scores: List[float] = []
     for row, pred in zip(rows, predictions):
-        if task == "vqa":
+        if task in ("vqa", "gqa", "okvqa"):
             answers = row.get("answers") or [row["answer"]]
             scores.append(vqa_score(pred, answers))
+        elif task == "mc":
+            scores.append(mc_score(pred, str(row["answer"]),
+                                   row.get("options", [])))
+        elif task == "binary":
+            scores.append(binary_score(pred, row["answer"]))
+        elif task == "caption":
+            continue
         else:
             fn = grounding_score if task == "grounding" else pointing_score
             scores.append(fn(pred, row["bbox"],
                              float(row.get("width", 1.0)),
                              float(row.get("height", 1.0))))
-    key = {"vqa": "vqa_accuracy", "grounding": "acc@0.5",
-           "pointing": "pointing_acc"}[task]
+    key = {"vqa": "vqa_accuracy", "gqa": "gqa_accuracy",
+           "okvqa": "okvqa_accuracy", "grounding": "acc@0.5",
+           "pointing": "pointing_acc", "mc": "mc_accuracy",
+           "binary": "binary_accuracy", "caption": "n_dumped"}[task]
+    if task == "caption":
+        return {key: float(len(predictions)), "n": float(len(predictions))}
     return {key: float(np.mean(scores)) * 100.0 if scores else 0.0,
             "n": float(len(scores))}
 
@@ -138,7 +186,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--annotations", required=True)
     parser.add_argument("--image_dir", required=True)
     parser.add_argument("--task", default="vqa",
-                        choices=("vqa", "grounding", "pointing"))
+                        choices=("vqa", "gqa", "okvqa", "grounding",
+                                 "pointing", "mc", "binary", "caption"))
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--vocab_file",
                         default="tests/data/vocabs/"
@@ -147,6 +196,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--max_prompt_len", type=int, default=64)
     parser.add_argument("--max_new_tokens", type=int, default=24)
+    parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--out", default=None,
                         help="optional jsonl of per-row predictions")
@@ -207,7 +257,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             "image_data": np.stack(imgs + [imgs[-1]] * pad),
         }
         tokens, lens = module.generate(
-            variables, batch, max_length=args.max_new_tokens)
+            variables, batch, max_length=args.max_new_tokens,
+            num_beams=args.num_beams)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         for bi in range(len(chunk)):
             gen = tokens[bi, lens[bi]: lens[bi] + args.max_new_tokens]

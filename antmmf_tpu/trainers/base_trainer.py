@@ -295,6 +295,9 @@ class BaseTrainer:
             self._profile_flops()
             timer = Timer()
             iteration = int(self.state.step)
+            # ETA baseline: after resume, per-iter time must divide by the
+            # iterations run THIS session, not since step 0
+            self._start_iter = iteration
             epoch = 0
             should_stop = False
             val_batch = self._first_val_batch()

@@ -230,3 +230,28 @@ def test_pink_eval_scorers():
     rows = [{"question": "q", "bbox": gt, "width": W, "height": H}] * 2
     summary = score_rows(rows, [text, "nothing"], "grounding")
     assert summary == {"acc@0.5": 50.0, "n": 2.0}
+
+
+def test_pink_eval_mc_and_binary_scorers():
+    """The seed/iconqa-class multiple-choice and vsr-class true/false scorers
+    (reference prj/Pink/pink/eval/model_seed.py, model_vsr.py)."""
+    from antmmf_tpu.scripts.pink_eval import binary_score, mc_score, score_rows
+
+    opts = ["red", "green", "blue"]
+    assert mc_score("B", "b", opts) == 1.0
+    assert mc_score("green", "b", opts) == 1.0
+    assert mc_score("blue", "b", opts) == 0.0
+    assert mc_score("the answer is green.", "green", opts) == 1.0
+
+    assert binary_score("True", "true") == 1.0
+    assert binary_score("yes it is", True) == 1.0
+    assert binary_score("no", "true") == 0.0
+    assert binary_score("false", False) == 1.0
+
+    rows = [{"answer": "b", "options": opts}, {"answer": "true"}]
+    s = score_rows(rows[:1], ["B"], "mc")
+    assert s["mc_accuracy"] == 100.0
+    s = score_rows(rows[1:], ["false"], "binary")
+    assert s["binary_accuracy"] == 0.0
+    s = score_rows([{"answer": "x"}], ["anything"], "caption")
+    assert s["n_dumped"] == 1.0
