@@ -393,3 +393,37 @@ class SoftCopyAnswerProcessor(BaseProcessor):
         out["answers_scores"] = scores
         out["targets"] = scores
         return out
+
+
+@registry.register_processor("glm_chinese")
+class GLMChineseProcessor(BaseProcessor):
+    """GLM Chinese tokenization for M2-Encoder bilingual text (reference
+    vlmo/tokenizer/tokenization_glm.py GLMChineseTokenizer — SentencePiece
+    BPE + whitespace-run escaping — via the pure-Python engine in
+    utils/sentencepiece_lite.py; the sp.model file ships with checkpoints).
+
+    {'text': str} → {'input_ids', 'input_mask'} int64[max_seq_length]."""
+
+    def __init__(self, config=None, *a, **k):
+        super().__init__(config)
+        cfg = self.config
+        from antmmf_tpu.utils.sentencepiece_lite import GLMChineseTokenizer
+
+        model_path = cfg.get("sp_model", cfg.get("model_file"))
+        if not model_path:
+            raise ValueError(
+                "glm_chinese processor needs sp_model: path to sp.model")
+        self.tokenizer = GLMChineseTokenizer(model_path)
+        self.max_seq_length = int(cfg.get("max_seq_length", 52))
+
+    def __call__(self, item, *a, **k):
+        ids = self.tokenizer.encode(str(item.get("text", "")))
+        L = self.max_seq_length
+        out_ids = np.full((L,), self.tokenizer.pad_token_id, np.int64)
+        mask = np.zeros((L,), np.int64)
+        n = min(len(ids), L)
+        out_ids[:n] = ids[:n]
+        mask[:n] = 1
+        return {"input_ids": out_ids, "input_mask": mask,
+                "tokens": [str(t) for t in
+                           self.tokenizer.tokenize(str(item.get("text", "")))]}

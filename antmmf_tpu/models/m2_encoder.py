@@ -301,6 +301,8 @@ class M2Encoder(BaseModel):
             aux_list = (aux_i, aux_t, aux_p, aux_n)
         else:
             aux_list = (aux_i, aux_t)
+        metrics: Dict[str, jnp.ndarray] = {}
+        n_drop = 0
         for aux in aux_list:
             if "aux_loss" in aux:
                 losses["moe_aux_loss"] = losses.get("moe_aux_loss", 0.0) + \
@@ -308,6 +310,17 @@ class M2Encoder(BaseModel):
             if "router_z_loss" in aux:
                 losses["router_z_loss"] = losses.get("router_z_loss", 0.0) + \
                     self.router_z_weight * aux["router_z_loss"]
+            if "frac_tokens_dropped" in aux:
+                # GShard capacity-overflow telemetry (moe_layer.py:121-290)
+                metrics["frac_tokens_dropped"] = metrics.get(
+                    "frac_tokens_dropped", 0.0) + aux["frac_tokens_dropped"]
+                n_drop += 1
+        if n_drop:
+            # aux_total sums over this tower's MoE layers; normalize to a
+            # per-layer mean fraction
+            metrics["frac_tokens_dropped"] = (
+                metrics["frac_tokens_dropped"]
+                / (n_drop * max(1, len(self.moe_layers))))
         return {**output, "sim": sim, "l1_simi": sim, "logits": sim,
                 "text_embed": txt_emb, "visual_embed": img_emb,
-                "losses": losses}
+                "losses": losses, "metrics": metrics}

@@ -90,14 +90,26 @@ class UnivlForVideoCaptioning(BaseModel):
         self, variables, batch: Mapping[str, Any],
         bos_id: int = 101, eos_id: int = 102,
         num_beams: int = 4, max_length: Optional[int] = None,
+        use_cache: bool = True,
     ):
-        """Beam-search captions for a batch (host-callable, jit inside)."""
+        """Beam-search captions for a batch (host-callable, jit inside).
+
+        Default path: KV-cache incremental decode — cross-attention memory
+        k/v primed once, per-token self-attention cache (the reference
+        decodes captions token-by-token through its TextDecoder; here O(1)
+        per token instead of the O(L²) full re-encode, which remains as the
+        ``use_cache=False`` regression anchor)."""
         from antmmf_tpu.utils.text_utils import beam_search
 
         max_length = max_length or self.max_caption_len
         memory, memory_mask = self.apply(
             variables, batch, True, method=lambda m, b, d: m._memory(b, d))
         B = memory.shape[0]
+
+        if use_cache:
+            return self._generate_cached(
+                variables, memory, memory_mask, bos_id, eos_id,
+                num_beams, max_length)
 
         def logits_fn(tokens):  # [B*beams, t]
             reps = tokens.shape[0] // B
@@ -113,3 +125,43 @@ class UnivlForVideoCaptioning(BaseModel):
         bos = jnp.full((B,), bos_id, jnp.int32)
         return beam_search(logits_fn, bos, eos_id=eos_id,
                            max_length=max_length, num_beams=num_beams)
+
+    def _generate_cached(self, variables, memory, memory_mask,
+                         bos_id, eos_id, num_beams, max_length):
+        from antmmf_tpu.utils.text_utils import beam_search_cached
+
+        B = memory.shape[0]
+        H = self.decoder_heads
+        # decoder width == base.visual_hidden; read it off the token embed
+        C = variables["params"]["decoder"]["token_embed"][
+            "embedding"].shape[-1]
+        hd = C // H
+        T = max_length
+
+        def decode_fn(tok, pos, cache):
+            logits, new_self = self.apply(
+                variables, tok, pos, cache["self"], cache["mem"],
+                cache["mm"],
+                method=lambda m, t, p, c, mk, mm: m.decoder.decode_step(
+                    t, p, c, mk, mm))
+            return logits, {**cache, "self": new_self}
+
+        @jax.jit
+        def run(memory, memory_mask):
+            mem_kvs = self.apply(
+                variables, memory,
+                method=lambda m, mem: m.decoder.prime(mem))
+            caches0 = [{"k": jnp.zeros((B, H, T, hd), memory.dtype),
+                        "v": jnp.zeros((B, H, T, hd), memory.dtype)}
+                       for _ in range(self.decoder_layers)]
+            cache = {"self": caches0, "mem": mem_kvs, "mm": memory_mask}
+            bos = jnp.full((B,), bos_id, jnp.int32)
+            logits0, cache = decode_fn(bos, jnp.zeros((B,), jnp.int32),
+                                       cache)
+            best, scores = beam_search_cached(
+                decode_fn, logits0, cache, jnp.ones((B,), jnp.int32),
+                eos_id, max_new=max_length - 1, num_beams=num_beams)
+            tokens = jnp.concatenate([bos[:, None], best], axis=1)
+            return tokens, scores
+
+        return run(memory, memory_mask)

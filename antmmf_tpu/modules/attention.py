@@ -178,6 +178,17 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         return_probs: bool = False,
+        # incremental decoding (the caption/serving path — the reference
+        # decodes via past_key_values; see modules/llm.py for the scheme):
+        # * return_kv: project ``kv`` once and return (k, v) heads for reuse
+        #   as ``cached_kv`` (cross-attention memory precompute)
+        # * cached_kv: (k, v) [B, H, Lk, d] — skip the k/v projections
+        # * cache {"k","v"} [B, H, T, d] + decode_pos int[B]: one-token
+        #   self-attention decode; returns (out, new_cache)
+        return_kv: bool = False,
+        cached_kv: Optional[tuple] = None,
+        cache: Optional[dict] = None,
+        decode_pos: Optional[jnp.ndarray] = None,
     ):
         is_self = kv is None
         kv = x if kv is None else kv
@@ -191,6 +202,37 @@ class MultiHeadAttention(nn.Module):
         def heads(t: jnp.ndarray) -> jnp.ndarray:
             B, L, _ = t.shape
             return t.reshape(B, L, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        if return_kv:
+            return (heads(dense(inner, name="k_proj")(kv)),
+                    heads(dense(inner, name="v_proj")(kv)))
+        if cached_kv is not None:
+            q = heads(dense(inner, name="q_proj")(x))
+            k, v = cached_kv
+            out = attention_core(q, k, v, bias=bias,
+                                 use_pallas=self.use_pallas)
+            B, H, Lq, D = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * D)
+            return dense(self.out_dim or C, name="out_proj")(out)
+        if cache is not None:
+            # single-token self-attention decode (x is [B, 1, C])
+            q = heads(dense(inner, name="q_proj")(x))
+            k1 = heads(dense(inner, name="k_proj")(x))
+            v1 = heads(dense(inner, name="v_proj")(x))
+            T = cache["k"].shape[2]
+            slot = (jnp.arange(T)[None] == decode_pos[:, None])  # [B, T]
+            w = slot[:, None, :, None]
+            new_cache = {
+                "k": jnp.where(w, k1.astype(cache["k"].dtype), cache["k"]),
+                "v": jnp.where(w, v1.astype(cache["v"].dtype), cache["v"]),
+            }
+            valid = (jnp.arange(T)[None] <= decode_pos[:, None])
+            dbias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+            out = attention_core(q, new_cache["k"], new_cache["v"],
+                                 bias=dbias, use_pallas=False)
+            B, H, Lq, D = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, H * D)
+            return dense(self.out_dim or C, name="out_proj")(out), new_cache
 
         fused = self.fuse_qkv if self.fuse_qkv is not None else FUSE_QKV_DEFAULT
         if fused and is_self:

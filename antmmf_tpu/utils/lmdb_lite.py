@@ -369,6 +369,8 @@ def open_lmdb(path: str):
     try:
         import lmdb  # type: ignore
 
+        if not hasattr(lmdb, "open"):  # a bare stub module, not real lmdb
+            raise ImportError("lmdb stub")
         return _RealLmdbShim(lmdb.open(path, readonly=True, lock=False,
                                        readahead=False))
     except ImportError:

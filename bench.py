@@ -133,7 +133,13 @@ def main() -> None:
         "serving_text_query_p50_ms": 30.4,
         "serving_encode_b32_clips_per_sec": 503.6,
         "serving_encode_b32_tome_r8_clips_per_sec": 591.3,
-        "source": "BASELINE.md round-2 measurements",
+        # round 3: LLM KV-cache decode (bench_decode.py, omni_1b 1.29 B
+        # params bf16) and MoE train step (bench_moe.py, m2_encoder_0b4 +
+        # top-2 xMoE blocks) — BASELINE.md round-3 tables
+        "llm_decode_L512_tokens_per_sec": 202.4,
+        "llm_decode_L512_speedup_vs_reencode": 28.3,
+        "llm_decode_L1024_tokens_per_sec": 198.6,
+        "source": "BASELINE.md round-2/3 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):
         from antmmf_tpu.scripts.bench_r2_experiments import (

@@ -187,3 +187,26 @@ def test_sequence_parallel_knob_in_transformer(seq_mesh):
                                    atol=2e-5)
     finally:
         registry.unregister("mesh")
+
+
+def test_m2_encoder_surfaces_frac_tokens_dropped():
+    """The GShard capacity-overflow telemetry must reach model metrics
+    (bench_moe.py's headline; reference moe_layer.py:121-290)."""
+    import jax
+    import jax.numpy as jnp
+
+    from antmmf_tpu.models.m2_encoder import M2Encoder
+
+    model = M2Encoder(preset="m2_tiny_test", image_size=32, patch_size=16,
+                      vocab_size=100, embed_dim_out=16, moe_layers=(1,),
+                      moe_num_experts=4, dtype_str="float32")
+    rng = jax.random.PRNGKey(0)
+    batch = {"image": jax.random.normal(rng, (4, 32, 32, 3)),
+             "input_ids": jnp.ones((4, 8), jnp.int32),
+             "input_mask": jnp.ones((4, 8), jnp.int32)}
+    variables = model.init(rng, batch)
+    out = model.apply(variables, batch)
+    assert "frac_tokens_dropped" in out["metrics"]
+    fd = float(out["metrics"]["frac_tokens_dropped"])
+    assert 0.0 <= fd <= 1.0
+    assert "moe_aux_loss" in out["losses"]
