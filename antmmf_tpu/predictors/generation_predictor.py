@@ -1,0 +1,103 @@
+"""Generation predictor: online text generation for the LLM family.
+
+Reference parity: the serving role of the Pink / M2-omni eval drivers
+(reference ``prj/Pink/pink/eval/model_*.py`` — prompt → ``model.generate`` →
+decoded answer; ``prj/M2_omni`` serves through HF ``GenerationMixin``).
+TPU-native serving surface: one predictor behind ``predictors/cli.py`` that
+renders the conversation prompt, runs the jitted KV-cache generate (greedy
+or beams), and detokenizes.
+
+``predict({"text": "...", "image": HxWx3?}) →
+{"generated_text": str, "generated_ids": ...}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from antmmf_tpu.common.registry import registry
+from antmmf_tpu.predictors.base_predictor import BasePredictor
+from antmmf_tpu.predictors.caption_predictor import ids_to_caption
+
+
+@registry.register_predictor("generation_predictor")
+class GenerationPredictor(BasePredictor):
+    """Serves any model exposing ``generate(variables, batch, ...)`` over a
+    [vision; text] prompt — Pink and M2-omni."""
+
+    def example_data(self) -> Dict[str, Any]:
+        mc = dict(self.model_config.get("model_attributes", {}) or {})
+        name = list(mc)[0] if mc else ""
+        size = int(dict(mc.get(name, {})).get("image_size", 224))
+        return {"text": "example", "image": np.zeros((size, size, 3),
+                                                     np.float32)}
+
+    def load(self, with_ckpt: bool = True) -> "GenerationPredictor":
+        from antmmf_tpu.utils.tokenization import BertTokenizer
+
+        # attributes first: super().load() builds the init example through
+        # our build_sample
+        vocab = self.pp.get(
+            "vocab_file", "tests/data/vocabs/bert-base-uncased_30522_vocab.txt")
+        self.tokenizer = BertTokenizer(vocab)
+        self.template = self.pp.get("template", "vicuna_v1")
+        self.num_beams = int(self.pp.get("num_beams", 1))
+        self.max_new_tokens = int(self.pp.get("max_new_tokens", 24))
+        self.max_prompt_len = int(self.pp.get("max_prompt_len", 64))
+        self.eos_id = int(self.pp.get("eos_id", 102))
+        self.model_config = self.config
+        super().load(with_ckpt=with_ckpt)
+        return self
+
+    def build_sample(self, data: Mapping[str, Any]):
+        from antmmf_tpu.scripts.pink_eval import build_prompt
+        from antmmf_tpu.structures.sample import Sample
+
+        prompt = build_prompt(str(data.get("text", data.get("caption", ""))),
+                              self.template)
+        tokens = ["[CLS]"] + self.tokenizer.tokenize(prompt)
+        ids = self.tokenizer.convert_tokens_to_ids(
+            tokens[: self.max_prompt_len])
+        L = self.max_prompt_len
+        input_ids = np.zeros((L,), np.int64)
+        mask = np.zeros((L,), np.int64)
+        input_ids[: len(ids)] = ids
+        mask[: len(ids)] = 1
+        sample = Sample()
+        sample["input_ids"] = input_ids
+        sample["input_mask"] = mask
+        img = data.get("image", data.get("image_data"))
+        if img is not None:
+            from antmmf_tpu.datasets.processors.image_processors import (
+                NormalizedImageProcessor)
+
+            mc = dict(self.model_config.get("model_attributes", {}) or {})
+            name = list(mc)[0]
+            size = int(dict(mc.get(name, {})).get("image_size", 224))
+            proc = NormalizedImageProcessor({"size": size})
+            sample["image_data"] = proc.transform_array(
+                np.asarray(img, np.float32))
+        from antmmf_tpu.structures.sample import SampleList
+
+        return SampleList.from_samples([sample])
+
+    def predict(self, data: Mapping[str, Any],
+                json_obj: Optional[Mapping] = None) -> Dict[str, Any]:
+        sample = self.build_sample(data)
+        arrays = {k: np.asarray(v) for k, v in sample.arrays().items()}
+        module = self.shell.module
+        if not hasattr(module, "generate"):
+            raise NotImplementedError(
+                f"{type(module).__name__} has no generate()")
+        tokens, lens = module.generate(
+            self.variables, arrays, eos_id=self.eos_id,
+            max_length=self.max_new_tokens, num_beams=self.num_beams)
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        outs = []
+        for b in range(tokens.shape[0]):
+            gen = tokens[b, lens[b]: lens[b] + self.max_new_tokens]
+            outs.append(ids_to_caption(self.tokenizer, gen))
+        return {"generated_text": outs[0] if len(outs) == 1 else outs,
+                "generated_ids": tokens}

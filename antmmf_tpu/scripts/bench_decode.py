@@ -30,11 +30,19 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--lens", type=int, nargs="+", default=[512, 1024, 2048])
     p.add_argument("--decode_steps", type=int, default=32)
+    p.add_argument("--int8", action="store_true",
+                   help="also measure weight-only int8 decode")
     p.add_argument("--reencode_max_len", type=int, default=1024,
                    help="skip the O(L^2) re-encode comparison above this L")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin wins "
+                        "over JAX_PLATFORMS alone)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from antmmf_tpu.models.m2_omni import LM_PRESETS
@@ -106,6 +114,42 @@ def main() -> None:
         full = model.apply(params, embeds, positions, mask)
         return full[:, -1]
 
+    # --- weight-only int8 decode: params live in HBM as int8 records and
+    # dequantize inside each loop step (an optimization_barrier stops XLA
+    # from hoisting the convert out of the fori_loop, so the per-step weight
+    # read is int8 — half the bf16 HBM traffic; decode is bandwidth-bound)
+    from antmmf_tpu.predictors.quantization import quantize_params
+
+    def _is_rec(n):
+        return isinstance(n, dict) and "q" in n and "scale" in n
+
+    def _strip(qtree):  # drop the non-jittable dtype strings
+        return jax.tree_util.tree_map(
+            lambda n: {"q": jnp.asarray(n["q"]),
+                       "scale": jnp.asarray(n["scale"])} if _is_rec(n) else n,
+            qtree, is_leaf=_is_rec)
+
+    @jax.jit
+    def decode_int8(qparams, table, logits0, cache, pos0, steps_tokens):
+        def step(t, carry):
+            toks, last_logits, cache = carry
+            nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+            toks = toks.at[:, t].set(nxt)
+            emb = table[nxt][:, None]
+            pos = pos0 + t
+            qp = jax.lax.optimization_barrier(qparams)
+            params_t = jax.tree_util.tree_map(
+                lambda n: (n["q"].astype(dtype) * n["scale"].astype(dtype))
+                if _is_rec(n) else n, qp, is_leaf=_is_rec)
+            last_logits, cache = model.apply(
+                params_t, emb, pos[:, None], None, cache=cache,
+                decode_pos=pos)
+            return toks, last_logits, cache
+
+        toks, _, cache = jax.lax.fori_loop(
+            0, args.decode_steps, step, (steps_tokens, logits0, cache))
+        return toks, cache
+
     for L in args.lens:
         T = L + args.decode_steps
         ids = jax.random.randint(jax.random.PRNGKey(2), (B, L), 0, vocab)
@@ -139,6 +183,21 @@ def main() -> None:
                "prefill_ms": round(prefill_ms, 2),
                "per_token_ms": round(per_token_ms, 3),
                "tokens_per_sec": round(B * 1e3 / per_token_ms, 1)}
+
+        if args.int8:
+            qparams, qstats = quantize_params(params)
+            qparams = jax.device_put(_strip(qparams))
+            lat_q = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                toks, _ = decode_int8(qparams, embed_table, logits0, cache,
+                                      pos0, toks0)
+                int(np.asarray(toks)[0, -1])
+                lat_q.append((time.perf_counter() - t0) * 1e3)
+            q_ms = float(np.median(lat_q[1:])) / args.decode_steps
+            row["int8_per_token_ms"] = round(q_ms, 3)
+            row["int8_tokens_per_sec"] = round(B * 1e3 / q_ms, 1)
+            row["int8_weight_mb"] = round(qstats["bytes_after"] / 1e6, 1)
 
         # O(L^2) re-encode comparison (the pre-round-3 path)
         if L <= args.reencode_max_len:

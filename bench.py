@@ -139,6 +139,7 @@ def main() -> None:
         "llm_decode_L512_tokens_per_sec": 202.4,
         "llm_decode_L512_speedup_vs_reencode": 28.3,
         "llm_decode_L1024_tokens_per_sec": 198.6,
+        "llm_decode_L512_int8_tokens_per_sec": 336.1,
         "source": "BASELINE.md round-2/3 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):

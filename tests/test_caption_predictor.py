@@ -38,3 +38,24 @@ def test_ids_to_caption_postprocess():
     ids = tok.convert_tokens_to_ids(
         ["[CLS]", "a", "little", "girl", "##s", "[SEP]", "[PAD]"])
     assert ids_to_caption(tok, ids) == "a little girls"
+
+
+def test_generation_predictor_pink():
+    """generation_predictor serves PinkModel through the CLI surface:
+    prompt template -> KV-cache generate -> detokenized text."""
+    from antmmf_tpu.common.registry import registry
+    import antmmf_tpu.predictors  # noqa: F401
+
+    cls = registry.get_predictor_class("generation_predictor")
+    pred = cls({
+        "model_attributes": {"pink": {
+            "lm_preset": "omni_tiny_test", "vit_preset": "vit_tiny_test",
+            "image_size": 32, "lora_rank": 2, "dtype_str": "float32"}},
+        "predictor_parameters": {"max_new_tokens": 4, "max_prompt_len": 12,
+                                 "num_beams": 2}})
+    pred.load(with_ckpt=False)
+    out = pred.predict({"text": "what is in the image?",
+                        "image": np.zeros((32, 32, 3), np.float32)})
+    assert "generated_text" in out and isinstance(
+        out["generated_text"], str)
+    assert out["generated_ids"].shape[0] == 1
