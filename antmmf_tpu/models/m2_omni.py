@@ -485,11 +485,25 @@ class M2Omni(BaseModel):
         fixed = {k: v for k, v in batch.items()
                  if k not in ("input_ids", "input_mask")}
 
+        # weight-only int8 serving (see models/pink.py generate)
+        from antmmf_tpu.predictors.quantization import (
+            dequantize_for_compute, is_decode_quantized)
+
+        quantized = is_decode_quantized(variables)
+        cdtype = jnp.dtype(self.dtype_str)
+
+        def live_vars(step_mode=False):
+            if not quantized:
+                return variables
+            src = jax.lax.optimization_barrier(variables) if step_mode \
+                else variables
+            return dequantize_for_compute(src, cdtype)
+
         def run_prefill(tokens):
             fwd = dict(fixed)
             fwd["input_ids"] = tokens[:, :Lp]
             fwd["input_mask"] = mask
-            return self.apply(variables, fwd, max_new,
+            return self.apply(live_vars(), fwd, max_new,
                               method=M2Omni.prefill)
 
         if num_beams > 1:
@@ -502,8 +516,9 @@ class M2Omni(BaseModel):
                 sf = jnp.repeat(lens_full, num_beams)
 
                 def decode_fn(tok, slot, cache):
-                    return self.apply(variables, tok, nf + (slot - sf), slot,
-                                      cache, method=M2Omni.decode_step)
+                    return self.apply(live_vars(step_mode=True), tok,
+                                      nf + (slot - sf), slot, cache,
+                                      method=M2Omni.decode_step)
 
                 best, scores = beam_search_cached(
                     decode_fn, logits0, cache, lens_full, eos_id,
@@ -528,8 +543,8 @@ class M2Omni(BaseModel):
                 tokens = jnp.where(write, nxt[:, None], tokens)
                 done = done | (nxt == eos_id)
                 last_logits, cache = self.apply(
-                    variables, nxt, next_p + t, lens_full + t, cache,
-                    method=M2Omni.decode_step)
+                    live_vars(step_mode=True), nxt, next_p + t,
+                    lens_full + t, cache, method=M2Omni.decode_step)
                 return tokens, done, last_logits, cache
 
             tokens, _, _, _ = jax.lax.fori_loop(

@@ -233,8 +233,25 @@ class PinkModel(BaseModel):
                 fwd["image_data"] = img
             return fwd
 
+        # weight-only int8 serving: variables prepared by
+        # predictors.quantization.quantize_for_decode carry {"q","scale"}
+        # records; dequantize per decode step behind an optimization
+        # barrier so the per-token HBM weight read stays int8
+        from antmmf_tpu.predictors.quantization import (
+            dequantize_for_compute, is_decode_quantized)
+
+        quantized = is_decode_quantized(variables)
+        cdtype = jnp.dtype(self.dtype_str)
+
+        def live_vars(step_mode=False):
+            if not quantized:
+                return variables
+            src = jax.lax.optimization_barrier(variables) if step_mode \
+                else variables
+            return dequantize_for_compute(src, cdtype)
+
         def decode_fn(tok, pos, cache):
-            return self.apply(variables, tok, pos, cache,
+            return self.apply(live_vars(step_mode=True), tok, pos, cache,
                               method=PinkModel.decode_step)
 
         if num_beams > 1:
@@ -244,8 +261,8 @@ class PinkModel(BaseModel):
             def run_beam(tokens0):
                 cache = make_cache()
                 logits0, cache = self.apply(
-                    variables, fwd_batch(tokens0[:, :Lp], mask), cache, lens,
-                    method=PinkModel.prefill)
+                    live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache,
+                    lens, method=PinkModel.prefill)
                 best, scores = beam_search_cached(
                     decode_fn, logits0, cache, Lv + lens, eos_id,
                     max_new=max_new, num_beams=num_beams)
@@ -261,7 +278,7 @@ class PinkModel(BaseModel):
         def run_greedy(tokens0):
             cache = make_cache()
             logits0, cache = self.apply(
-                variables, fwd_batch(tokens0[:, :Lp], mask), cache, lens,
+                live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache, lens,
                 method=PinkModel.prefill)
 
             def step(t, carry):

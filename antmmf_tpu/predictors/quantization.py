@@ -116,3 +116,49 @@ def load_quantized(path: str) -> Any:
         payload = pickle.load(f)
     payload["params"] = dequantize_params(payload["params"])
     return payload
+
+
+def quantize_for_decode(variables: Any, min_size: int = 65536) -> Any:
+    """Prepare variables for weight-only int8 DECODE serving: large matmul
+    kernels become jit-friendly ``{"q": int8, "scale": f32}`` records (no
+    dtype strings), everything else passes through. Pass the result as
+    ``variables`` to ``PinkModel.generate`` / ``M2Omni.generate`` — the
+    decode loop dequantizes per step behind an optimization barrier, so the
+    per-token HBM weight read is int8 (measured +67% tokens/s on the 1.3 B
+    preset, BASELINE.md round 3)."""
+    qtree, _ = quantize_params(variables, min_size=min_size)
+
+    def strip(node):
+        if _is_record(node):
+            return {"q": node["q"], "scale": node["scale"]}
+        return node
+
+    return jax.tree_util.tree_map(strip, qtree, is_leaf=_is_record)
+
+
+def is_decode_quantized(tree: Any) -> bool:
+    found = [False]
+
+    def probe(node):
+        if isinstance(node, dict) and set(node) == {"q", "scale"}:
+            found[0] = True
+        return node
+
+    jax.tree_util.tree_map(
+        probe, tree,
+        is_leaf=lambda n: isinstance(n, dict) and set(n) == {"q", "scale"})
+    return found[0]
+
+
+def dequantize_for_compute(tree: Any, dtype) -> Any:
+    """Jit-traceable inverse of ``quantize_for_decode``: records → dtype
+    kernels. Call inside the decode step on
+    ``jax.lax.optimization_barrier(tree)`` to stop XLA hoisting the convert
+    out of the loop (which would re-materialize full-width weights)."""
+
+    def rec(n):
+        return isinstance(n, dict) and set(n) == {"q", "scale"}
+
+    return jax.tree_util.tree_map(
+        lambda n: (n["q"].astype(dtype) * n["scale"].astype(dtype))
+        if rec(n) else n, tree, is_leaf=rec)

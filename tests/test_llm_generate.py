@@ -281,3 +281,23 @@ def test_get_rope_index_video_run():
     pos, _ = M2Omni.get_rope_index(modal_mask, run_start, rel)
     want = _reference_rope_index(["T"] + [0] * N + ["T"], {0: (2, 2, 2)})
     np.testing.assert_array_equal(np.asarray(pos)[0], want)
+
+
+def test_int8_quantized_generate_runs_and_approximates(pink_tiny):
+    """quantize_for_decode variables drive the same generate API; greedy
+    tokens from int8 weights must match full-precision tokens on the tiny
+    model (quantization error << logit gaps at min_size=0 per-channel)."""
+    from antmmf_tpu.predictors.quantization import (
+        is_decode_quantized, quantize_for_decode)
+
+    model, variables, batch = pink_tiny
+    qvars = quantize_for_decode(variables, min_size=1024)
+    assert is_decode_quantized(qvars)
+    full, lens = model.generate(variables, batch, eos_id=1, max_length=4)
+    q, lens2 = model.generate(qvars, batch, eos_id=1, max_length=4)
+    assert q.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+    # int8 per-channel error is small; prompts must be preserved exactly
+    Lp = batch["input_ids"].shape[1]
+    np.testing.assert_array_equal(np.asarray(q)[:, :Lp],
+                                  np.asarray(full)[:, :Lp])
