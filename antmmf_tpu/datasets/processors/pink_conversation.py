@@ -130,18 +130,19 @@ def build_prompt(template: ConversationTemplate,
     return template.render(system, messages)
 
 
-def construct_target(prompt: str, template: ConversationTemplate,
-                     tokenize: Callable[[str], List[int]]
-                     ) -> Tuple[List[int], List[int]]:
-    """The reference label-mask algorithm (BaseDataset._construct_target,
-    :165-187): tokenize the full prompt; mask position 0 (BOS); split into
-    rounds on ``sep2``; within each round mask everything up to and
-    including ``sep_template`` (= the assistant-role marker), so only
-    answer tokens + their round separator supervise the loss.
+def construct_target_reference(prompt: str, template: ConversationTemplate,
+                               tokenize: Callable[[str], List[int]]
+                               ) -> Tuple[List[int], List[int]]:
+    """The reference label-mask algorithm VERBATIM
+    (BaseDataset._construct_target, :165-187): tokenize the full prompt;
+    mask position 0 (BOS); split rounds on ``sep2``; mask each round up to
+    and including ``sep_template``; advance by token-count arithmetic with
+    the reference's ``-2`` / ``offset`` constants.
 
-    ``tokenize`` must prepend a BOS-like token (the reference LLaMA
-    tokenizer does); the ``-2`` instruction adjustment and ``offset``
-    round adjustment follow the reference constants."""
+    Those constants assume the LLaMA sentencepiece tokenizer (``</s>`` is
+    ONE piece and every call prepends BOS); with a tokenizer where ``sep2``
+    splits into several pieces the cursor drifts — use
+    ``construct_target`` (segment-exact) for training."""
     inputs = tokenize(prompt)
     target = list(inputs)
     sep = template.sep_template
@@ -163,6 +164,51 @@ def construct_target(prompt: str, template: ConversationTemplate,
     return inputs, target
 
 
+def construct_target(prompt: str, template: ConversationTemplate,
+                     tokenize: Callable[[str], List[int]]
+                     ) -> Tuple[List[int], List[int]]:
+    """Answer-only label masks with the REFERENCE INTENT (instructions +
+    role markers IGNORE_INDEX, answer tokens + their round separator
+    supervised) realized exactly for ANY tokenizer: each round's
+    instruction / answer / sep2 segments are tokenized separately and
+    concatenated, so inputs and labels are constructed together and can
+    never drift (the reference's token-count arithmetic assumes the LLaMA
+    tokenizer — see ``construct_target_reference``)."""
+    if template.sep2 is None:
+        raise ValueError(
+            "construct_target needs a two-separator template (sep2); "
+            f"template with sep_style={template.sep_style!r} has none")
+    sep = template.sep_template
+    rounds = prompt.split(template.sep2)
+    inputs: List[int] = []
+    target: List[int] = []
+
+    def seg(text: str, supervise: bool) -> None:
+        if not text:
+            return
+        ids = tokenize(text)
+        ids = ids[0 if not inputs else 1:]  # keep BOS only once, masked
+        tg = list(ids) if supervise else [IGNORE_INDEX] * len(ids)
+        if supervise and not inputs:
+            tg[0] = IGNORE_INDEX  # BOS never supervises
+        inputs.extend(ids)
+        target.extend(tg)
+
+    for i, rou in enumerate(rounds):
+        if rou == "":
+            continue
+        parts = rou.split(sep)
+        if len(parts) != 2:
+            seg(rou, False)  # trailing/malformed chunk: unsupervised
+            continue
+        seg(parts[0] + sep, False)  # system/instruction + role marker
+        # answer + its round separator supervise the loss (the split
+        # removed exactly one sep2 after every non-final round)
+        tail = template.sep2 if i < len(rounds) - 1 else ""
+        seg(parts[1] + tail, True)
+    return inputs, target
+
+
 @registry.register_processor("pink_conversation")
 class PinkConversationProcessor(BaseProcessor):
     """{'conversations': [...], 'has_image': bool} →
@@ -177,6 +223,11 @@ class PinkConversationProcessor(BaseProcessor):
                 f"Unknown conversation template {self.template_name!r}; "
                 f"known: {sorted(CONV_TEMPLATES)}")
         self.template = CONV_TEMPLATES[self.template_name]
+        if self.template.sep2 is None:
+            raise ValueError(
+                f"template {self.template_name!r} has no round separator "
+                "(sep2) — label masking needs a two-separator format "
+                "(llamav1/llamav2/vicuna_v1_1)")
         self.num_patch_tokens = int(cfg.get("num_patch_tokens", 49))
         self.max_length = int(cfg.get("max_length", 256))
         from antmmf_tpu.datasets.processors.text_processors import (

@@ -486,18 +486,9 @@ class M2Omni(BaseModel):
                  if k not in ("input_ids", "input_mask")}
 
         # weight-only int8 serving (see models/pink.py generate)
-        from antmmf_tpu.predictors.quantization import (
-            dequantize_for_compute, is_decode_quantized)
+        from antmmf_tpu.predictors.quantization import make_live_vars
 
-        quantized = is_decode_quantized(variables)
-        cdtype = jnp.dtype(self.dtype_str)
-
-        def live_vars(step_mode=False):
-            if not quantized:
-                return variables
-            src = jax.lax.optimization_barrier(variables) if step_mode \
-                else variables
-            return dequantize_for_compute(src, cdtype)
+        live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
 
         def run_prefill(tokens):
             fwd = dict(fixed)
@@ -535,21 +526,26 @@ class M2Omni(BaseModel):
         def run_greedy(tokens0):
             logits0, cache, lens_full, next_p = run_prefill(tokens0)
 
-            def step(t, carry):
-                tokens, done, last_logits, cache = carry
+            def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
                 nxt = jnp.where(done, eos_id, nxt)
                 write = jax.nn.one_hot(lens_text + t, total, dtype=bool)
                 tokens = jnp.where(write, nxt[:, None], tokens)
-                done = done | (nxt == eos_id)
+                return nxt, tokens, done | (nxt == eos_id)
+
+            def step(t, carry):
+                tokens, done, last_logits, cache = carry
+                nxt, tokens, done = emit(t, tokens, done, last_logits)
                 last_logits, cache = self.apply(
                     live_vars(step_mode=True), nxt, next_p + t,
                     lens_full + t, cache, method=M2Omni.decode_step)
                 return tokens, done, last_logits, cache
 
-            tokens, _, _, _ = jax.lax.fori_loop(
-                0, max_new, step,
+            # no trailing decode: the final token emits from the last logits
+            tokens, done, last_logits, _ = jax.lax.fori_loop(
+                0, max_new - 1, step,
                 (tokens0, jnp.zeros((B,), bool), logits0, cache))
+            _, tokens, _ = emit(max_new - 1, tokens, done, last_logits)
             return tokens
 
         return run_greedy(tokens0), lens_text

@@ -237,18 +237,9 @@ class PinkModel(BaseModel):
         # predictors.quantization.quantize_for_decode carry {"q","scale"}
         # records; dequantize per decode step behind an optimization
         # barrier so the per-token HBM weight read stays int8
-        from antmmf_tpu.predictors.quantization import (
-            dequantize_for_compute, is_decode_quantized)
+        from antmmf_tpu.predictors.quantization import make_live_vars
 
-        quantized = is_decode_quantized(variables)
-        cdtype = jnp.dtype(self.dtype_str)
-
-        def live_vars(step_mode=False):
-            if not quantized:
-                return variables
-            src = jax.lax.optimization_barrier(variables) if step_mode \
-                else variables
-            return dequantize_for_compute(src, cdtype)
+        live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
 
         def decode_fn(tok, pos, cache):
             return self.apply(live_vars(step_mode=True), tok, pos, cache,
@@ -281,19 +272,25 @@ class PinkModel(BaseModel):
                 live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache, lens,
                 method=PinkModel.prefill)
 
-            def step(t, carry):
-                tokens, done, last_logits, cache = carry
+            def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
                 nxt = jnp.where(done, eos_id, nxt)
                 write = jax.nn.one_hot(lens + t, total, dtype=bool)
                 tokens = jnp.where(write, nxt[:, None], tokens)
-                done = done | (nxt == eos_id)
+                return nxt, tokens, done | (nxt == eos_id)
+
+            def step(t, carry):
+                tokens, done, last_logits, cache = carry
+                nxt, tokens, done = emit(t, tokens, done, last_logits)
                 last_logits, cache = decode_fn(nxt, Lv + lens + t, cache)
                 return tokens, done, last_logits, cache
 
-            tokens, _, _, _ = jax.lax.fori_loop(
-                0, max_new, step,
+            # the final token needs no trailing decode step (it would be a
+            # full per-token forward whose logits are never read)
+            tokens, done, last_logits, _ = jax.lax.fori_loop(
+                0, max_new - 1, step,
                 (tokens0, jnp.zeros((B,), bool), logits0, cache))
+            _, tokens, _ = emit(max_new - 1, tokens, done, last_logits)
             return tokens
 
         return run_greedy(tokens0), lens

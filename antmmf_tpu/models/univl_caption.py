@@ -138,29 +138,39 @@ class UnivlForVideoCaptioning(BaseModel):
         hd = C // H
         T = max_length
 
-        def decode_fn(tok, pos, cache):
-            logits, new_self = self.apply(
-                variables, tok, pos, cache["self"], cache["mem"],
-                cache["mm"],
-                method=lambda m, t, p, c, mk, mm: m.decoder.decode_step(
-                    t, p, c, mk, mm))
-            return logits, {**cache, "self": new_self}
-
         @jax.jit
         def run(memory, memory_mask):
             mem_kvs = self.apply(
                 variables, memory,
                 method=lambda m, mem: m.decoder.prime(mem))
+
+            def make_decode_fn(kvs, mm):
+                # cross-attention memory k/v and its mask are identical
+                # across beams and never change — closure them instead of
+                # putting them in the reordered beam cache (which would
+                # copy the full memory through HBM every step)
+                def decode_fn(tok, pos, cache):
+                    logits, new_self = self.apply(
+                        variables, tok, pos, cache, kvs, mm,
+                        method=lambda m, t, p, c, mk, msk:
+                            m.decoder.decode_step(t, p, c, mk, msk))
+                    return logits, new_self
+                return decode_fn
+
             caches0 = [{"k": jnp.zeros((B, H, T, hd), memory.dtype),
                         "v": jnp.zeros((B, H, T, hd), memory.dtype)}
                        for _ in range(self.decoder_layers)]
-            cache = {"self": caches0, "mem": mem_kvs, "mm": memory_mask}
             bos = jnp.full((B,), bos_id, jnp.int32)
-            logits0, cache = decode_fn(bos, jnp.zeros((B,), jnp.int32),
-                                       cache)
+            logits0, caches = make_decode_fn(mem_kvs, memory_mask)(
+                bos, jnp.zeros((B,), jnp.int32), caches0)
+            K = num_beams
+            kvs_rep = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, K, axis=0), mem_kvs)
+            mm_rep = jnp.repeat(memory_mask, K, axis=0)
             best, scores = beam_search_cached(
-                decode_fn, logits0, cache, jnp.ones((B,), jnp.int32),
-                eos_id, max_new=max_length - 1, num_beams=num_beams)
+                make_decode_fn(kvs_rep, mm_rep), logits0, caches,
+                jnp.ones((B,), jnp.int32), eos_id,
+                max_new=max_length - 1, num_beams=num_beams)
             tokens = jnp.concatenate([bos[:, None], best], axis=1)
             return tokens, scores
 

@@ -162,3 +162,21 @@ def dequantize_for_compute(tree: Any, dtype) -> Any:
     return jax.tree_util.tree_map(
         lambda n: (n["q"].astype(dtype) * n["scale"].astype(dtype))
         if rec(n) else n, tree, is_leaf=rec)
+
+
+def make_live_vars(variables: Any, dtype) -> Callable[[bool], Any]:
+    """One helper for every int8 decode caller (Pink / M2Omni generate,
+    bench_decode): returns ``live_vars(step_mode)`` which passes
+    un-quantized variables through unchanged, and for quantized trees
+    dequantizes to ``dtype`` — behind ``jax.lax.optimization_barrier`` when
+    ``step_mode`` so XLA cannot hoist the convert out of a decode loop."""
+    quantized = is_decode_quantized(variables)
+
+    def live_vars(step_mode: bool = False) -> Any:
+        if not quantized:
+            return variables
+        src = jax.lax.optimization_barrier(variables) if step_mode \
+            else variables
+        return dequantize_for_compute(src, dtype)
+
+    return live_vars

@@ -118,31 +118,21 @@ def main() -> None:
     # dequantize inside each loop step (an optimization_barrier stops XLA
     # from hoisting the convert out of the fori_loop, so the per-step weight
     # read is int8 — half the bf16 HBM traffic; decode is bandwidth-bound)
-    from antmmf_tpu.predictors.quantization import quantize_params
-
-    def _is_rec(n):
-        return isinstance(n, dict) and "q" in n and "scale" in n
-
-    def _strip(qtree):  # drop the non-jittable dtype strings
-        return jax.tree_util.tree_map(
-            lambda n: {"q": jnp.asarray(n["q"]),
-                       "scale": jnp.asarray(n["scale"])} if _is_rec(n) else n,
-            qtree, is_leaf=_is_rec)
+    from antmmf_tpu.predictors.quantization import (
+        make_live_vars, quantize_for_decode)
 
     @jax.jit
     def decode_int8(qparams, table, logits0, cache, pos0, steps_tokens):
+        live = make_live_vars(qparams, dtype)
+
         def step(t, carry):
             toks, last_logits, cache = carry
             nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
             toks = toks.at[:, t].set(nxt)
             emb = table[nxt][:, None]
             pos = pos0 + t
-            qp = jax.lax.optimization_barrier(qparams)
-            params_t = jax.tree_util.tree_map(
-                lambda n: (n["q"].astype(dtype) * n["scale"].astype(dtype))
-                if _is_rec(n) else n, qp, is_leaf=_is_rec)
             last_logits, cache = model.apply(
-                params_t, emb, pos[:, None], None, cache=cache,
+                live(step_mode=True), emb, pos[:, None], None, cache=cache,
                 decode_pos=pos)
             return toks, last_logits, cache
 
@@ -185,8 +175,11 @@ def main() -> None:
                "tokens_per_sec": round(B * 1e3 / per_token_ms, 1)}
 
         if args.int8:
-            qparams, qstats = quantize_params(params)
-            qparams = jax.device_put(_strip(qparams))
+            from antmmf_tpu.predictors.quantization import quantize_params
+
+            _, qstats = quantize_params(params)
+            qparams = jax.device_put(quantize_for_decode(params,
+                                                         min_size=4096))
             lat_q = []
             for i in range(4):
                 t0 = time.perf_counter()

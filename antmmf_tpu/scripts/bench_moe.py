@@ -60,6 +60,7 @@ def main() -> None:
             "vocab_size": 30522, "embed_dim_out": 64 if args.tiny else 512,
             "moe_layers": moe_layers if moe else [],
             "moe_num_experts": args.experts,
+            "moe_capacity_factor": args.capacity_factor,
             "dtype_str": "float32" if args.tiny else "bfloat16",
         }}}
         shell = build_model(config)

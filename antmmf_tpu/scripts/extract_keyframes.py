@@ -99,16 +99,17 @@ def pack_lmdb(keyframes_root: str, lmdb_path: str) -> str:
 
     w = LmdbLiteWriter(lmdb_path)
     n = 0
-    for clip in sorted(os.listdir(keyframes_root)):
-        d = os.path.join(keyframes_root, clip)
-        if not os.path.isdir(d):
-            continue
+    # recurse: extract_keyframes preserves subdirectory structure, so keys
+    # are paths relative to the keyframes root
+    for dirpath, _, files in sorted(os.walk(keyframes_root)):
         frames = []
-        for f in sorted(os.listdir(d)):
+        for f in sorted(files):
             if f.lower().endswith((".jpg", ".jpeg", ".png")):
-                frames.append(cv2.imread(os.path.join(d, f))[:, :, ::-1])
+                frames.append(
+                    cv2.imread(os.path.join(dirpath, f))[:, :, ::-1])
         if not frames:
             continue
+        clip = os.path.relpath(dirpath, keyframes_root).replace(os.sep, "/")
         buf = io.BytesIO()
         np.save(buf, np.stack(frames).astype(np.uint8))
         w.put(clip, buf.getvalue())

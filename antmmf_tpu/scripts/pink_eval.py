@@ -99,7 +99,7 @@ def mc_score(pred: str, answer: str, options: Sequence[str]) -> float:
     p = pred.strip().lower()
     ans = answer.strip().lower()
     letters = "abcdefgh"[: max(1, len(options))]
-    if ans in letters:  # answer given as a letter
+    if len(ans) == 1 and ans in letters:  # answer given as a letter
         idx = letters.index(ans)
         opt = options[idx].strip().lower() if idx < len(options) else ""
     else:

@@ -57,8 +57,16 @@ class LmdbLiteReader:
     def __init__(self, path: str):
         if os.path.isdir(path):
             path = os.path.join(path, "data.mdb")
-        with open(path, "rb") as f:
-            self._data = f.read()
+        import mmap
+
+        self._f = open(path, "rb")
+        try:
+            # page-cache-backed lazy reads (real liblmdb mmaps too) — packed
+            # frame environments reach many GB; never copy them into Python
+            self._data = mmap.mmap(self._f.fileno(), 0,
+                                   access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file etc.
+            self._data = self._f.read()
         if len(self._data) < 2 * PAGE_SIZE:
             raise LmdbLiteError(f"{path}: too small for an LMDB file")
         self._root, self._entries = self._live_meta()
@@ -371,7 +379,13 @@ def open_lmdb(path: str):
 
         if not hasattr(lmdb, "open"):  # a bare stub module, not real lmdb
             raise ImportError("lmdb stub")
+        # LmdbLiteWriter may emit a FLAT data file; real lmdb needs
+        # subdir=False for those, and any open failure falls back to the
+        # pure reader
         return _RealLmdbShim(lmdb.open(path, readonly=True, lock=False,
-                                       readahead=False))
+                                       readahead=False,
+                                       subdir=os.path.isdir(path)))
     except ImportError:
+        return LmdbLiteReader(path)
+    except Exception:
         return LmdbLiteReader(path)

@@ -60,3 +60,35 @@ def test_glm_processor_registered():
     # padding uses the GLM pad id
     pad = out["input_ids"][int(out["input_mask"].sum()):]
     assert (pad == pad[0]).all()
+
+
+def test_glm_feeds_m2_encoder_ref_text_path():
+    """End-to-end Chinese text: GLM ids → the BEiT3 eval twin's text tower
+    (the M2-Encoder bilingual retrieval query path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from antmmf_tpu.common.registry import registry
+    import antmmf_tpu.datasets.processors.text_processors_ext  # noqa
+    from antmmf_tpu.models.m2_encoder_ref import M2EncoderRef
+
+    proc = registry.get_processor_class("glm_chinese")({
+        "sp_model": SP_MODEL, "max_seq_length": 12})
+    out = proc({"text": "一只狗在草地上奔跑"})
+
+    model = M2EncoderRef(vocab_size=115244, image_size=32, patch_size=16,
+                         embed_dim=32, num_layers=2, num_heads=2,
+                         mlp_ratio=2.0, vl_layers=0, out_dim=16,
+                         max_text_len=12)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.asarray(out["input_ids"][None], jnp.int32)
+    mask = jnp.asarray(out["input_mask"][None], jnp.int32)
+    batch = {"input_ids": ids, "input_mask": mask,
+             "image": jnp.zeros((1, 32, 32, 3))}
+    variables = model.init(rng, batch)
+    res = model.apply(variables, ids, mask,
+                      method=lambda m, i, k: m.encode_text(i, k))
+    feats = np.asarray(res["cls_feats"], np.float32)
+    assert feats.shape == (1, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0,
+                               atol=1e-5)

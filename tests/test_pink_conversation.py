@@ -16,7 +16,7 @@ import pytest
 
 from antmmf_tpu.datasets.processors.pink_conversation import (
     CONV_TEMPLATES, IGNORE_INDEX, PinkConversationProcessor, build_prompt,
-    construct_target)
+    construct_target, construct_target_reference)
 
 REF = "/root/reference/prj/Pink/pink/conversation.py"
 pytestmark = pytest.mark.skipif(not os.path.isfile(REF),
@@ -89,15 +89,65 @@ def _reference_construct_target(prompt, conv_tmpl, tokenize):
 
 
 @pytest.mark.parametrize("name", ["llamav1", "llamav2"])
-def test_label_mask_matches_reference_algorithm(name):
+def test_reference_algorithm_transcription_matches(name):
     proc = PinkConversationProcessor({
         "template": name, "num_patch_tokens": 4, "max_length": 128})
     tmpl = CONV_TEMPLATES[name]
     prompt = build_prompt(tmpl, CONVS, True, 4)
-    got_in, got_t = construct_target(prompt, tmpl, proc.tokenize)
+    got_in, got_t = construct_target_reference(prompt, tmpl, proc.tokenize)
     want_in, want_t = _reference_construct_target(prompt, tmpl, proc.tokenize)
     assert got_in == want_in
     assert got_t == want_t
+
+
+@pytest.mark.parametrize("name", ["llamav1", "llamav2"])
+def test_label_mask_intent_exact_per_segment(name):
+    """The segment-exact construct_target realizes the reference INTENT for
+    any tokenizer: instruction+role tokens IGNORE, answer+separator tokens
+    supervised, with no multi-round cursor drift (the reference arithmetic
+    drifts +3/round on a wordpiece tokenizer where '</s>' is 4 pieces)."""
+    proc = PinkConversationProcessor({
+        "template": name, "num_patch_tokens": 4, "max_length": 128})
+    tmpl = CONV_TEMPLATES[name]
+    prompt = build_prompt(tmpl, CONVS, True, 4)
+    inputs, target = construct_target(prompt, tmpl, proc.tokenize)
+    assert len(inputs) == len(target)
+    # ground truth per segment, built independently
+    sep = tmpl.sep_template
+    rounds = prompt.split(tmpl.sep2)
+    want = []
+    first = True
+    for i, rou in enumerate(rounds):
+        if rou == "":
+            continue
+        parts = rou.split(sep)
+        if len(parts) != 2:
+            n = len(proc.tokenize(rou)) - (0 if first else 1)
+            want += [False] * n
+            first = False
+            continue
+        n_i = len(proc.tokenize(parts[0] + sep)) - (0 if first else 1)
+        first = False
+        want += [False] * n_i
+        tail = tmpl.sep2 if i < len(rounds) - 1 else ""
+        n_a = len(proc.tokenize(parts[1] + tail)) - 1
+        want += [True] * n_a
+    got = [t != IGNORE_INDEX for t in target]
+    # BOS is always masked
+    want[0] = False
+    assert got == want
+    # every answer's tokens really are supervised, every question masked
+    sup_ids = {i for i, s in zip(inputs, got) if s}
+    for ans in ("A dog playing with a ball.", "On the grass near the dog."):
+        for t in proc.tokenize(ans)[1:]:
+            assert t in sup_ids
+    where_tok = proc.tokenize("where")[1]
+    assert where_tok not in sup_ids
+
+
+def test_sep2less_template_rejected():
+    with pytest.raises(ValueError):
+        PinkConversationProcessor({"template": "mpt"})
 
 
 def test_processor_masks_instructions_supervises_answers():
