@@ -157,11 +157,34 @@ class BertTokenizer:
         self.inv_vocab = {v: k for k, v in self.vocab.items()}
         self.basic = BasicTokenizer(do_lower_case)
         self.wordpiece = WordpieceTokenizer(self.vocab)
+        # native C++ fast path (antmmf_tpu/native/host_plane.py): identical
+        # output by construction (shared unicode tables), per-string Python
+        # fallback for context-sensitive codepoints; disable with
+        # ANTMMF_NATIVE=0
+        self._native = None
+        self._id_to_tok: List[str] = []
+        try:
+            from antmmf_tpu.native.host_plane import NativeWordPiece
+
+            self._native = NativeWordPiece(
+                vocab_file, do_lower_case=do_lower_case,
+                unk_token=UNK_TOKEN,
+                max_chars_per_word=self.wordpiece.max_chars_per_word)
+            size = max(self.vocab.values()) + 1
+            self._id_to_tok = [UNK_TOKEN] * size
+            for tok, idx in self.vocab.items():
+                self._id_to_tok[idx] = tok
+        except Exception:
+            self._native = None
 
     def __len__(self) -> int:
         return len(self.vocab)
 
     def tokenize(self, text: str) -> List[str]:
+        if self._native is not None:
+            ids = self._native.encode(text)
+            if ids is not None:
+                return [self._id_to_tok[i] for i in ids]
         out: List[str] = []
         for word in self.basic.tokenize(text):
             out.extend(self.wordpiece.tokenize(word))
