@@ -30,6 +30,10 @@ from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransfor
 
 Dtype = Any
 
+# serving-time decode programs, memoized per (module config, shapes,
+# options) — see M2Omni.generate
+_GEN_JIT_CACHE: Dict[Any, Any] = {}
+
 LM_PRESETS = {
     "omni_tiny_test": dict(hidden=64, num_layers=2, num_heads=2, num_kv_heads=1,
                            vocab_size=1000),
@@ -482,27 +486,45 @@ class M2Omni(BaseModel):
         lens_text = mask.sum(-1).astype(jnp.int32)
         tokens0 = jnp.concatenate(
             [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
-        fixed = {k: v for k, v in batch.items()
+        fixed = {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("input_ids", "input_mask")}
 
-        # weight-only int8 serving (see models/pink.py generate)
-        from antmmf_tpu.predictors.quantization import make_live_vars
+        # one stable jit per (module config, shapes, decode options):
+        # memoized so per-request serving never re-traces, with variables
+        # and modal inputs as ARGUMENTS (closure capture would bake them in
+        # as constants and stall the remote-compile relay at 1B+ scale)
+        fixed_keys = tuple(sorted(fixed))
+        key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
+               eos_id, num_beams,
+               tuple((k, tuple(v.shape)) for k, v in sorted(fixed.items())))
+        fn = _GEN_JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(self._build_cached_decode(
+                Lp, max_new, eos_id, num_beams, B, total, fixed_keys))
+            _GEN_JIT_CACHE[key] = fn
+        tokens, _ = fn(variables, tokens0, mask,
+                       tuple(fixed[k] for k in fixed_keys))
+        return tokens, lens_text
 
-        live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
+    def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
+                             fixed_keys):
+        """Returns ``fn(variables, tokens0, mask, fixed_vals) ->
+        (tokens, aux)`` — cached greedy/beam decode as one program."""
 
-        def run_prefill(tokens):
-            fwd = dict(fixed)
-            fwd["input_ids"] = tokens[:, :Lp]
+        def run(variables, tokens0, mask, fixed_vals):
+            from antmmf_tpu.predictors.quantization import make_live_vars
+
+            live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
+            lens_text = mask.sum(-1).astype(jnp.int32)
+            fwd = dict(zip(fixed_keys, fixed_vals))
+            fwd["input_ids"] = tokens0[:, :Lp]
             fwd["input_mask"] = mask
-            return self.apply(live_vars(), fwd, max_new,
-                              method=M2Omni.prefill)
+            logits0, cache, lens_full, next_p = self.apply(
+                live_vars(), fwd, max_new, method=M2Omni.prefill)
 
-        if num_beams > 1:
-            from antmmf_tpu.utils.text_utils import beam_search_cached
+            if num_beams > 1:
+                from antmmf_tpu.utils.text_utils import beam_search_cached
 
-            @jax.jit
-            def run_beam(tokens0):
-                logits0, cache, lens_full, next_p = run_prefill(tokens0)
                 nf = jnp.repeat(next_p, num_beams)
                 sf = jnp.repeat(lens_full, num_beams)
 
@@ -518,13 +540,6 @@ class M2Omni(BaseModel):
                     lambda row, gen, l: jax.lax.dynamic_update_slice(
                         row, gen, (l,)))(tokens0, best, lens_text)
                 return tokens, scores
-
-            tokens, _ = run_beam(tokens0)
-            return tokens, lens_text
-
-        @jax.jit
-        def run_greedy(tokens0):
-            logits0, cache, lens_full, next_p = run_prefill(tokens0)
 
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
@@ -546,6 +561,6 @@ class M2Omni(BaseModel):
                 0, max_new - 1, step,
                 (tokens0, jnp.zeros((B,), bool), logits0, cache))
             _, tokens, _ = emit(max_new - 1, tokens, done, last_logits)
-            return tokens
+            return tokens, lens_text
 
-        return run_greedy(tokens0), lens_text
+        return run

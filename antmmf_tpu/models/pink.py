@@ -27,6 +27,10 @@ from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransfor
 
 Dtype = Any
 
+# serving-time decode programs, memoized per (module config, shapes,
+# options) — see PinkModel.generate
+_GEN_JIT_CACHE: Dict[Any, Any] = {}
+
 
 @registry.register_model("pink")
 class PinkModel(BaseModel):
@@ -219,6 +223,33 @@ class PinkModel(BaseModel):
         T = Lv + Lp + max_new
         preset = LM_PRESETS[self.lm_preset]
 
+        # one stable jit per (module config, shapes, decode options): serving
+        # calls generate per request, so the jit must be memoized (a fresh
+        # @jax.jit each call would re-trace + recompile every request) and
+        # must take ``variables`` as an ARGUMENT (closure capture would bake
+        # the weights into the program as constants — a 1B-model constant
+        # stalls the remote-compile relay on this rig)
+        img_shape = None if img is None else tuple(jnp.shape(img))
+        key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
+               eos_id, num_beams, img_shape)
+        fn = _GEN_JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(self._build_cached_decode(
+                Lp, max_new, eos_id, num_beams, B, total, Lv, T, preset,
+                img is not None))
+            _GEN_JIT_CACHE[key] = fn
+
+        if img is None:
+            tokens, _ = fn(variables, tokens0, mask)
+        else:
+            tokens, _ = fn(variables, tokens0, mask, img)
+        return tokens, lens
+
+    def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
+                             Lv, T, preset, has_img):
+        """Returns ``fn(variables, tokens0, mask[, img]) -> (tokens, aux)``
+        — the cached greedy/beam decode as one jittable program."""
+
         def make_cache():
             from antmmf_tpu.modules.llm import init_decoder_cache
             n_kv = preset["num_kv_heads"] or preset["num_heads"]
@@ -227,33 +258,34 @@ class PinkModel(BaseModel):
                 preset["hidden"] // preset["num_heads"],
                 jnp.dtype(self.dtype_str))
 
-        def fwd_batch(tokens, cur_mask):
-            fwd = {"input_ids": tokens, "input_mask": cur_mask}
-            if img is not None:
-                fwd["image_data"] = img
-            return fwd
+        def run(variables, tokens0, mask, img=None):
+            # weight-only int8 serving: variables prepared by
+            # predictors.quantization.quantize_for_decode carry {"q","scale"}
+            # records; dequantize per decode step behind an optimization
+            # barrier so the per-token HBM weight read stays int8
+            from antmmf_tpu.predictors.quantization import make_live_vars
 
-        # weight-only int8 serving: variables prepared by
-        # predictors.quantization.quantize_for_decode carry {"q","scale"}
-        # records; dequantize per decode step behind an optimization
-        # barrier so the per-token HBM weight read stays int8
-        from antmmf_tpu.predictors.quantization import make_live_vars
+            live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
+            lens = mask.sum(-1).astype(jnp.int32)
 
-        live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
+            def fwd_batch(tokens, cur_mask):
+                fwd = {"input_ids": tokens, "input_mask": cur_mask}
+                if img is not None:
+                    fwd["image_data"] = img
+                return fwd
 
-        def decode_fn(tok, pos, cache):
-            return self.apply(live_vars(step_mode=True), tok, pos, cache,
-                              method=PinkModel.decode_step)
+            def decode_fn(tok, pos, cache):
+                return self.apply(live_vars(step_mode=True), tok, pos, cache,
+                                  method=PinkModel.decode_step)
 
-        if num_beams > 1:
-            from antmmf_tpu.utils.text_utils import beam_search_cached
+            cache = make_cache()
+            logits0, cache = self.apply(
+                live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache, lens,
+                method=PinkModel.prefill)
 
-            @jax.jit
-            def run_beam(tokens0):
-                cache = make_cache()
-                logits0, cache = self.apply(
-                    live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache,
-                    lens, method=PinkModel.prefill)
+            if num_beams > 1:
+                from antmmf_tpu.utils.text_utils import beam_search_cached
+
                 best, scores = beam_search_cached(
                     decode_fn, logits0, cache, Lv + lens, eos_id,
                     max_new=max_new, num_beams=num_beams)
@@ -261,16 +293,6 @@ class PinkModel(BaseModel):
                     lambda row, gen, l: jax.lax.dynamic_update_slice(
                         row, gen, (l,)))(tokens0, best, lens)
                 return tokens, scores
-
-            tokens, _ = run_beam(tokens0)
-            return tokens, lens
-
-        @jax.jit
-        def run_greedy(tokens0):
-            cache = make_cache()
-            logits0, cache = self.apply(
-                live_vars(), fwd_batch(tokens0[:, :Lp], mask), cache, lens,
-                method=PinkModel.prefill)
 
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
@@ -291,9 +313,12 @@ class PinkModel(BaseModel):
                 0, max_new - 1, step,
                 (tokens0, jnp.zeros((B,), bool), logits0, cache))
             _, tokens, _ = emit(max_new - 1, tokens, done, last_logits)
-            return tokens
+            return tokens, lens
 
-        return run_greedy(tokens0), lens
+        if has_img:
+            return lambda variables, tokens0, mask, img: run(
+                variables, tokens0, mask, img)
+        return lambda variables, tokens0, mask: run(variables, tokens0, mask)
 
     def _generate_reencode(self, variables, tokens0, lens, img, eos_id,
                            max_new, total, B):

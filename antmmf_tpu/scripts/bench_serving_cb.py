@@ -1,0 +1,147 @@
+"""Continuous-batching decode throughput on the chip.
+
+Compares three ways to serve R generation requests through the same Pink
+checkpoint (decode is HBM-bandwidth-bound, so batching slots multiply
+tokens/s almost for free):
+
+  sequential  — one ``model.generate`` call per request (the reference's
+                serving pattern: HF generate, one request at a time,
+                prj/Pink/pink/eval/model_vqav2.py:141)
+  static      — ``model.generate`` over batches of S requests (the
+                reference BatchPredictor role)
+  continuous  — the slot-pooled ``ContinuousBatchingEngine`` (admission at
+                token boundaries; no waiting for stragglers)
+
+One JSON line per result. Run on the TPU:
+  python -m antmmf_tpu.scripts.bench_serving_cb --preset omni_1b --slots 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="omni_1b")
+    p.add_argument("--vit_preset", default="vit_b16")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--prompt_len", type=int, default=32)
+    p.add_argument("--max_new", type=int, default=32)
+    p.add_argument("--no_image", action="store_true")
+    p.add_argument("--skip_sequential", action="store_true")
+    args = p.parse_args()
+
+    from antmmf_tpu.models.pink import PinkModel
+    from antmmf_tpu.predictors.serving_engine import (
+        ContinuousBatchingEngine, PinkAdapter)
+
+    model = PinkModel(lm_preset=args.preset, vit_preset=args.vit_preset,
+                      image_size=args.image_size, lora_rank=0,
+                      dtype_str="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    Lp = args.prompt_len
+    init_batch = {"input_ids": jnp.zeros((1, Lp), jnp.int32),
+                  "input_mask": jnp.ones((1, Lp), jnp.int32)}
+    if not args.no_image:
+        init_batch["image_data"] = jax.random.normal(
+            rng, (1, args.image_size, args.image_size, 3))
+    variables = jax.jit(model.init)(rng, init_batch)
+    jax.block_until_ready(variables)
+
+    EOS = -1  # never emitted: generation length = each request's budget
+    # heterogeneous output budgets — the realistic serving mix where
+    # continuous batching wins (static batches wait for the longest row)
+    budgets = [args.max_new // 4, args.max_new // 2, args.max_new,
+               args.max_new // 4]
+    reqs = []
+    for i in range(args.requests):
+        r = jax.random.PRNGKey(1000 + i)
+        n = Lp // 2 + i % (Lp // 2)
+        ids = np.zeros((Lp,), np.int32)
+        ids[:n] = np.asarray(jax.random.randint(r, (n,), 5, 1000), np.int32)
+        d = {"input_ids": ids,
+             "input_mask": (np.arange(Lp) < n).astype(np.int32),
+             "max_new": budgets[i % len(budgets)]}
+        if not args.no_image:
+            d["image_data"] = np.asarray(
+                jax.random.normal(r, (args.image_size, args.image_size, 3)),
+                np.float32)
+        reqs.append((f"req{i}", d))
+
+    def batch_of(group):
+        b = {"input_ids": jnp.asarray(
+                 np.stack([d["input_ids"] for _, d in group])),
+             "input_mask": jnp.asarray(
+                 np.stack([d["input_mask"] for _, d in group]))}
+        if not args.no_image:
+            b["image_data"] = jnp.asarray(
+                np.stack([d["image_data"] for _, d in group]))
+        return b
+
+    useful_tokens = sum(d["max_new"] for _, d in reqs)
+
+    # -- continuous batching (first: pays all compiles, then timed run) ----
+    ad = PinkAdapter(model, variables, max_prompt_len=Lp,
+                     max_new_tokens=args.max_new,
+                     has_image=not args.no_image)
+    eng = ContinuousBatchingEngine(ad, slots=args.slots,
+                                   max_new_tokens=args.max_new, eos_id=EOS)
+    eng.run(reqs[: args.slots + 1])  # compile prefill/admit/step
+    eng.reset()
+    result = eng.run(reqs)
+    print(json.dumps({
+        "metric": "serving_continuous", "slots": args.slots,
+        "requests": args.requests, "max_new": args.max_new,
+        "wall_s": round(result["wall_s"], 3),
+        "useful_tokens_per_s": round(useful_tokens / result["wall_s"], 1),
+        "latency_p50_s": round(result["latency_p50"], 3),
+        "latency_max_s": round(result["latency_max"], 3)}), flush=True)
+
+    # -- static batches of S: every group decodes to its longest budget ----
+    groups = [reqs[i:i + args.slots]
+              for i in range(0, len(reqs), args.slots)]
+    groups = [g for g in groups if len(g) == args.slots]
+    if groups:
+        model.generate(variables, batch_of(groups[0]), eos_id=EOS,
+                       max_length=args.max_new)  # compile (memoized jit)
+        t0 = time.perf_counter()
+        for g in groups:
+            toks, _ = model.generate(variables, batch_of(g), eos_id=EOS,
+                                     max_length=max(
+                                         d["max_new"] for _, d in g))
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        n_useful = sum(d["max_new"] for g in groups for _, d in g)
+        print(json.dumps({
+            "metric": "serving_static_batch", "batch": args.slots,
+            "wall_s": round(dt, 3),
+            "useful_tokens_per_s": round(n_useful / dt, 1)}), flush=True)
+
+    # -- sequential (the reference pattern) --------------------------------
+    if not args.skip_sequential:
+        for b in sorted({d["max_new"] for _, d in reqs}):
+            model.generate(variables, batch_of(reqs[:1]), eos_id=EOS,
+                           max_length=b)  # compile each budget once
+        t0 = time.perf_counter()
+        for rq in reqs:
+            toks, _ = model.generate(variables, batch_of([rq]), eos_id=EOS,
+                                     max_length=rq[1]["max_new"])
+        np.asarray(toks)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "serving_sequential", "wall_s": round(dt, 3),
+            "useful_tokens_per_s": round(useful_tokens / dt, 1)}),
+            flush=True)
+
+
+if __name__ == "__main__":
+    main()

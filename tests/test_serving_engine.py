@@ -1,0 +1,142 @@
+"""Continuous-batching serving engine: slot-pooled decode must be
+token-for-token identical to per-request ``model.generate`` greedy decoding
+(the engine goes beyond the reference's one-request-at-a-time HF generate,
+prj/Pink/pink/eval/model_vqav2.py:141, but must not change the tokens)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from antmmf_tpu.models.m2_omni import M2Omni
+from antmmf_tpu.models.pink import PinkModel
+from antmmf_tpu.predictors.serving_engine import (
+    ContinuousBatchingEngine,
+    M2OmniAdapter,
+    PinkAdapter,
+)
+
+EOS = 1
+MAX_NEW = 5
+LP = 6
+
+
+def _truncate_at_eos(toks, eos=EOS):
+    out = []
+    for t in toks:
+        out.append(int(t))
+        if t == eos:
+            break
+    return out
+
+
+@pytest.fixture(scope="module")
+def pink_setup():
+    model = PinkModel(lm_preset="omni_tiny_test", vit_preset="vit_tiny_test",
+                      image_size=32, lora_rank=2, dtype_str="float32")
+    rng = jax.random.PRNGKey(0)
+    init_batch = {
+        "input_ids": jnp.zeros((1, LP), jnp.int32),
+        "input_mask": jnp.ones((1, LP), jnp.int32),
+        "image_data": jax.random.normal(rng, (1, 32, 32, 3)),
+    }
+    variables = model.init(rng, init_batch)
+    reqs = []
+    for i in range(5):
+        r = jax.random.PRNGKey(100 + i)
+        n = 3 + i % 3
+        ids = np.zeros((LP,), np.int32)
+        ids[:n] = np.asarray(
+            jax.random.randint(r, (n,), 5, 40), np.int32)
+        mask = (np.arange(LP) < n).astype(np.int32)
+        img = np.asarray(jax.random.normal(r, (32, 32, 3)), np.float32)
+        reqs.append((f"req{i}", {"input_ids": ids, "input_mask": mask,
+                                 "image_data": img}))
+    return model, variables, reqs
+
+
+def _reference_tokens(model, variables, data):
+    batch = {"input_ids": jnp.asarray(data["input_ids"])[None],
+             "input_mask": jnp.asarray(data["input_mask"])[None]}
+    if "image_data" in data:
+        batch["image_data"] = jnp.asarray(data["image_data"])[None]
+    tokens, lens = model.generate(variables, batch, eos_id=EOS,
+                                  max_length=MAX_NEW)
+    tokens, lens = np.asarray(tokens), np.asarray(lens)
+    gen = tokens[0, lens[0]: lens[0] + MAX_NEW]
+    return _truncate_at_eos(gen)
+
+
+class TestPinkEngine:
+    def test_matches_sequential_generate(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        # 2 slots < 5 requests: exercises queueing + slot reuse
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run(reqs)
+        assert set(result["outputs"]) == {r[0] for r in reqs}
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
+        assert result["total_tokens"] == sum(
+            len(v) for v in result["outputs"].values())
+        assert result["latency_p50"] > 0
+
+    def test_online_submit_mid_stream(self, pink_setup):
+        """Requests arriving while others decode join at token boundaries."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        eng.submit(*reqs[0])
+        eng.step()
+        eng.step()
+        eng.submit(*reqs[1])  # joins while req0 is mid-decode
+        done = {}
+        for _ in range(4 * MAX_NEW):
+            for rid in eng.step():
+                done[rid] = eng._done[rid]
+            if len(done) == 2:
+                break
+        assert set(done) == {reqs[0][0], reqs[1][0]}
+        for rid, data in reqs[:2]:
+            assert done[rid] == _reference_tokens(model, variables, data)
+
+
+class TestM2OmniEngine:
+    def test_matches_sequential_generate(self):
+        model = M2Omni(lm_preset="omni_tiny_test",
+                       vit_preset="vit_tiny_test", image_size=32,
+                       image_token_id=3, audio_token_id=None,
+                       dtype_str="float32")
+        rng = jax.random.PRNGKey(0)
+        N = (32 // 16) ** 2
+        def mk(seed, n_text):
+            r = jax.random.PRNGKey(seed)
+            row = [5] + [3] * N + list(
+                np.asarray(jax.random.randint(r, (n_text,), 5, 40)))
+            ids = np.zeros((LP + N,), np.int32)
+            ids[:len(row)] = row
+            mask = (ids != 0).astype(np.int32)
+            img = np.asarray(jax.random.normal(r, (1, 32, 32, 3)),
+                             np.float32)
+            return {"input_ids": ids, "input_mask": mask, "image_data": img}
+
+        init = mk(0, 3)
+        variables = model.init(rng, {
+            "input_ids": jnp.asarray(init["input_ids"])[None],
+            "input_mask": jnp.asarray(init["input_mask"])[None],
+            "image_data": jnp.asarray(init["image_data"])[None]})
+        reqs = [(f"r{i}", mk(200 + i, 2 + i % 3)) for i in range(3)]
+
+        ad = M2OmniAdapter(model, variables, max_prompt_len=LP + N,
+                           max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
