@@ -104,6 +104,10 @@ class M2Omni(BaseModel):
     # modeling_m2omni.py:311-325); 0 = off
     llm_lora_rank: int = 0
     dtype_str: str = "bfloat16"
+    # int8 KV cache for generate/serving: halves the per-step HBM cache read
+    # (see modules/llm.init_decoder_cache); tokens may differ slightly from
+    # the bf16 cache (quantization), gate per deployment
+    kv_int8: bool = False
 
     def setup(self) -> None:
         dtype = jnp.dtype(self.dtype_str)
@@ -448,7 +452,8 @@ class M2Omni(BaseModel):
             embeds, positions, full_mask = self._assemble_prefix(
                 batch, input_ids, text_mask, True)
         B, L, _ = embeds.shape
-        cache = self.decoder.make_cache(B, L + extra_slots, self.hidden)
+        cache = self.decoder.make_cache(B, L + extra_slots, self.hidden,
+                                        quantized=self.kv_int8)
         hidden, cache = self.decoder(embeds, positions, full_mask, True,
                                      cache=cache)
         lens_full = full_mask.sum(-1).astype(jnp.int32)

@@ -57,6 +57,10 @@ class PinkModel(BaseModel):
     adapter_mlp: bool = False
     adapter_non_linear: bool = False
     dtype_str: str = "bfloat16"
+    # int8 KV cache for generate/serving: halves the per-step HBM cache read
+    # (see modules/llm.init_decoder_cache); tokens may differ slightly from
+    # the bf16 cache (quantization), gate per deployment
+    kv_int8: bool = False
 
     def setup(self) -> None:
         dtype = jnp.dtype(self.dtype_str)
@@ -91,9 +95,11 @@ class PinkModel(BaseModel):
             self.vision_tower = VisionTransformer(
                 image_size=self.image_size, dtype=dtype,
                 **dict(VIT_PRESETS[self.vit_preset]))
-        if self.adapter_style == "pink":
+        if self.adapter_style == "pink" or self.lora_rank <= 0:
             # reference mm_projector: a plain Linear (pink.py:145); no
-            # output adapter in the reference forward
+            # output adapter in the reference forward. lora_rank=0 means
+            # "no adapters at all" (full-precision serving of a merged
+            # checkpoint) and takes the same plain-Dense path.
             self.vision_proj = nn.Dense(self.hidden, dtype=dtype,
                                         param_dtype=jnp.float32)
             self.output_adapter = None
@@ -256,7 +262,7 @@ class PinkModel(BaseModel):
             return init_decoder_cache(
                 preset["num_layers"], B, n_kv, T,
                 preset["hidden"] // preset["num_heads"],
-                jnp.dtype(self.dtype_str))
+                jnp.dtype(self.dtype_str), quantized=self.kv_int8)
 
         def run(variables, tokens0, mask, img=None):
             # weight-only int8 serving: variables prepared by

@@ -39,12 +39,35 @@ Dtype = Any
 
 def init_decoder_cache(
     num_layers: int, batch: int, num_kv_heads: int, max_len: int,
-    head_dim: int, dtype: Dtype = jnp.bfloat16,
+    head_dim: int, dtype: Dtype = jnp.bfloat16, quantized: bool = False,
 ) -> List[Dict[str, jnp.ndarray]]:
-    """Zeroed per-layer KV cache pytree for ``DecoderLM`` decode."""
+    """Zeroed per-layer KV cache pytree for ``DecoderLM`` decode.
+
+    ``quantized=True`` stores k/v as int8 with one fp32 max-abs scale per
+    (batch, head, slot) — halves the per-step HBM cache read vs bf16 (the
+    decode bottleneck at long context / many serving slots) and doubles the
+    max context per HBM byte. Attention dequantizes by folding the scales
+    into the logits/probs rows, so the only full-size cache op is the
+    int8→bf16 cast XLA fuses into the dot."""
     shape = (batch, num_kv_heads, max_len, head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return [{"k": jnp.zeros(shape, jnp.int8),
+                 "k_scale": jnp.zeros(sshape, jnp.float32),
+                 "v": jnp.zeros(shape, jnp.int8),
+                 "v_scale": jnp.zeros(sshape, jnp.float32)}
+                for _ in range(num_layers)]
     return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(num_layers)]
+
+
+def quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, head, position) symmetric int8: [..., D] → (int8[..., D],
+    f32 scale[..., 1])."""
+    tf = t.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(tf), -1, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(tf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 class RMSNorm(nn.Module):
@@ -191,16 +214,31 @@ class GQAttention(nn.Module):
         k = rope(k, positions, self.rope_theta)
 
         new_cache = None
+        k_scale_row = v_scale_row = None  # int8-cache scale rows [B, H, 1, T]
         if cache is not None:
+            quant = "k_scale" in cache
             if decode_pos is None:
                 # prefill: write the chunk at slots 0..L-1 (keys post-RoPE,
                 # kv-head count — repeated lazily at decode)
-                new_cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], k.astype(cache["k"].dtype), (0, 0, 0, 0)),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], v.astype(cache["v"].dtype), (0, 0, 0, 0)),
-                }
+                if quant:
+                    kq, ks = quantize_kv(k)
+                    vq, vs = quantize_kv(v)
+                    upd = jax.lax.dynamic_update_slice
+                    new_cache = {
+                        "k": upd(cache["k"], kq, (0, 0, 0, 0)),
+                        "k_scale": upd(cache["k_scale"], ks, (0, 0, 0, 0)),
+                        "v": upd(cache["v"], vq, (0, 0, 0, 0)),
+                        "v_scale": upd(cache["v_scale"], vs, (0, 0, 0, 0)),
+                    }
+                else:
+                    new_cache = {
+                        "k": jax.lax.dynamic_update_slice(
+                            cache["k"], k.astype(cache["k"].dtype),
+                            (0, 0, 0, 0)),
+                        "v": jax.lax.dynamic_update_slice(
+                            cache["v"], v.astype(cache["v"].dtype),
+                            (0, 0, 0, 0)),
+                    }
                 # attention below runs on the fresh chunk exactly as uncached
             else:
                 # decode: L == 1; per-row scatter write at decode_pos, then
@@ -208,11 +246,29 @@ class GQAttention(nn.Module):
                 T = cache["k"].shape[2]
                 slot = (jnp.arange(T)[None] == decode_pos[:, None])  # [B, T]
                 w = slot[:, None, :, None]
-                new_cache = {
-                    "k": jnp.where(w, k.astype(cache["k"].dtype), cache["k"]),
-                    "v": jnp.where(w, v.astype(cache["v"].dtype), cache["v"]),
-                }
-                k, v = new_cache["k"], new_cache["v"]
+                if quant:
+                    kq, ks = quantize_kv(k)
+                    vq, vs = quantize_kv(v)
+                    new_cache = {
+                        "k": jnp.where(w, kq, cache["k"]),
+                        "k_scale": jnp.where(w, ks, cache["k_scale"]),
+                        "v": jnp.where(w, vq, cache["v"]),
+                        "v_scale": jnp.where(w, vs, cache["v_scale"]),
+                    }
+                    # int8 stays the HBM-resident operand; scales fold into
+                    # the logits/probs rows after the dot
+                    k = new_cache["k"].astype(self.dtype)
+                    v = new_cache["v"].astype(self.dtype)
+                    k_scale_row = new_cache["k_scale"][..., 0][:, :, None, :]
+                    v_scale_row = new_cache["v_scale"][..., 0][:, :, None, :]
+                else:
+                    new_cache = {
+                        "k": jnp.where(w, k.astype(cache["k"].dtype),
+                                       cache["k"]),
+                        "v": jnp.where(w, v.astype(cache["v"].dtype),
+                                       cache["v"]),
+                    }
+                    k, v = new_cache["k"], new_cache["v"]
                 valid = (jnp.arange(T)[None] <= decode_pos[:, None])  # [B, T]
                 bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
 
@@ -220,6 +276,9 @@ class GQAttention(nn.Module):
             rep = self.num_heads // n_kv
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
+            if k_scale_row is not None:
+                k_scale_row = jnp.repeat(k_scale_row, rep, axis=1)
+                v_scale_row = jnp.repeat(v_scale_row, rep, axis=1)
 
         use_flash = (
             self.use_pallas
@@ -237,11 +296,15 @@ class GQAttention(nn.Module):
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
+            if k_scale_row is not None:  # int8 cache: per-slot key scales
+                logits = logits * k_scale_row
             logits = logits * (head_dim ** -0.5)
             if bias is not None:
                 logits = logits + bias
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
                 self.dtype)
+            if v_scale_row is not None:  # fold value scales into probs
+                probs = probs * v_scale_row.astype(probs.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
         out = dense(C, "o_proj")(out)
@@ -401,8 +464,10 @@ class DecoderLM(nn.Module):
         return x
 
     def make_cache(self, batch: int, max_len: int, hidden: int,
-                   dtype: Dtype = None) -> List[Dict[str, jnp.ndarray]]:
+                   dtype: Dtype = None, quantized: bool = False,
+                   ) -> List[Dict[str, jnp.ndarray]]:
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = hidden // self.num_heads
         return init_decoder_cache(self.num_layers, batch, n_kv, max_len,
-                                  head_dim, dtype or self.dtype)
+                                  head_dim, dtype or self.dtype,
+                                  quantized=quantized)

@@ -78,7 +78,9 @@ class PinkAdapter:
         from antmmf_tpu.modules.llm import init_decoder_cache
 
         return init_decoder_cache(self.num_layers, batch, self.n_kv, self.T,
-                                  self.head_dim, self.dtype)
+                                  self.head_dim, self.dtype,
+                                  quantized=getattr(self.module, "kv_int8",
+                                                    False))
 
     def prefill1(self, tokens, mask, image):
         """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1])."""

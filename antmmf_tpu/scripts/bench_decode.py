@@ -32,6 +32,9 @@ def main() -> None:
     p.add_argument("--decode_steps", type=int, default=32)
     p.add_argument("--int8", action="store_true",
                    help="also measure weight-only int8 decode")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="also measure int8-KV-cache decode (and the combined "
+                        "w8+kv8 serving config when --int8 is also set)")
     p.add_argument("--reencode_max_len", type=int, default=1024,
                    help="skip the O(L^2) re-encode comparison above this L")
     p.add_argument("--cpu", action="store_true",
@@ -191,6 +194,42 @@ def main() -> None:
             row["int8_per_token_ms"] = round(q_ms, 3)
             row["int8_tokens_per_sec"] = round(B * 1e3 / q_ms, 1)
             row["int8_weight_mb"] = round(qstats["bytes_after"] / 1e6, 1)
+
+        if args.kv_int8:
+            # int8 KV cache: halves the per-step HBM cache read (the term
+            # that grows with L and batch; at long context it dominates the
+            # weight read). Reuses the same jits — the cache pytree carries
+            # {"k","k_scale","v","v_scale"} leaves.
+            qc0 = init_decoder_cache(cfg["num_layers"], B, n_kv, T, head_dim,
+                                     dtype, quantized=True)
+            logits0q, cacheq = prefill(params, embeds, positions, mask, qc0)
+            lat_kv = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                toksq, _ = decode(params, embed_table, logits0q, cacheq,
+                                  pos0, toks0)
+                int(np.asarray(toksq)[0, -1])
+                lat_kv.append((time.perf_counter() - t0) * 1e3)
+            kv_ms = float(np.median(lat_kv[1:])) / args.decode_steps
+            row["kv8_per_token_ms"] = round(kv_ms, 3)
+            row["kv8_tokens_per_sec"] = round(B * 1e3 / kv_ms, 1)
+            ref_toks = np.asarray(decode(params, embed_table, logits0,
+                                         cache, pos0, toks0)[0])
+            row["kv8_token_agreement"] = round(float(
+                (np.asarray(toksq) == ref_toks).mean()), 3)
+            if args.int8:  # full int8 serving config: w8 + kv8
+                qparams8 = jax.device_put(
+                    quantize_for_decode(params, min_size=4096))
+                lat_b = []
+                for i in range(4):
+                    t0 = time.perf_counter()
+                    toksb, _ = decode_int8(qparams8, embed_table, logits0q,
+                                           cacheq, pos0, toks0)
+                    int(np.asarray(toksb)[0, -1])
+                    lat_b.append((time.perf_counter() - t0) * 1e3)
+                b_ms = float(np.median(lat_b[1:])) / args.decode_steps
+                row["w8kv8_per_token_ms"] = round(b_ms, 3)
+                row["w8kv8_tokens_per_sec"] = round(B * 1e3 / b_ms, 1)
 
         # O(L^2) re-encode comparison (the pre-round-3 path)
         if L <= args.reencode_max_len:

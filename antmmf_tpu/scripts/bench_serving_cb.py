@@ -30,7 +30,7 @@ import numpy as np
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="omni_1b")
-    p.add_argument("--vit_preset", default="vit_b16")
+    p.add_argument("--vit_preset", default="vit_base_patch16")
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--slots", type=int, default=8)

@@ -161,6 +161,23 @@ def score_rows(
             "n": float(len(scores))}
 
 
+# Every reference eval driver (prj/Pink/pink/eval/model_*.py) resolves to
+# one of the scorer families above; ``--task <driver-name>`` accepts the
+# reference benchmark names directly.
+BENCHMARK_ALIASES = {
+    "vqav2": "vqa",                    # model_vqav2.py (VQA soft-match)
+    "iconqa": "mc",                    # model_iconqa.py (letter choice)
+    "seed": "mc",                      # model_seed.py (letter choice)
+    "v7wgrounding": "mc",              # model_v7wgrounding.py (letter over
+                                       # shuffled candidate boxes)
+    "vsr": "binary",                   # model_vsr.py (yes/no)
+    "vg": "grounding",                 # model_vg_base_batch.py (IoU@0.5)
+    "object365": "grounding",          # model_object365.py (IoU@0.5)
+    "pointingvqa_local": "pointing",   # model_pointingvqa_local.py
+    "pointingvqa_looktwice": "pointing",  # model_pointingvqa_looktwice.py
+}
+
+
 def build_prompt(question: str, template: str = "vicuna_v1") -> str:
     from antmmf_tpu.utils.conversation import get_conv_template
 
@@ -187,7 +204,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--image_dir", required=True)
     parser.add_argument("--task", default="vqa",
                         choices=("vqa", "gqa", "okvqa", "grounding",
-                                 "pointing", "mc", "binary", "caption"))
+                                 "pointing", "mc", "binary", "caption")
+                        + tuple(BENCHMARK_ALIASES))
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--vocab_file",
                         default="tests/data/vocabs/"
@@ -264,7 +282,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             gen = tokens[bi, lens[bi]: lens[bi] + args.max_new_tokens]
             predictions.append(ids_to_caption(tok, gen))
 
-    summary = score_rows(rows, predictions, args.task)
+    summary = score_rows(rows, predictions,
+                         BENCHMARK_ALIASES.get(args.task, args.task))
     if args.out:
         with open(args.out, "w") as f:
             for row, pred in zip(rows, predictions):

@@ -301,3 +301,24 @@ def test_int8_quantized_generate_runs_and_approximates(pink_tiny):
     Lp = batch["input_ids"].shape[1]
     np.testing.assert_array_equal(np.asarray(q)[:, :Lp],
                                   np.asarray(full)[:, :Lp])
+
+
+def test_kv_int8_cache_generate_matches(pink_tiny):
+    """int8 KV cache (kv_int8=True): same generate API, prompt preserved,
+    greedy tokens match the bf16-cache path on the tiny model (per-slot
+    max-abs quantization error << logit gaps)."""
+    model, variables, batch = pink_tiny
+    qmodel = model.clone(kv_int8=True)
+    full, lens = model.generate(variables, batch, eos_id=1, max_length=4)
+    q, lens2 = qmodel.generate(variables, batch, eos_id=1, max_length=4)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(full))
+
+
+def test_kv_int8_cache_m2omni(omni_tiny_spliced):
+    model, variables, batch = omni_tiny_spliced
+    qmodel = model.clone(kv_int8=True)
+    full, lens = model.generate(variables, batch, eos_id=1, max_length=4)
+    q, lens2 = qmodel.generate(variables, batch, eos_id=1, max_length=4)
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(full))

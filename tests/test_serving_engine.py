@@ -140,3 +140,19 @@ class TestM2OmniEngine:
         for rid, data in reqs:
             want = _reference_tokens(model, variables, data)
             assert result["outputs"][rid] == want, rid
+
+
+class TestKvInt8Engine:
+    def test_matches_generate_with_int8_cache(self, pink_setup):
+        """Engine slot-pool with kv_int8 caches == per-request generate with
+        kv_int8 (both paths quantize identically)."""
+        model, variables, reqs = pink_setup
+        qmodel = model.clone(kv_int8=True)
+        ad = PinkAdapter(qmodel, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run(reqs[:3])
+        for rid, data in reqs[:3]:
+            want = _reference_tokens(qmodel, variables, data)
+            assert result["outputs"][rid] == want, rid
