@@ -474,14 +474,30 @@ class M2Omni(BaseModel):
                                      cache=cache, decode_pos=slot)
         return self.lm_head(hidden[:, 0]).astype(jnp.float32), cache
 
+    def decode_chunk(self, tokens: jnp.ndarray, rope0: jnp.ndarray,
+                     slot0: jnp.ndarray, cache):
+        """K tokens per row at contiguous cache slots slot0..slot0+K-1 with
+        RoPE positions rope0..rope0+K-1 on all three axes (generated tokens
+        are text — the get_rope_index continuation convention) — the
+        speculative verify step. Returns (logits f32[B, K, V], cache)."""
+        emb = self.token_embed(tokens)
+        K = tokens.shape[1]
+        pos = rope0[:, None] + jnp.arange(K)[None]
+        pos3 = jnp.repeat(pos[..., None], 3, axis=-1)
+        hidden, cache = self.decoder(emb, pos3, None, True,
+                                     cache=cache, decode_pos=slot0)
+        return self.lm_head(hidden).astype(jnp.float32), cache
+
     def generate(
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 2, max_length: Optional[int] = None,
-        num_beams: int = 1,
+        num_beams: int = 1, speculative: int = 0, spec_ngram: int = 2,
     ):
-        """KV-cache decoding (greedy or beam). Generations are written after
-        each row's text prompt in a shared [B, Lp+max_new] buffer; returns
-        (tokens, prompt_lens int[B])."""
+        """KV-cache decoding (greedy or beam). ``speculative=gamma > 0``
+        turns on prompt-lookup speculative greedy decoding
+        (utils/speculative.py) — tokens identical to plain greedy.
+        Generations are written after each row's text prompt in a shared
+        [B, Lp+max_new] buffer; returns (tokens, prompt_lens int[B])."""
         max_new = int(max_length or 16)
         ids = jnp.asarray(batch["input_ids"], jnp.int32)
         mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
@@ -493,6 +509,7 @@ class M2Omni(BaseModel):
             [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
         fixed = {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("input_ids", "input_mask")}
+        gamma = int(speculative) if num_beams == 1 else 0
 
         # one stable jit per (module config, shapes, decode options):
         # memoized so per-request serving never re-traces, with variables
@@ -501,18 +518,20 @@ class M2Omni(BaseModel):
         fixed_keys = tuple(sorted(fixed))
         key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
                eos_id, num_beams,
-               tuple((k, tuple(v.shape)) for k, v in sorted(fixed.items())))
+               tuple((k, tuple(v.shape)) for k, v in sorted(fixed.items())),
+               gamma, spec_ngram)
         fn = _GEN_JIT_CACHE.get(key)
         if fn is None:
             fn = jax.jit(self._build_cached_decode(
-                Lp, max_new, eos_id, num_beams, B, total, fixed_keys))
+                Lp, max_new, eos_id, num_beams, B, total, fixed_keys,
+                gamma, spec_ngram))
             _GEN_JIT_CACHE[key] = fn
         tokens, _ = fn(variables, tokens0, mask,
                        tuple(fixed[k] for k in fixed_keys))
         return tokens, lens_text
 
     def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
-                             fixed_keys):
+                             fixed_keys, gamma=0, spec_ngram=2):
         """Returns ``fn(variables, tokens0, mask, fixed_vals) ->
         (tokens, aux)`` — cached greedy/beam decode as one program."""
 
@@ -525,7 +544,9 @@ class M2Omni(BaseModel):
             fwd["input_ids"] = tokens0[:, :Lp]
             fwd["input_mask"] = mask
             logits0, cache, lens_full, next_p = self.apply(
-                live_vars(), fwd, max_new, method=M2Omni.prefill)
+                live_vars(), fwd,
+                max_new + (gamma + 1 if gamma else 0),
+                method=M2Omni.prefill)
 
             if num_beams > 1:
                 from antmmf_tpu.utils.text_utils import beam_search_cached
@@ -545,6 +566,21 @@ class M2Omni(BaseModel):
                     lambda row, gen, l: jax.lax.dynamic_update_slice(
                         row, gen, (l,)))(tokens0, best, lens_text)
                 return tokens, scores
+
+            if gamma > 0:
+                from antmmf_tpu.utils.speculative import speculative_greedy
+
+                def chunk_fn(chunk, start_off, cache):
+                    return self.apply(
+                        live_vars(step_mode=True), chunk,
+                        next_p + start_off, lens_full + start_off, cache,
+                        method=M2Omni.decode_chunk)
+
+                buf = jnp.pad(tokens0, ((0, 0), (0, gamma + 1)))
+                tokens, _, _ = speculative_greedy(
+                    chunk_fn, logits0, cache, buf, lens_text, eos_id,
+                    max_new, gamma=gamma, ngram=spec_ngram)
+                return tokens[:, :total], lens_text
 
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)

@@ -201,15 +201,32 @@ class PinkModel(BaseModel):
             hidden = hidden + self.output_adapter(hidden)
         return self.lm_head(hidden[:, 0]).astype(jnp.float32), cache
 
+    def decode_chunk(self, tokens: jnp.ndarray, pos0: jnp.ndarray, cache):
+        """K tokens per row at contiguous slots/positions pos0..pos0+K-1 —
+        the speculative verify step (costs ~one decode step: decode is
+        weight-read-bound at small K). Returns (logits f32[B, K, V], cache)."""
+        emb = self.token_embed(tokens)
+        K = tokens.shape[1]
+        pos = pos0[:, None] + jnp.arange(K)[None]
+        hidden, cache = self.decoder(emb, pos, None, True,
+                                     cache=cache, decode_pos=pos0)
+        if self.output_adapter is not None:
+            hidden = hidden + self.output_adapter(hidden)
+        return self.lm_head(hidden).astype(jnp.float32), cache
+
     def generate(
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 102, max_length: Optional[int] = None,
         num_beams: int = 1, use_cache: bool = True,
+        speculative: int = 0, spec_ngram: int = 2,
     ):
         """Decode for the eval harnesses. Greedy (num_beams=1) or true beam
         search (num_beams>1 — the reference accepts ``num_beams`` in every
-        eval driver). Returns (tokens int[B, Lp+max_new] with generations
-        written after each row's prompt, prompt_lens int[B])."""
+        eval driver). ``speculative=gamma > 0`` turns on prompt-lookup
+        speculative greedy decoding (utils/speculative.py): gamma draft
+        tokens verified per cache step, output tokens identical to plain
+        greedy. Returns (tokens int[B, Lp+max_new] with generations written
+        after each row's prompt, prompt_lens int[B])."""
         max_new = int(max_length or 16)
         ids = jnp.asarray(batch["input_ids"], jnp.int32)
         mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
@@ -225,8 +242,9 @@ class PinkModel(BaseModel):
             return self._generate_reencode(
                 variables, tokens0, lens, img, eos_id, max_new, total, B)
 
+        gamma = int(speculative) if num_beams == 1 else 0
         Lv = self.num_vision_tokens(batch)
-        T = Lv + Lp + max_new
+        T = Lv + Lp + max_new + (gamma + 1 if gamma else 0)
         preset = LM_PRESETS[self.lm_preset]
 
         # one stable jit per (module config, shapes, decode options): serving
@@ -237,12 +255,12 @@ class PinkModel(BaseModel):
         # stalls the remote-compile relay on this rig)
         img_shape = None if img is None else tuple(jnp.shape(img))
         key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
-               eos_id, num_beams, img_shape)
+               eos_id, num_beams, img_shape, gamma, spec_ngram)
         fn = _GEN_JIT_CACHE.get(key)
         if fn is None:
             fn = jax.jit(self._build_cached_decode(
                 Lp, max_new, eos_id, num_beams, B, total, Lv, T, preset,
-                img is not None))
+                img is not None, gamma, spec_ngram))
             _GEN_JIT_CACHE[key] = fn
 
         if img is None:
@@ -252,7 +270,7 @@ class PinkModel(BaseModel):
         return tokens, lens
 
     def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
-                             Lv, T, preset, has_img):
+                             Lv, T, preset, has_img, gamma=0, spec_ngram=2):
         """Returns ``fn(variables, tokens0, mask[, img]) -> (tokens, aux)``
         — the cached greedy/beam decode as one jittable program."""
 
@@ -299,6 +317,21 @@ class PinkModel(BaseModel):
                     lambda row, gen, l: jax.lax.dynamic_update_slice(
                         row, gen, (l,)))(tokens0, best, lens)
                 return tokens, scores
+
+            if gamma > 0:
+                from antmmf_tpu.utils.speculative import speculative_greedy
+
+                def chunk_fn(chunk, start_off, cache):
+                    return self.apply(
+                        live_vars(step_mode=True), chunk,
+                        Lv + lens + start_off, cache,
+                        method=PinkModel.decode_chunk)
+
+                buf = jnp.pad(tokens0, ((0, 0), (0, gamma + 1)))
+                tokens, _, _ = speculative_greedy(
+                    chunk_fn, logits0, cache, buf, lens, eos_id, max_new,
+                    gamma=gamma, ngram=spec_ngram)
+                return tokens[:, :total], lens
 
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)

@@ -30,10 +30,12 @@ Dtype = Any
 # stored POST-RoPE — threaded through ``DecoderLM.__call__``. Two modes:
 #   * prefill: the padded prompt chunk [B, Lp] runs the normal causal forward
 #     and its k/v are written at slots 0..Lp-1 (dynamic_update_slice);
-#   * decode: one token per row at per-row slot ``decode_pos`` (scatter
-#     write); attention reads the whole cache with validity
-#     ``slot <= decode_pos`` — generated tokens progressively overwrite the
-#     stale right-padding slots, so validity stays contiguous.
+#   * decode: an L-token chunk per row at per-row contiguous slots
+#     ``decode_pos..decode_pos+L-1`` (L=1 is the plain per-token step; L>1
+#     serves speculative verify / chunked decode); attention reads the whole
+#     cache with validity ``slot <= decode_pos + j`` per query j — generated
+#     tokens progressively overwrite the stale right-padding slots, so
+#     validity stays contiguous.
 # ---------------------------------------------------------------------------
 
 
@@ -241,19 +243,27 @@ class GQAttention(nn.Module):
                     }
                 # attention below runs on the fresh chunk exactly as uncached
             else:
-                # decode: L == 1; per-row scatter write at decode_pos, then
-                # attend over the cache with validity slot <= decode_pos
+                # decode: an L-token chunk per row written at CONTIGUOUS
+                # slots decode_pos..decode_pos+L-1 (L == 1 is the plain
+                # per-token step; L > 1 is the speculative verify / chunked
+                # decode), then attend over the cache with causal validity
+                # slot <= decode_pos + j for query j
                 T = cache["k"].shape[2]
-                slot = (jnp.arange(T)[None] == decode_pos[:, None])  # [B, T]
-                w = slot[:, None, :, None]
+
+                def row_write(big, upd, pos):
+                    # [H, T, D] <- [H, L, D] at slot ``pos`` (contiguous)
+                    return jax.vmap(
+                        lambda c, u, p: jax.lax.dynamic_update_slice(
+                            c, u, (0, p, 0)))(big, upd, pos)
+
                 if quant:
                     kq, ks = quantize_kv(k)
                     vq, vs = quantize_kv(v)
                     new_cache = {
-                        "k": jnp.where(w, kq, cache["k"]),
-                        "k_scale": jnp.where(w, ks, cache["k_scale"]),
-                        "v": jnp.where(w, vq, cache["v"]),
-                        "v_scale": jnp.where(w, vs, cache["v_scale"]),
+                        "k": row_write(cache["k"], kq, decode_pos),
+                        "k_scale": row_write(cache["k_scale"], ks, decode_pos),
+                        "v": row_write(cache["v"], vq, decode_pos),
+                        "v_scale": row_write(cache["v_scale"], vs, decode_pos),
                     }
                     # int8 stays the HBM-resident operand; scales fold into
                     # the logits/probs rows after the dot
@@ -263,14 +273,16 @@ class GQAttention(nn.Module):
                     v_scale_row = new_cache["v_scale"][..., 0][:, :, None, :]
                 else:
                     new_cache = {
-                        "k": jnp.where(w, k.astype(cache["k"].dtype),
-                                       cache["k"]),
-                        "v": jnp.where(w, v.astype(cache["v"].dtype),
-                                       cache["v"]),
+                        "k": row_write(cache["k"], k.astype(cache["k"].dtype),
+                                       decode_pos),
+                        "v": row_write(cache["v"], v.astype(cache["v"].dtype),
+                                       decode_pos),
                     }
                     k, v = new_cache["k"], new_cache["v"]
-                valid = (jnp.arange(T)[None] <= decode_pos[:, None])  # [B, T]
-                bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+                qpos = decode_pos[:, None] + jnp.arange(L)[None]  # [B, L]
+                valid = (jnp.arange(T)[None, None]
+                         <= qpos[:, :, None])  # [B, L, T]
+                bias = jnp.where(valid, 0.0, -1e30)[:, None]
 
         if n_kv != self.num_heads:  # expand kv groups
             rep = self.num_heads // n_kv

@@ -37,13 +37,19 @@ from antmmf_tpu.predictors.quantization import make_live_vars
 
 class PinkAdapter:
     """Binds ``PinkModel`` to the engine protocol. Cache slots and RoPE
-    positions coincide for Pink (1D positions over [vision; text])."""
+    positions coincide for Pink (1D positions over [vision; text]).
+
+    The weights are held on the adapter but enter every jit as ARGUMENTS
+    (``make_live_vars`` is applied to the traced tree inside the program) —
+    a closure capture would bake multi-GB constants into the HLO and stall
+    the remote-compile relay at 1B+ scale."""
 
     def __init__(self, module, variables, max_prompt_len: int,
                  max_new_tokens: int, has_image: bool):
         from antmmf_tpu.models.pink import LM_PRESETS
 
         self.module = module
+        self.variables = variables
         preset = LM_PRESETS[module.lm_preset]
         self.num_layers = preset["num_layers"]
         self.n_kv = preset["num_kv_heads"] or preset["num_heads"]
@@ -56,23 +62,23 @@ class PinkAdapter:
         self.Lv = module.num_vision_tokens(probe)
         self.T = self.Lv + max_prompt_len + max_new_tokens
         self.has_image = has_image
-        self._live = make_live_vars(variables, self.dtype)
 
-        def _pf(tokens, mask, image):
+        def _pf(variables, tokens, mask, image):
             from antmmf_tpu.models.pink import PinkModel
 
+            live = make_live_vars(variables, self.dtype)
             batch = {"input_ids": tokens, "input_mask": mask}
             if image is not None:
                 batch["image_data"] = image
             lens = mask.sum(-1).astype(jnp.int32)
             cache = self.make_cache(1)
             logits, cache = self.module.apply(
-                self._live(), batch, cache, lens, method=PinkModel.prefill)
+                live(), batch, cache, lens, method=PinkModel.prefill)
             start = self.Lv + lens
             return logits, cache, start, start
 
         self._pf_img = jax.jit(_pf)
-        self._pf_txt = jax.jit(lambda t, m: _pf(t, m, None))
+        self._pf_txt = jax.jit(lambda v, t, m: _pf(v, t, m, None))
 
     def make_cache(self, batch: int):
         from antmmf_tpu.modules.llm import init_decoder_cache
@@ -85,55 +91,62 @@ class PinkAdapter:
     def prefill1(self, tokens, mask, image):
         """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1])."""
         if image is not None:
-            return self._pf_img(tokens, mask, image)
-        return self._pf_txt(tokens, mask)
+            return self._pf_img(self.variables, tokens, mask, image)
+        return self._pf_txt(self.variables, tokens, mask)
 
-    def decode(self, token, rope, slot, cache):
+    def decode(self, variables, token, rope, slot, cache):
+        """Called from inside the engine's jitted ``_step`` — ``variables``
+        is the traced argument, never a captured constant."""
         from antmmf_tpu.models.pink import PinkModel
 
-        return self.module.apply(self._live(step_mode=True), token, slot,
+        live = make_live_vars(variables, self.dtype)
+        return self.module.apply(live(step_mode=True), token, slot,
                                  cache, method=PinkModel.decode_step)
 
 
 class M2OmniAdapter:
     """Binds ``M2Omni`` to the engine protocol. RoPE positions follow the
     3D ``get_rope_index`` continuation convention and differ from cache
-    slots, so the two streams are carried separately."""
+    slots, so the two streams are carried separately. Weights enter every
+    jit as arguments (see PinkAdapter)."""
 
     def __init__(self, module, variables, max_prompt_len: int,
                  max_new_tokens: int, has_image: bool):
         self.module = module
+        self.variables = variables
         self.max_new = max_new_tokens
         self.has_image = has_image
         self.dtype = jnp.dtype(getattr(module, "dtype_str", "bfloat16"))
-        self._live = make_live_vars(variables, self.dtype)
         self.T: Optional[int] = None  # discovered from the first prefill
 
-        def _pf(tokens, mask, image):
+        def _pf(variables, tokens, mask, image):
             from antmmf_tpu.models.m2_omni import M2Omni
 
+            live = make_live_vars(variables, self.dtype)
             batch = {"input_ids": tokens, "input_mask": mask}
             if image is not None:
                 batch["image_data"] = image
             return self.module.apply(
-                self._live(), batch, self.max_new, method=M2Omni.prefill)
+                live(), batch, self.max_new, method=M2Omni.prefill)
 
         self._pf_img = jax.jit(_pf)
-        self._pf_txt = jax.jit(lambda t, m: _pf(t, m, None))
+        self._pf_txt = jax.jit(lambda v, t, m: _pf(v, t, m, None))
 
     def prefill1(self, tokens, mask, image):
         if image is not None:
             logits, cache, lens_full, next_p = self._pf_img(
-                tokens, mask, image)
+                self.variables, tokens, mask, image)
         else:
-            logits, cache, lens_full, next_p = self._pf_txt(tokens, mask)
+            logits, cache, lens_full, next_p = self._pf_txt(
+                self.variables, tokens, mask)
         self.T = cache[0]["k"].shape[2]
         return logits, cache, lens_full, next_p
 
-    def decode(self, token, rope, slot, cache):
+    def decode(self, variables, token, rope, slot, cache):
         from antmmf_tpu.models.m2_omni import M2Omni
 
-        return self.module.apply(self._live(step_mode=True), token, rope,
+        live = make_live_vars(variables, self.dtype)
+        return self.module.apply(live(step_mode=True), token, rope,
                                  slot, cache, method=M2Omni.decode_step)
 
 
@@ -177,12 +190,13 @@ class ContinuousBatchingEngine:
         self._admit_jit = _admit
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def _step(cache, last_logits, rope, spos, active):
+        def _step(cache, last_logits, rope, spos, active, variables):
             nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
             nxt = jnp.where(active, nxt, 0)
             T = cache[0]["k"].shape[2]
             safe_slot = jnp.minimum(spos, T - 1)
-            logits, cache = self.ad.decode(nxt, rope, safe_slot, cache)
+            logits, cache = self.ad.decode(variables, nxt, rope, safe_slot,
+                                           cache)
             rope = jnp.where(active, rope + 1, rope)
             spos = jnp.where(active, jnp.minimum(spos + 1, T - 1), spos)
             return nxt, logits, cache, rope, spos
@@ -264,7 +278,7 @@ class ContinuousBatchingEngine:
         active = jnp.asarray(active_py)
         nxt, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
             self._step_jit(st["cache"], st["last_logits"], st["rope"],
-                           st["spos"], active)
+                           st["spos"], active, self.ad.variables)
         nxt_host = np.asarray(nxt)
         retired = []
         now = time.perf_counter()

@@ -37,6 +37,11 @@ def main() -> None:
                         "w8+kv8 serving config when --int8 is also set)")
     p.add_argument("--reencode_max_len", type=int, default=1024,
                    help="skip the O(L^2) re-encode comparison above this L")
+    p.add_argument("--speculate", type=int, default=0, metavar="GAMMA",
+                   help="also measure prompt-lookup speculative decoding: "
+                        "chunk-verify step cost at width GAMMA+1 plus an "
+                        "end-to-end speculative run with measured "
+                        "acceptance telemetry")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin wins "
                         "over JAX_PLATFORMS alone)")
@@ -63,7 +68,7 @@ def main() -> None:
     class LMWithHead(nn.Module):
         @nn.compact
         def __call__(self, embeds, positions, mask=None, cache=None,
-                     decode_pos=None):
+                     decode_pos=None, all_logits=False):
             dec = DecoderLM(
                 num_layers=cfg["num_layers"], num_heads=cfg["num_heads"],
                 num_kv_heads=cfg["num_kv_heads"], dtype=dtype, name="decoder")
@@ -73,6 +78,8 @@ def main() -> None:
                             param_dtype=jnp.float32, name="lm_head")
             if cache is not None:
                 hiddens, cache = out
+                if all_logits:
+                    return head(hiddens).astype(jnp.float32), cache
                 return head(hiddens[:, -1:])[:, 0].astype(jnp.float32), cache
             return head(out).astype(jnp.float32)
 
@@ -230,6 +237,76 @@ def main() -> None:
                 b_ms = float(np.median(lat_b[1:])) / args.decode_steps
                 row["w8kv8_per_token_ms"] = round(b_ms, 3)
                 row["w8kv8_tokens_per_sec"] = round(B * 1e3 / b_ms, 1)
+
+        if args.speculate:
+            # speculative decoding telemetry: (a) the hardware truth — a
+            # width-(gamma+1) chunk-verify step costs ~one decode step
+            # (weight-read-bound); (b) an end-to-end speculative greedy run
+            # with MEASURED acceptance (free-running greedy on random
+            # weights is repetition-heavy, so treat the end-to-end tokens/s
+            # as a favorable case; the chunk cost + acceptance curve is the
+            # honest generalization)
+            from antmmf_tpu.utils.speculative import speculative_greedy
+
+            gamma = args.speculate
+            K = gamma + 1
+
+            @jax.jit
+            def chunk_step(params, table, chunk, pos0, cache):
+                emb = table[chunk]
+                pos = pos0[:, None] + jnp.arange(K)[None]
+                return model.apply(params, emb, pos, None, cache=cache,
+                                   decode_pos=pos0, all_logits=True)
+
+            chunk0 = jnp.zeros((B, K), jnp.int32)
+            lat_ch = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                lg, _ = chunk_step(params, embed_table, chunk0, pos0, cache)
+                float(np.asarray(lg).reshape(-1)[0])
+                lat_ch.append((time.perf_counter() - t0) * 1e3)
+            chunk_ms = float(np.median(lat_ch[1:]))
+            row["spec_chunk_ms"] = round(chunk_ms, 3)
+            # tokens/s at acceptance rate a: (1 + a*gamma) tokens per chunk
+            for a in (0.0, 0.5, 0.8):
+                row[f"spec_tokens_per_sec_a{a}"] = round(
+                    B * (1 + a * gamma) * 1e3 / chunk_ms, 1)
+
+            @jax.jit
+            def spec_run(params, table, logits0, cache, buf, lens_):
+                def chunk_fn(chunk, start_off, c):
+                    emb = table[chunk]
+                    p0 = pos0 + start_off
+                    pos = p0[:, None] + jnp.arange(K)[None]
+                    return model.apply(params, emb, pos, None, cache=c,
+                                       decode_pos=p0, all_logits=True)
+
+                return speculative_greedy(
+                    chunk_fn, logits0, cache, buf, lens_, -1,
+                    args.decode_steps, gamma=gamma)
+
+            # speculative needs gamma extra cache slots of headroom
+            cache_sp0 = init_decoder_cache(cfg["num_layers"], B, n_kv,
+                                           T + K, head_dim, dtype)
+            _, cache_sp = prefill(params, embeds, positions, mask, cache_sp0)
+            buf = jnp.concatenate(
+                [ids.astype(jnp.int32),
+                 jnp.zeros((B, args.decode_steps + K), jnp.int32)], 1)
+            lens_ = jnp.full((B,), L, jnp.int32)
+            lat_sp = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                toks_sp, cnt, n_steps = spec_run(
+                    params, embed_table, logits0, cache_sp, buf, lens_)
+                int(np.asarray(cnt)[0])
+                lat_sp.append((time.perf_counter() - t0) * 1e3)
+            sp_ms = float(np.median(lat_sp[1:]))
+            emitted = float(np.asarray(cnt).mean())
+            steps = int(n_steps)
+            row["spec_e2e_tokens_per_sec"] = round(
+                B * emitted * 1e3 / sp_ms, 1)
+            row["spec_e2e_tokens_per_step"] = round(
+                emitted / max(steps, 1), 2)
 
         # O(L^2) re-encode comparison (the pre-round-3 path)
         if L <= args.reencode_max_len:
