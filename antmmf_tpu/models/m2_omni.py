@@ -492,12 +492,15 @@ class M2Omni(BaseModel):
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 2, max_length: Optional[int] = None,
         num_beams: int = 1, speculative: int = 0, spec_ngram: int = 2,
+        do_sample: bool = False, top_p: float = 0.9,
+        temperature: float = 1.0, rng: Optional[jax.Array] = None,
     ):
-        """KV-cache decoding (greedy or beam). ``speculative=gamma > 0``
-        turns on prompt-lookup speculative greedy decoding
-        (utils/speculative.py) — tokens identical to plain greedy.
-        Generations are written after each row's text prompt in a shared
-        [B, Lp+max_new] buffer; returns (tokens, prompt_lens int[B])."""
+        """KV-cache decoding (greedy, beam, or nucleus sampling — the
+        reference HF-generate surface). ``speculative=gamma > 0`` turns on
+        prompt-lookup speculative greedy decoding (utils/speculative.py) —
+        tokens identical to plain greedy. Generations are written after
+        each row's text prompt in a shared [B, Lp+max_new] buffer; returns
+        (tokens, prompt_lens int[B])."""
         max_new = int(max_length or 16)
         ids = jnp.asarray(batch["input_ids"], jnp.int32)
         mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
@@ -509,33 +512,39 @@ class M2Omni(BaseModel):
             [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
         fixed = {k: jnp.asarray(v) for k, v in batch.items()
                  if k not in ("input_ids", "input_mask")}
-        gamma = int(speculative) if num_beams == 1 else 0
+        gamma = int(speculative) if num_beams == 1 and not do_sample else 0
 
         # one stable jit per (module config, shapes, decode options):
         # memoized so per-request serving never re-traces, with variables
         # and modal inputs as ARGUMENTS (closure capture would bake them in
         # as constants and stall the remote-compile relay at 1B+ scale)
         fixed_keys = tuple(sorted(fixed))
-        key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
-               eos_id, num_beams,
+        mode = ("sample" if do_sample
+                else "beam" if num_beams > 1 else "greedy")
+        key = (self, mode, B, Lp, max_new, eos_id, num_beams,
                tuple((k, tuple(v.shape)) for k, v in sorted(fixed.items())),
-               gamma, spec_ngram)
+               gamma, spec_ngram, do_sample, top_p, temperature)
         fn = _GEN_JIT_CACHE.get(key)
         if fn is None:
             fn = jax.jit(self._build_cached_decode(
                 Lp, max_new, eos_id, num_beams, B, total, fixed_keys,
-                gamma, spec_ngram))
+                gamma, spec_ngram, do_sample, top_p, temperature))
             _GEN_JIT_CACHE[key] = fn
-        tokens, _ = fn(variables, tokens0, mask,
-                       tuple(fixed[k] for k in fixed_keys))
+        args = (variables, tokens0, mask,
+                tuple(fixed[k] for k in fixed_keys))
+        if do_sample:
+            args += (rng if rng is not None else jax.random.PRNGKey(0),)
+        tokens, _ = fn(*args)
         return tokens, lens_text
 
     def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
-                             fixed_keys, gamma=0, spec_ngram=2):
-        """Returns ``fn(variables, tokens0, mask, fixed_vals) ->
-        (tokens, aux)`` — cached greedy/beam decode as one program."""
+                             fixed_keys, gamma=0, spec_ngram=2,
+                             do_sample=False, top_p=0.9, temperature=1.0):
+        """Returns ``fn(variables, tokens0, mask, fixed_vals[, rng]) ->
+        (tokens, aux)`` — cached greedy/beam/sampling decode as one
+        program."""
 
-        def run(variables, tokens0, mask, fixed_vals):
+        def run(variables, tokens0, mask, fixed_vals, rng=None):
             from antmmf_tpu.predictors.quantization import make_live_vars
 
             live_vars = make_live_vars(variables, jnp.dtype(self.dtype_str))
@@ -581,6 +590,23 @@ class M2Omni(BaseModel):
                     chunk_fn, logits0, cache, buf, lens_text, eos_id,
                     max_new, gamma=gamma, ngram=spec_ngram)
                 return tokens[:, :total], lens_text
+
+            if do_sample:
+                from antmmf_tpu.utils.text_utils import (
+                    nucleus_sampling_cached)
+
+                def decode_fn(tok, slot, cache):
+                    return self.apply(live_vars(step_mode=True), tok,
+                                      next_p + (slot - lens_full), slot,
+                                      cache, method=M2Omni.decode_step)
+
+                gen = nucleus_sampling_cached(
+                    decode_fn, logits0, cache, lens_full, rng, eos_id,
+                    max_new=max_new, top_p=top_p, temperature=temperature)
+                tokens = jax.vmap(
+                    lambda row, g, l: jax.lax.dynamic_update_slice(
+                        row, g, (l,)))(tokens0, gen, lens_text)
+                return tokens, lens_text
 
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)

@@ -219,14 +219,18 @@ class PinkModel(BaseModel):
         eos_id: int = 102, max_length: Optional[int] = None,
         num_beams: int = 1, use_cache: bool = True,
         speculative: int = 0, spec_ngram: int = 2,
+        do_sample: bool = False, top_p: float = 0.9,
+        temperature: float = 1.0, rng: Optional[jax.Array] = None,
     ):
-        """Decode for the eval harnesses. Greedy (num_beams=1) or true beam
+        """Decode for the eval harnesses. Greedy (num_beams=1), true beam
         search (num_beams>1 — the reference accepts ``num_beams`` in every
-        eval driver). ``speculative=gamma > 0`` turns on prompt-lookup
-        speculative greedy decoding (utils/speculative.py): gamma draft
-        tokens verified per cache step, output tokens identical to plain
-        greedy. Returns (tokens int[B, Lp+max_new] with generations written
-        after each row's prompt, prompt_lens int[B])."""
+        eval driver), or nucleus sampling (``do_sample`` + top_p/temperature
+        — the reference HF-generate sampling surface). ``speculative=gamma
+        > 0`` turns on prompt-lookup speculative greedy decoding
+        (utils/speculative.py): gamma draft tokens verified per cache step,
+        output tokens identical to plain greedy. Returns (tokens
+        int[B, Lp+max_new] with generations written after each row's
+        prompt, prompt_lens int[B])."""
         max_new = int(max_length or 16)
         ids = jnp.asarray(batch["input_ids"], jnp.int32)
         mask = jnp.asarray(batch.get("input_mask", jnp.ones_like(ids)),
@@ -242,7 +246,7 @@ class PinkModel(BaseModel):
             return self._generate_reencode(
                 variables, tokens0, lens, img, eos_id, max_new, total, B)
 
-        gamma = int(speculative) if num_beams == 1 else 0
+        gamma = int(speculative) if num_beams == 1 and not do_sample else 0
         Lv = self.num_vision_tokens(batch)
         T = Lv + Lp + max_new + (gamma + 1 if gamma else 0)
         preset = LM_PRESETS[self.lm_preset]
@@ -254,25 +258,30 @@ class PinkModel(BaseModel):
         # the weights into the program as constants — a 1B-model constant
         # stalls the remote-compile relay on this rig)
         img_shape = None if img is None else tuple(jnp.shape(img))
-        key = (self, "beam" if num_beams > 1 else "greedy", B, Lp, max_new,
-               eos_id, num_beams, img_shape, gamma, spec_ngram)
+        mode = ("sample" if do_sample
+                else "beam" if num_beams > 1 else "greedy")
+        key = (self, mode, B, Lp, max_new, eos_id, num_beams, img_shape,
+               gamma, spec_ngram, do_sample, top_p, temperature)
         fn = _GEN_JIT_CACHE.get(key)
         if fn is None:
             fn = jax.jit(self._build_cached_decode(
                 Lp, max_new, eos_id, num_beams, B, total, Lv, T, preset,
-                img is not None, gamma, spec_ngram))
+                img is not None, gamma, spec_ngram, do_sample, top_p,
+                temperature))
             _GEN_JIT_CACHE[key] = fn
 
-        if img is None:
-            tokens, _ = fn(variables, tokens0, mask)
-        else:
-            tokens, _ = fn(variables, tokens0, mask, img)
+        args = (variables, tokens0, mask) + (() if img is None else (img,))
+        if do_sample:
+            args += (rng if rng is not None else jax.random.PRNGKey(0),)
+        tokens, _ = fn(*args)
         return tokens, lens
 
     def _build_cached_decode(self, Lp, max_new, eos_id, num_beams, B, total,
-                             Lv, T, preset, has_img, gamma=0, spec_ngram=2):
-        """Returns ``fn(variables, tokens0, mask[, img]) -> (tokens, aux)``
-        — the cached greedy/beam decode as one jittable program."""
+                             Lv, T, preset, has_img, gamma=0, spec_ngram=2,
+                             do_sample=False, top_p=0.9, temperature=1.0):
+        """Returns ``fn(variables, tokens0, mask[, img][, rng]) ->
+        (tokens, aux)`` — the cached greedy/beam/sampling decode as one
+        jittable program."""
 
         def make_cache():
             from antmmf_tpu.modules.llm import init_decoder_cache
@@ -282,7 +291,7 @@ class PinkModel(BaseModel):
                 preset["hidden"] // preset["num_heads"],
                 jnp.dtype(self.dtype_str), quantized=self.kv_int8)
 
-        def run(variables, tokens0, mask, img=None):
+        def run(variables, tokens0, mask, img=None, rng=None):
             # weight-only int8 serving: variables prepared by
             # predictors.quantization.quantize_for_decode carry {"q","scale"}
             # records; dequantize per decode step behind an optimization
@@ -333,6 +342,18 @@ class PinkModel(BaseModel):
                     gamma=gamma, ngram=spec_ngram)
                 return tokens[:, :total], lens
 
+            if do_sample:
+                from antmmf_tpu.utils.text_utils import (
+                    nucleus_sampling_cached)
+
+                gen = nucleus_sampling_cached(
+                    decode_fn, logits0, cache, Lv + lens, rng, eos_id,
+                    max_new=max_new, top_p=top_p, temperature=temperature)
+                tokens = jax.vmap(
+                    lambda row, g, l: jax.lax.dynamic_update_slice(
+                        row, g, (l,)))(tokens0, gen, lens)
+                return tokens, lens
+
             def emit(t, tokens, done, last_logits):
                 nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
                 nxt = jnp.where(done, eos_id, nxt)
@@ -355,8 +376,14 @@ class PinkModel(BaseModel):
             return tokens, lens
 
         if has_img:
+            if do_sample:
+                return lambda variables, tokens0, mask, img, rng: run(
+                    variables, tokens0, mask, img, rng)
             return lambda variables, tokens0, mask, img: run(
                 variables, tokens0, mask, img)
+        if do_sample:
+            return lambda variables, tokens0, mask, rng: run(
+                variables, tokens0, mask, None, rng)
         return lambda variables, tokens0, mask: run(variables, tokens0, mask)
 
     def _generate_reencode(self, variables, tokens0, lens, img, eos_id,

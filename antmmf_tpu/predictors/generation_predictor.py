@@ -44,6 +44,11 @@ class GenerationPredictor(BasePredictor):
         self.tokenizer = BertTokenizer(vocab)
         self.template = self.pp.get("template", "vicuna_v1")
         self.num_beams = int(self.pp.get("num_beams", 1))
+        # prompt-lookup speculative decoding (tokens identical to greedy)
+        self.speculative = int(self.pp.get("speculative", 0))
+        self.do_sample = bool(self.pp.get("do_sample", False))
+        self.top_p = float(self.pp.get("top_p", 0.9))
+        self.temperature = float(self.pp.get("temperature", 1.0))
         self.max_new_tokens = int(self.pp.get("max_new_tokens", 24))
         self.max_prompt_len = int(self.pp.get("max_prompt_len", 64))
         self.eos_id = int(self.pp.get("eos_id", 102))
@@ -93,7 +98,9 @@ class GenerationPredictor(BasePredictor):
                 f"{type(module).__name__} has no generate()")
         tokens, lens = module.generate(
             self.variables, arrays, eos_id=self.eos_id,
-            max_length=self.max_new_tokens, num_beams=self.num_beams)
+            max_length=self.max_new_tokens, num_beams=self.num_beams,
+            speculative=self.speculative, do_sample=self.do_sample,
+            top_p=self.top_p, temperature=self.temperature)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         outs = []
         for b in range(tokens.shape[0]):

@@ -13,10 +13,11 @@ Design (XLA-friendly, zero dynamic shapes):
 * one jitted single-request prefill writes a fresh [1, ...] cache;
 * one jitted ``_admit`` scatters that cache row + first-token logits into a
   slot of the pooled [S, ...] cache (``lax.dynamic_update_index_in_dim``);
-* one jitted ``_step`` advances ALL slots one token (argmax of the held
-  logits, per-slot rope position and cache-slot streams);
+* one jitted ``_step`` advances ALL slots one DECODE WINDOW (``step_tokens``
+  tokens under a fori_loop — one host round-trip per window, because on a
+  remote-attached chip per-token host syncs dominate decode itself);
 * the host loop owns request bookkeeping only: queueing, EOS/max-token
-  retirement, per-request token collection.
+  retirement at window boundaries, per-request token collection.
 
 Works with any model exposing the ``prefill``/``decode_step`` contract
 (PinkModel, M2Omni) via the small adapters below. Greedy decoding —
@@ -159,11 +160,20 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, adapter, slots: int = 8, max_new_tokens: int = 32,
-                 eos_id: int = 102):
+                 eos_id: int = 102, step_tokens: int = 8):
         self.ad = adapter
         self.S = slots
         self.max_new = max_new_tokens
         self.eos_id = eos_id
+        # decode window: tokens advanced per host round-trip. Every host
+        # sync pays the dispatch latency of the accelerator link (on a
+        # remote-attached chip it can exceed the decode step itself —
+        # measured 84 tok/s at H=1 vs 311 for a fully-jitted static batch),
+        # so the window loop runs inside ONE jitted program and the host
+        # only admits/retires at window boundaries. Waste is bounded by
+        # H-1 tokens per request (post-EOS tokens inside a window are
+        # discarded); H=1 recovers exact per-token admission.
+        self.H = max(1, int(step_tokens))
         self._queue: List[Tuple[Any, Mapping[str, Any]]] = []
         self._slot_req: List[Optional[Any]] = [None] * slots
         self._slot_toks: List[List[int]] = [[] for _ in range(slots)]
@@ -189,17 +199,28 @@ class ContinuousBatchingEngine:
 
         self._admit_jit = _admit
 
+        H = self.H
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def _step(cache, last_logits, rope, spos, active, variables):
-            nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
-            nxt = jnp.where(active, nxt, 0)
             T = cache[0]["k"].shape[2]
-            safe_slot = jnp.minimum(spos, T - 1)
-            logits, cache = self.ad.decode(variables, nxt, rope, safe_slot,
-                                           cache)
-            rope = jnp.where(active, rope + 1, rope)
-            spos = jnp.where(active, jnp.minimum(spos + 1, T - 1), spos)
-            return nxt, logits, cache, rope, spos
+
+            def body(i, carry):
+                toks, last_logits, cache, rope, spos = carry
+                nxt = jnp.argmax(last_logits, -1).astype(jnp.int32)
+                nxt = jnp.where(active, nxt, 0)
+                toks = toks.at[:, i].set(nxt)
+                safe_slot = jnp.minimum(spos, T - 1)
+                logits, cache = self.ad.decode(variables, nxt, rope,
+                                               safe_slot, cache)
+                rope = jnp.where(active, rope + 1, rope)
+                spos = jnp.where(active, jnp.minimum(spos + 1, T - 1), spos)
+                return toks, logits, cache, rope, spos
+
+            toks0 = jnp.zeros((last_logits.shape[0], H), jnp.int32)
+            toks, last_logits, cache, rope, spos = jax.lax.fori_loop(
+                0, H, body, (toks0, last_logits, cache, rope, spos))
+            return toks, last_logits, cache, rope, spos
 
         self._step_jit = _step
 
@@ -266,7 +287,8 @@ class ContinuousBatchingEngine:
             self._t_first[rid] = time.perf_counter()
 
     def step(self) -> List[Any]:
-        """Admit from the queue, advance every active slot one token, retire
+        """Admit from the queue, advance every active slot one decode
+        window (``step_tokens`` tokens under one jitted program), retire
         finished requests. Returns the ids retired this step."""
         self._admit_waiting()
         if self._state is None:
@@ -276,24 +298,26 @@ class ContinuousBatchingEngine:
             return []
         st = self._state
         active = jnp.asarray(active_py)
-        nxt, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
+        toks, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
             self._step_jit(st["cache"], st["last_logits"], st["rope"],
                            st["spos"], active, self.ad.variables)
-        nxt_host = np.asarray(nxt)
+        toks_host = np.asarray(toks)  # [S, H]
         retired = []
         now = time.perf_counter()
         for s in range(self.S):
             rid = self._slot_req[s]
             if rid is None:
                 continue
-            tok = int(nxt_host[s])
-            self._slot_toks[s].append(tok)
-            if tok == self.eos_id \
-                    or len(self._slot_toks[s]) >= self._slot_budget[s]:
-                self._done[rid] = list(self._slot_toks[s])
-                self._latency[rid] = now - self._t_submit[rid]
-                self._slot_req[s] = None
-                retired.append(rid)
+            for h in range(self.H):
+                tok = int(toks_host[s, h])
+                self._slot_toks[s].append(tok)
+                if tok == self.eos_id \
+                        or len(self._slot_toks[s]) >= self._slot_budget[s]:
+                    self._done[rid] = list(self._slot_toks[s])
+                    self._latency[rid] = now - self._t_submit[rid]
+                    self._slot_req[s] = None
+                    retired.append(rid)
+                    break  # post-EOS window tokens are discarded
         return retired
 
     def run(self, requests: List[Tuple[Any, Mapping[str, Any]]]

@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--step_tokens", type=int, default=8,
+                   help="decode-window tokens per host sync (H=1 is exact "
+                        "per-token admission; larger H amortizes the host "
+                        "round-trip, which dominates on a remote chip)")
     p.add_argument("--prompt_len", type=int, default=32)
     p.add_argument("--max_new", type=int, default=32)
     p.add_argument("--no_image", action="store_true")
@@ -94,12 +98,14 @@ def main() -> None:
                      max_new_tokens=args.max_new,
                      has_image=not args.no_image)
     eng = ContinuousBatchingEngine(ad, slots=args.slots,
-                                   max_new_tokens=args.max_new, eos_id=EOS)
+                                   max_new_tokens=args.max_new, eos_id=EOS,
+                                   step_tokens=args.step_tokens)
     eng.run(reqs[: args.slots + 1])  # compile prefill/admit/step
     eng.reset()
     result = eng.run(reqs)
     print(json.dumps({
         "metric": "serving_continuous", "slots": args.slots,
+        "step_tokens": args.step_tokens,
         "requests": args.requests, "max_new": args.max_new,
         "wall_s": round(result["wall_s"], 3),
         "useful_tokens_per_s": round(useful_tokens / result["wall_s"], 1),

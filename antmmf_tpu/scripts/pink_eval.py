@@ -215,6 +215,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--max_prompt_len", type=int, default=64)
     parser.add_argument("--max_new_tokens", type=int, default=24)
     parser.add_argument("--num_beams", type=int, default=1)
+    parser.add_argument("--speculate", type=int, default=0, metavar="GAMMA",
+                        help="prompt-lookup speculative greedy decoding "
+                             "(tokens identical to greedy; faster on "
+                             "prompt-grounded answers)")
+    parser.add_argument("--do_sample", action="store_true")
+    parser.add_argument("--top_p", type=float, default=0.9)
+    parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--out", default=None,
                         help="optional jsonl of per-row predictions")
@@ -276,7 +283,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         }
         tokens, lens = module.generate(
             variables, batch, max_length=args.max_new_tokens,
-            num_beams=args.num_beams)
+            num_beams=args.num_beams, speculative=args.speculate,
+            do_sample=args.do_sample, top_p=args.top_p,
+            temperature=args.temperature)
         tokens, lens = np.asarray(tokens), np.asarray(lens)
         for bi in range(len(chunk)):
             gen = tokens[bi, lens[bi]: lens[bi] + args.max_new_tokens]

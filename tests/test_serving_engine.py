@@ -90,12 +90,12 @@ class TestPinkEngine:
         ad = PinkAdapter(model, variables, max_prompt_len=LP,
                          max_new_tokens=MAX_NEW, has_image=True)
         eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
-                                       eos_id=EOS)
-        eng.submit(*reqs[0])
-        eng.step()
-        eng.step()
-        eng.submit(*reqs[1])  # joins while req0 is mid-decode
+                                       eos_id=EOS, step_tokens=2)
         done = {}
+        eng.submit(*reqs[0])
+        for rid in eng.step() + eng.step():  # 4 of req0's 5 tokens decoded
+            done[rid] = eng._done[rid]
+        eng.submit(*reqs[1])  # joins while req0 is mid-decode
         for _ in range(4 * MAX_NEW):
             for rid in eng.step():
                 done[rid] = eng._done[rid]
@@ -140,6 +140,25 @@ class TestM2OmniEngine:
         for rid, data in reqs:
             want = _reference_tokens(model, variables, data)
             assert result["outputs"][rid] == want, rid
+
+
+class TestDecodeWindow:
+    @pytest.mark.parametrize("step_tokens", [1, 3])
+    def test_window_sizes_keep_tokens_identical(self, pink_setup,
+                                                step_tokens):
+        """The decode window (tokens per host sync) is a pure scheduling
+        knob: H=1 (exact per-token admission) and H=3 (mid-window
+        retirement + slot reuse, budget 5 not divisible by 3) must both
+        reproduce per-request generate tokens."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, step_tokens=step_tokens)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, (step_tokens, rid)
 
 
 class TestKvInt8Engine:

@@ -214,3 +214,41 @@ def test_m2omni_speculative_long_budget(omni_tiny_spliced):
     got, _ = model.generate(variables, batch, eos_id=1, max_length=9,
                             speculative=4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pink_sampling_surface(pink_tiny):
+    """do_sample wires nucleus_sampling_cached into generate (the reference
+    HF-generate sampling surface): top_p->0 collapses to greedy, and the
+    same rng reproduces the same tokens."""
+    model, variables, batch = pink_tiny
+    greedy, lens = model.generate(variables, batch, eos_id=1, max_length=5)
+    near_greedy, _ = model.generate(
+        variables, batch, eos_id=1, max_length=5, do_sample=True,
+        top_p=1e-6, temperature=1.0, rng=jax.random.PRNGKey(7))
+    lens_np = np.asarray(lens)
+    for b in range(2):
+        # generated region only (sampling pads with eos after early stop,
+        # greedy does too — compare the full generated window)
+        np.testing.assert_array_equal(
+            np.asarray(near_greedy)[b, lens_np[b]:lens_np[b] + 5],
+            np.asarray(greedy)[b, lens_np[b]:lens_np[b] + 5])
+    a, _ = model.generate(variables, batch, eos_id=1, max_length=5,
+                          do_sample=True, top_p=0.95, temperature=1.3,
+                          rng=jax.random.PRNGKey(3))
+    b2, _ = model.generate(variables, batch, eos_id=1, max_length=5,
+                           do_sample=True, top_p=0.95, temperature=1.3,
+                           rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_m2omni_sampling_surface(omni_tiny_spliced):
+    model, variables, batch = omni_tiny_spliced
+    greedy, lens = model.generate(variables, batch, eos_id=1, max_length=4)
+    near_greedy, _ = model.generate(
+        variables, batch, eos_id=1, max_length=4, do_sample=True,
+        top_p=1e-6, rng=jax.random.PRNGKey(7))
+    lens_np = np.asarray(lens)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(near_greedy)[b, lens_np[b]:lens_np[b] + 4],
+            np.asarray(greedy)[b, lens_np[b]:lens_np[b] + 4])
