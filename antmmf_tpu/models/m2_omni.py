@@ -100,9 +100,15 @@ class M2Omni(BaseModel):
     # when None, modality segments are prepended (legacy layout).
     image_token_id: Optional[int] = None
     audio_token_id: Optional[int] = None
-    # LoRA on the decoder q/v projections (reference wrap_llm_lora,
-    # modeling_m2omni.py:311-325); 0 = off
+    # LoRA on the decoder projections (reference wrap_llm_lora,
+    # modeling_m2omni.py:311-326); 0 = off. llm_lora_targets "qv" is the
+    # lightweight default; "all" matches the reference recipe exactly
+    # (q/k/v/o + gate/up/down)
     llm_lora_rank: int = 0
+    llm_lora_targets: str = "qv"
+    # LoRA on the Qwen2-ViT tower blocks (reference wrap_vit_lora,
+    # modeling_m2omni.py:301-309: qkv/proj/fc1/fc2); 0 = off
+    vit_lora_rank: int = 0
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -116,10 +122,17 @@ class M2Omni(BaseModel):
         self.vocab_size = p["vocab_size"]
         self.token_embed = nn.Embed(self.vocab_size, self.hidden, dtype=dtype,
                                     param_dtype=jnp.float32)
+        if self.llm_lora_targets not in ("qv", "all"):
+            raise ValueError(
+                f"llm_lora_targets must be 'qv' or 'all', got "
+                f"{self.llm_lora_targets!r}")
+        all_tgt = self.llm_lora_targets == "all"
         self.decoder = DecoderLM(
             num_layers=p["num_layers"], num_heads=p["num_heads"],
             num_kv_heads=p["num_kv_heads"], rope_3d=True,
-            lora_rank=self.llm_lora_rank, dtype=dtype)
+            lora_rank=self.llm_lora_rank,
+            lora_targets=("q", "k", "v", "o") if all_tgt else ("q", "v"),
+            lora_mlp=all_tgt, dtype=dtype)
         if self.visual_tower == "qwen2":
             from antmmf_tpu.modules.vision.qwen2_vit import build_qwen2_vit
 
@@ -128,7 +141,8 @@ class M2Omni(BaseModel):
             # (mlp_depths-1)×[GELU, Linear] maps into the LM width, then
             # F.normalize (extract_image_feature, :652-660)
             self.vision_tower = build_qwen2_vit(
-                self.qwen2_preset, image_size=self.image_size, dtype=dtype)
+                self.qwen2_preset, image_size=self.image_size,
+                lora_rank=self.vit_lora_rank, dtype=dtype)
             self.vision_proj = [nn.Dense(self.hidden, dtype=dtype,
                                          param_dtype=jnp.float32)
                                 for _ in range(self.mlp_depths)]

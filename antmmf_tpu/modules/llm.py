@@ -162,13 +162,16 @@ class GQAttention(nn.Module):
     head_dim: Optional[int] = None
     rope_theta: float = 10000.0
     rope_3d: bool = False
-    # LoRA adapters on q/v (the Pink finetuning recipe — reference trains
-    # low-rank adapters on the decoder attention, pink/model/adapter.py);
-    # with lora_freeze_base the base projections are stop-gradiented so only
-    # the adapters (and whatever else the optimizer sees) receive gradients
+    # LoRA adapters on the attention projections. Default targets q/v (the
+    # Pink finetuning recipe — reference trains low-rank adapters on the
+    # decoder attention, pink/model/adapter.py); the M2-omni recipe targets
+    # all four (wrap_llm_lora, modeling_m2omni.py:311-326 — q/k/v/o). With
+    # lora_freeze_base the base projections are stop-gradiented so only the
+    # adapters (and whatever else the optimizer sees) receive gradients
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    lora_targets: Tuple[str, ...] = ("q", "v")
     use_pallas: bool = True
     dtype: Dtype = jnp.bfloat16
 
@@ -189,17 +192,17 @@ class GQAttention(nn.Module):
             f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name)
 
-        def maybe_lora(base_out, feats, name):
-            if self.lora_rank <= 0:
+        def maybe_lora(base_out, inp, feats, name):
+            if self.lora_rank <= 0 or name not in self.lora_targets:
                 return base_out
             if self.lora_freeze_base:
                 base_out = jax.lax.stop_gradient(base_out)
             a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
-                           (C, self.lora_rank), jnp.float32)
+                           (inp.shape[-1], self.lora_rank), jnp.float32)
             b = self.param(f"{name}_lora_b", nn.initializers.zeros,
                            (self.lora_rank, feats), jnp.float32)
             scale = self.lora_alpha / self.lora_rank
-            delta = (x.astype(jnp.float32) @ a @ b) * scale
+            delta = (inp.astype(jnp.float32) @ a @ b) * scale
             return base_out + delta.astype(base_out.dtype)
 
         def heads(t, n):
@@ -207,9 +210,10 @@ class GQAttention(nn.Module):
 
         qf = self.num_heads * head_dim
         kvf = n_kv * head_dim
-        q = heads(maybe_lora(dense(qf, "q_proj")(x), qf, "q"), self.num_heads)
-        k = heads(dense(kvf, "k_proj")(x), n_kv)
-        v = heads(maybe_lora(dense(kvf, "v_proj")(x), kvf, "v"), n_kv)
+        q = heads(maybe_lora(dense(qf, "q_proj")(x), x, qf, "q"),
+                  self.num_heads)
+        k = heads(maybe_lora(dense(kvf, "k_proj")(x), x, kvf, "k"), n_kv)
+        v = heads(maybe_lora(dense(kvf, "v_proj")(x), x, kvf, "v"), n_kv)
 
         rope = apply_rope_3d if self.rope_3d else apply_rope
         q = rope(q, positions, self.rope_theta)
@@ -319,7 +323,7 @@ class GQAttention(nn.Module):
                 probs = probs * v_scale_row.astype(probs.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
-        out = dense(C, "o_proj")(out)
+        out = maybe_lora(dense(C, "o_proj")(out), out, C, "o")
         if cache is not None:
             return out, new_cache
         return out
@@ -327,6 +331,11 @@ class GQAttention(nn.Module):
 
 class SwiGLU(nn.Module):
     hidden_dim: int
+    # LoRA on gate/up/down (the M2-omni wrap_llm_lora recipe targets the
+    # MLP projections too, modeling_m2omni.py:311-326); 0 = plain MLP
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -334,9 +343,24 @@ class SwiGLU(nn.Module):
         dense = lambda f, name: nn.Dense(  # noqa: E731
             f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name)
-        return dense(x.shape[-1], "down_proj")(
-            nn.silu(dense(self.hidden_dim, "gate_proj")(x))
-            * dense(self.hidden_dim, "up_proj")(x))
+
+        def maybe_lora(base_out, inp, feats, name):
+            if self.lora_rank <= 0:
+                return base_out
+            if self.lora_freeze_base:
+                base_out = jax.lax.stop_gradient(base_out)
+            a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
+                           (inp.shape[-1], self.lora_rank), jnp.float32)
+            b = self.param(f"{name}_lora_b", nn.initializers.zeros,
+                           (self.lora_rank, feats), jnp.float32)
+            scale = self.lora_alpha / self.lora_rank
+            delta = (inp.astype(jnp.float32) @ a @ b) * scale
+            return base_out + delta.astype(base_out.dtype)
+
+        C, Dh = x.shape[-1], self.hidden_dim
+        h = nn.silu(maybe_lora(dense(Dh, "gate_proj")(x), x, Dh, "gate")) \
+            * maybe_lora(dense(Dh, "up_proj")(x), x, Dh, "up")
+        return maybe_lora(dense(C, "down_proj")(h), h, C, "down")
 
 
 class SerialAdapter(nn.Module):
@@ -369,6 +393,10 @@ class DecoderLayer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    # ("q", "v") = Pink recipe; ("q", "k", "v", "o") + lora_mlp=True = the
+    # M2-omni wrap_llm_lora recipe (all seven projections)
+    lora_targets: Tuple[str, ...] = ("q", "v")
+    lora_mlp: bool = False
     # Pink serial adapters (reference adapter.py): bottleneck after the
     # input norm (adapter_attn) and optionally after the post-attn norm
     # (adapter_mlp); 0 = off
@@ -389,7 +417,8 @@ class DecoderLayer(nn.Module):
             num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
             rope_theta=self.rope_theta, rope_3d=self.rope_3d,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-            lora_freeze_base=self.lora_freeze_base, dtype=self.dtype,
+            lora_freeze_base=self.lora_freeze_base,
+            lora_targets=self.lora_targets, dtype=self.dtype,
             name="attention")(h, positions, bias, deterministic,
                               cache=cache, decode_pos=decode_pos)
         new_cache = None
@@ -402,6 +431,9 @@ class DecoderLayer(nn.Module):
                               non_linear=self.adapter_non_linear,
                               dtype=self.dtype, name="adapter_mlp_layer")(h)
         out = x + SwiGLU(hidden_dim=int(x.shape[-1] * self.mlp_ratio),
+                         lora_rank=self.lora_rank if self.lora_mlp else 0,
+                         lora_alpha=self.lora_alpha,
+                         lora_freeze_base=self.lora_freeze_base,
                          dtype=self.dtype, name="mlp")(h)
         if cache is not None:
             return out, new_cache
@@ -421,6 +453,8 @@ class DecoderLM(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    lora_targets: Tuple[str, ...] = ("q", "v")
+    lora_mlp: bool = False
     adapter_dim: int = 0
     adapter_mlp: bool = False
     adapter_non_linear: bool = False
@@ -460,6 +494,7 @@ class DecoderLM(nn.Module):
                 rope_3d=self.rope_3d, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
                 lora_freeze_base=self.lora_freeze_base,
+                lora_targets=self.lora_targets, lora_mlp=self.lora_mlp,
                 adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
                 adapter_non_linear=self.adapter_non_linear,
                 dtype=self.dtype, name=f"layer_{i}",

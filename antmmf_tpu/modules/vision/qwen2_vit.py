@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +75,12 @@ def apply_vision_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 class Qwen2VisionBlock(nn.Module):
     num_heads: int
     mlp_ratio: float
+    # tower LoRA (the reference wrap_vit_lora finetuning recipe,
+    # modeling_m2omni.py:301-309: target_modules = attn.qkv / attn.proj /
+    # mlp.fc1 / mlp.fc2); base kernels stop-gradiented when frozen
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -85,8 +92,22 @@ class Qwen2VisionBlock(nn.Module):
         dense = lambda f, name: nn.Dense(  # noqa: E731
             f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
+        def maybe_lora(base_out, inp, feats, name):
+            if self.lora_rank <= 0:
+                return base_out
+            if self.lora_freeze_base:
+                base_out = jax.lax.stop_gradient(base_out)
+            a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
+                           (inp.shape[-1], self.lora_rank), jnp.float32)
+            b = self.param(f"{name}_lora_b", nn.initializers.zeros,
+                           (self.lora_rank, feats), jnp.float32)
+            scale = self.lora_alpha / self.lora_rank
+            delta = (inp.astype(jnp.float32) @ a @ b) * scale
+            return base_out + delta.astype(base_out.dtype)
+
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        qkv = dense(3 * C, "qkv")(h).reshape(B, L, 3, H, hd)
+        qkv = maybe_lora(dense(3 * C, "qkv")(h), h, 3 * C, "qkv")
+        qkv = qkv.reshape(B, L, 3, H, hd)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
         q = apply_vision_rope(q, freqs)
         k = apply_vision_rope(k, freqs)
@@ -96,12 +117,13 @@ class Qwen2VisionBlock(nn.Module):
             self.dtype)
         attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, L, C)
-        x = x + dense(C, "proj")(attn)
+        x = x + maybe_lora(dense(C, "proj")(attn), attn, C, "proj")
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = dense(int(C * self.mlp_ratio), "fc1")(h)
+        h = maybe_lora(dense(int(C * self.mlp_ratio), "fc1")(h), h,
+                       int(C * self.mlp_ratio), "fc1")
         h = quick_gelu(h)
-        return x + dense(C, "fc2")(h)
+        return x + maybe_lora(dense(C, "fc2")(h), h, C, "fc2")
 
 
 class Qwen2VisionTransformer(nn.Module):
@@ -118,6 +140,11 @@ class Qwen2VisionTransformer(nn.Module):
     spatial_merge_size: int = 2
     temporal_patch_size: int = 2
     image_size: int = 224  # informational default; any divisible H/W works
+    # wrap_vit_lora equivalent: low-rank adapters on every block's
+    # qkv/proj/fc1/fc2 with frozen base kernels (0 = off)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_freeze_base: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -166,6 +193,8 @@ class Qwen2VisionTransformer(nn.Module):
         for i in range(self.depth):
             x = Qwen2VisionBlock(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_freeze_base=self.lora_freeze_base,
                 dtype=self.dtype, name=f"layer_{i}")(x, freqs, deterministic)
         x = x.reshape(B, L, self.embed_dim)
 

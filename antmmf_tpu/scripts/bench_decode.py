@@ -251,24 +251,41 @@ def main() -> None:
             gamma = args.speculate
             K = gamma + 1
 
-            @jax.jit
-            def chunk_step(params, table, chunk, pos0, cache):
-                emb = table[chunk]
-                pos = pos0[:, None] + jnp.arange(K)[None]
-                return model.apply(params, emb, pos, None, cache=cache,
-                                   decode_pos=pos0, all_logits=True)
+            # chunked-replay ceiling: decode the known token stream K at a
+            # time inside ONE jit (a single chunk_step call from the host
+            # measures relay dispatch + a 3 MB logits transfer, not the
+            # chip) — this is speculative tokens/s at 100% acceptance
+            n_chunks = max(1, args.decode_steps // K)
 
-            chunk0 = jnp.zeros((B, K), jnp.int32)
+            @jax.jit
+            def chunk_replay(params, table, stream, pos0, cache):
+                def step(i, carry):
+                    last, cache = carry
+                    chunk = jax.lax.dynamic_slice(
+                        stream, (0, i * K), (B, K))
+                    p0 = pos0 + i * K
+                    lg, cache = model.apply(
+                        params, table[chunk],
+                        p0[:, None] + jnp.arange(K)[None], None,
+                        cache=cache, decode_pos=p0, all_logits=True)
+                    return lg[:, -1], cache
+
+                last0 = jnp.zeros((B, vocab), jnp.float32)
+                last, cache = jax.lax.fori_loop(
+                    0, n_chunks, step, (last0, cache))
+                return last
+
+            stream = jnp.zeros((B, n_chunks * K), jnp.int32)
             lat_ch = []
-            for i in range(5):
+            for i in range(4):
                 t0 = time.perf_counter()
-                lg, _ = chunk_step(params, embed_table, chunk0, pos0, cache)
+                lg = chunk_replay(params, embed_table, stream, pos0, cache)
                 float(np.asarray(lg).reshape(-1)[0])
                 lat_ch.append((time.perf_counter() - t0) * 1e3)
-            chunk_ms = float(np.median(lat_ch[1:]))
+            chunk_ms = float(np.median(lat_ch[1:])) / n_chunks
             row["spec_chunk_ms"] = round(chunk_ms, 3)
             # tokens/s at acceptance rate a: (1 + a*gamma) tokens per chunk
-            for a in (0.0, 0.5, 0.8):
+            for a in (0.5, 0.8, 1.0):
                 row[f"spec_tokens_per_sec_a{a}"] = round(
                     B * (1 + a * gamma) * 1e3 / chunk_ms, 1)
 
