@@ -251,11 +251,13 @@ def main() -> None:
             gamma = args.speculate
             K = gamma + 1
 
-            # chunked-replay ceiling: decode the known token stream K at a
-            # time inside ONE jit (a single chunk_step call from the host
+            # chunked-replay ceiling: decode a token stream K at a time
+            # inside ONE jit (a single chunk_step call from the host
             # measures relay dispatch + a 3 MB logits transfer, not the
-            # chip) — this is speculative tokens/s at 100% acceptance
-            n_chunks = max(1, args.decode_steps // K)
+            # chip; even a short replay leaves ~15 ms/chunk of dispatch in
+            # the quotient) — this is speculative tokens/s at 100%
+            # acceptance. Use enough chunks to amortize the one dispatch.
+            n_chunks = max(24, args.decode_steps // K)
 
             @jax.jit
             def chunk_replay(params, table, stream, pos0, cache):
@@ -275,11 +277,18 @@ def main() -> None:
                     0, n_chunks, step, (last0, cache))
                 return last
 
+            # replay cache sized for the full chunk stream (slot clamping
+            # would otherwise rewrite the same tail slots — same FLOPs but
+            # not the representative memory pattern)
+            re_cache0 = init_decoder_cache(cfg["num_layers"], B, n_kv,
+                                           L + n_chunks * K, head_dim, dtype)
+            _, re_cache = prefill(params, embeds, positions, mask, re_cache0)
             stream = jnp.zeros((B, n_chunks * K), jnp.int32)
             lat_ch = []
             for i in range(4):
                 t0 = time.perf_counter()
-                lg = chunk_replay(params, embed_table, stream, pos0, cache)
+                lg = chunk_replay(params, embed_table, stream, pos0,
+                                  re_cache)
                 float(np.asarray(lg).reshape(-1)[0])
                 lat_ch.append((time.perf_counter() - t0) * 1e3)
             chunk_ms = float(np.median(lat_ch[1:])) / n_chunks

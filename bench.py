@@ -140,6 +140,20 @@ def main() -> None:
         "llm_decode_L512_speedup_vs_reencode": 28.3,
         "llm_decode_L1024_tokens_per_sec": 198.6,
         "llm_decode_L512_int8_tokens_per_sec": 336.1,
+        # round 3 serving engine (bench_serving_cb.py, 16 Pink omni_1b
+        # requests, heterogeneous 8/16/32-token budgets, 8 slots, one chip;
+        # same-run comparison): continuous batching with 8-token decode
+        # windows vs the reference's sequential-HF-generate pattern and
+        # static batches
+        "serving_cb_useful_tokens_per_sec": 294.2,
+        "serving_sequential_tokens_per_sec": 124.4,
+        "serving_static_b8_tokens_per_sec": 183.0,
+        "llm_decode_L1024_b8_tokens_per_sec": 1074.2,
+        # prompt-lookup speculative decoding (bench_decode --speculate 4):
+        # a 5-token verify step costs 7.03 ms vs 4.99 ms plain decode, so
+        # tokens/s at acceptance a is (1+4a)/7.03ms — exact greedy tokens
+        "llm_decode_speculative_a08_tokens_per_sec": 597.7,
+        "llm_decode_speculative_ceiling_tokens_per_sec": 711.5,
         "source": "BASELINE.md round-2/3 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):
