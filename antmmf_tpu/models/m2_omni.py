@@ -502,6 +502,20 @@ class M2Omni(BaseModel):
                                      cache=cache, decode_pos=slot0)
         return self.lm_head(hidden).astype(jnp.float32), cache
 
+    def extend_cache(self, tokens: jnp.ndarray, mask: jnp.ndarray,
+                     rope0: jnp.ndarray, slot0: jnp.ndarray, cache):
+        """Append a NEW TEXT TURN to an existing conversation cache
+        (multi-turn serving without re-prefilling history): right-padded
+        ``tokens`` [B, Lt] written from cache slot ``slot0`` with RoPE
+        continuation ``rope0`` (both int[B]; stale pad writes sit beyond
+        the validity horizon and are overwritten by later decode steps).
+        Returns (last-valid logits f32[B, V], cache, new_rope, new_slot)."""
+        logits, cache = self.decode_chunk(tokens, rope0, slot0, cache)
+        tlen = mask.sum(-1).astype(jnp.int32)
+        last = jnp.take_along_axis(
+            logits, (tlen - 1).clip(0)[:, None, None], axis=1)[:, 0]
+        return last, cache, rope0 + tlen, slot0 + tlen
+
     def generate(
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 2, max_length: Optional[int] = None,

@@ -214,6 +214,56 @@ class PinkModel(BaseModel):
             hidden = hidden + self.output_adapter(hidden)
         return self.lm_head(hidden).astype(jnp.float32), cache
 
+    def prefill_chunked(self, batch: Mapping[str, Any], cache,
+                        lens: jnp.ndarray, chunk_tokens: int = 128):
+        """Prefill the [vision; text] stream ``chunk_tokens`` at a time —
+        numerically identical to :meth:`prefill` but the decoder program is
+        PROMPT-LENGTH-INDEPENDENT (one compiled chunk shape serves every
+        prompt length; full prefill compiles a new program per length,
+        minutes each through a remote-compile relay) and peak activation
+        memory is O(chunk) instead of O(prompt).
+        Returns (last-valid-token logits f32[B, V], cache)."""
+        embeds, full_mask, Lv = self._assemble(batch, True)
+        B, L, C = embeds.shape
+        W = min(chunk_tokens, L)
+        n_chunks = -(-L // W)
+        pad = n_chunks * W - L
+        if pad:
+            embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+        last_idx = Lv + lens - 1  # [B] global position of the last prompt tok
+
+        def step(i, carry):
+            last_h, cache = carry
+            chunk = jax.lax.dynamic_slice(embeds, (0, i * W, 0), (B, W, C))
+            pos0 = jnp.full((B,), i * W, jnp.int32)
+            pos = pos0[:, None] + jnp.arange(W)[None]
+            hidden, cache = self.decoder(chunk, pos, None, True,
+                                         cache=cache, decode_pos=pos0)
+            hit = (pos == last_idx[:, None])[..., None]  # [B, W, 1]
+            last_h = jnp.where(hit.any(1), (hidden * hit).sum(1), last_h)
+            return last_h, cache
+
+        last_h0 = jnp.zeros((B, C), self.decoder.dtype)
+        last_h, cache = jax.lax.fori_loop(0, n_chunks, step, (last_h0, cache))
+        if self.output_adapter is not None:
+            last_h = last_h + self.output_adapter(last_h)
+        return self.lm_head(last_h).astype(jnp.float32), cache
+
+    def extend_cache(self, tokens: jnp.ndarray, mask: jnp.ndarray,
+                     start: jnp.ndarray, cache):
+        """Append a NEW TURN to an existing conversation cache (multi-turn
+        serving without re-prefilling history): ``tokens`` [B, Lt] right-
+        padded per ``mask``, written from per-row slot ``start`` int[B].
+        Stale writes past each row's real turn length sit beyond the
+        attention validity horizon and are overwritten by subsequent decode
+        steps (the same contiguity argument as speculative rejection).
+        Returns (last-valid-token logits f32[B, V], cache, new_start int[B])."""
+        logits, cache = self.decode_chunk(tokens, start, cache)
+        tlen = mask.sum(-1).astype(jnp.int32)
+        last = jnp.take_along_axis(
+            logits, (tlen - 1).clip(0)[:, None, None], axis=1)[:, 0]
+        return last, cache, start + tlen
+
     def generate(
         self, variables, batch: Mapping[str, Any],
         eos_id: int = 102, max_length: Optional[int] = None,
