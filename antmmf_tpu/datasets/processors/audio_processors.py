@@ -161,13 +161,15 @@ class SANMAudioProcessor(BaseProcessor):
         return {"fbank": out, "fbank_mask": mask, "num_frames": np.int64(n)}
 
 
-@registry.register_processor("m2_omni_processor")
+@registry.register_processor("m2_omni_simple")
 class M2OmniProcessor(BaseProcessor):
-    """Unified multimodal processor (reference processing_m2omni.py): one text
-    string with ``<image>``/``<audio>`` placeholders + optional image/audio
-    inputs → a single model-ready sample. Placeholders expand to
-    ``num_image_tokens``/``num_audio_tokens`` repeated special ids so the
-    host-side token count matches the model's spliced prefix lengths."""
+    """SIMPLIFIED multimodal processor: one text string with ``<image>``/
+    ``<audio>`` placeholders + optional image/audio inputs → a model-ready
+    sample with fixed-count placeholder ids PREFIXED to the text (fixed
+    image size, static shapes — the training-friendly variant). The faithful
+    Bailing2 processor (in-place expansion, dynamic resolution, chat
+    templates — reference processing_m2omni.py) is
+    ``m2_omni_processor`` in ``m2omni_processing.py``."""
 
     IMAGE_TOKEN = "<image>"
     AUDIO_TOKEN = "<audio>"

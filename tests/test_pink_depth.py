@@ -145,7 +145,7 @@ def test_sanm_audio_processor():
 def test_m2_omni_unified_processor():
     from antmmf_tpu.common.registry import registry
 
-    proc = registry.get_processor_class("m2_omni_processor")({
+    proc = registry.get_processor_class("m2_omni_simple")({
         "text": {"vocab_file":
                  "tests/data/vocabs/bert-base-uncased_30522_vocab.txt",
                  "max_seq_length": 16},
