@@ -468,24 +468,38 @@ def extract_vision_info(conversations: Sequence[Any]) -> List[Dict[str, Any]]:
     return infos
 
 
-def process_vision_info(conversations: Sequence[Any]) -> Tuple[
+def process_vision_info(conversations: Sequence[Any],
+                        size_factor: int = IMAGE_FACTOR,
+                        min_pixels: Optional[int] = None,
+                        max_pixels: Optional[int] = None) -> Tuple[
         Optional[List[np.ndarray]], Optional[List[Any]],
         Optional[List[np.ndarray]]]:
-    """Conversation → (images, videos, audios) lists (m2omni_utils.py:405-436)."""
+    """Conversation → (images, videos, audios) lists (m2omni_utils.py:405-436).
+
+    ``size_factor``/``min_pixels``/``max_pixels`` default to the reference
+    constants (factor 28 == patch 14 × merge 2); non-default vision-tower
+    geometries thread their own bounds through."""
     image_inputs: List[np.ndarray] = []
     video_inputs: List[Any] = []
     audio_inputs: List[np.ndarray] = []
+    bounds = {}
+    if min_pixels is not None:
+        bounds["min_pixels"] = int(min_pixels)
+    if max_pixels is not None:
+        bounds["max_pixels"] = int(max_pixels)
     for info in extract_vision_info(conversations):
         if "image" in info or "image_url" in info:
             img = info.get("image", info.get("image_url"))
             if isinstance(img, (tuple, list)):
                 for one in img:
-                    image_inputs.append(fetch_image({"type": "image",
-                                                     "image": one}))
+                    image_inputs.append(fetch_image(
+                        {"type": "image", "image": one, **bounds},
+                        size_factor=size_factor))
             else:
-                image_inputs.append(fetch_image(info))
+                image_inputs.append(fetch_image({**bounds, **info},
+                                                size_factor=size_factor))
         elif "video" in info or "video_url" in info:
-            video_inputs.append(fetch_video(info))
+            video_inputs.append(fetch_video(info, image_factor=size_factor))
         elif "audio" in info or "audio_url" in info:
             aud = info.get("audio", info.get("audio_url"))
             if isinstance(aud, (tuple, list)):
@@ -743,8 +757,11 @@ class M2OmniUnifiedProcessor(BaseProcessor):
                 item["conversation"], bos_token=self.bos_token,
                 add_generation_prompt=bool(
                     item.get("add_generation_prompt", True)))
+            ip = self.image_processor
             images, videos, audios = process_vision_info(
-                [item["conversation"]])
+                [item["conversation"]],
+                size_factor=ip.patch_size * ip.merge_size,
+                min_pixels=ip.min_pixels, max_pixels=ip.max_pixels)
         else:
             text = str(item.get("text", ""))
             images = item.get("images")

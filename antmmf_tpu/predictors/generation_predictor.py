@@ -31,6 +31,11 @@ class GenerationPredictor(BasePredictor):
         mc = dict(self.model_config.get("model_attributes", {}) or {})
         name = list(mc)[0] if mc else ""
         size = int(dict(mc.get(name, {})).get("image_size", 224))
+        if getattr(self, "unified", None) is not None:
+            mn = self.unified.image_processor.min_pixels
+            side = max(int(round(mn ** 0.5)), 56)
+            return {"text": "describe <image>",
+                    "images": [np.zeros((side, side, 3), np.uint8)]}
         return {"text": "example", "image": np.zeros((size, size, 3),
                                                      np.float32)}
 
@@ -39,8 +44,12 @@ class GenerationPredictor(BasePredictor):
 
         # attributes first: super().load() builds the init example through
         # our build_sample
-        vocab = self.pp.get(
-            "vocab_file", "tests/data/vocabs/bert-base-uncased_30522_vocab.txt")
+        from antmmf_tpu.datasets.processors.text_processors import (
+            _resolve_vocab_path)
+
+        vocab = _resolve_vocab_path(self.pp.get(
+            "vocab_file",
+            "tests/data/vocabs/bert-base-uncased_30522_vocab.txt"))
         self.tokenizer = BertTokenizer(vocab)
         self.template = self.pp.get("template", "vicuna_v1")
         self.num_beams = int(self.pp.get("num_beams", 1))
@@ -53,10 +62,63 @@ class GenerationPredictor(BasePredictor):
         self.max_prompt_len = int(self.pp.get("max_prompt_len", 64))
         self.eos_id = int(self.pp.get("eos_id", 102))
         self.model_config = self.config
+        # Bailing2-parity conversation serving: a `unified_processor` config
+        # block turns on the reference user flow (processing_m2omni.py —
+        # chat template → in-place token expansion → pixel grids). Patch-
+        # token ids are injected from the model's splice ids so the
+        # processor and the model agree by construction.
+        up_cfg = self.pp.get("unified_processor")
+        self.unified = None
+        if up_cfg is not None:
+            from antmmf_tpu.datasets.processors.m2omni_processing import (
+                M2OmniUnifiedProcessor)
+
+            cfg = dict(up_cfg)
+            mc = dict(self.config.get("model_attributes", {}) or {})
+            name = list(mc)[0] if mc else ""
+            mcfg = dict(mc.get(name, {}))
+            sp = dict(cfg.get("special_token_ids", {}) or {})
+            if mcfg.get("image_token_id") is not None:
+                sp.setdefault("<imagePatch>", int(mcfg["image_token_id"]))
+                sp.setdefault("<videoPatch>", int(mcfg["image_token_id"]))
+            if mcfg.get("audio_token_id") is not None:
+                sp.setdefault("<audioPatch>", int(mcfg["audio_token_id"]))
+            cfg["special_token_ids"] = sp
+            self.unified = M2OmniUnifiedProcessor(cfg)
         super().load(with_ckpt=with_ckpt)
         return self
 
+    def _build_unified_sample(self, data: Mapping[str, Any]):
+        from antmmf_tpu.structures.sample import Sample, SampleList
+
+        out = self.unified(dict(data))
+        sample = Sample()
+        sample["input_ids"] = out["input_ids"]
+        sample["input_mask"] = out["input_mask"]
+        if out.get("image_data"):
+            if len(out["image_data"]) != 1:
+                raise ValueError(
+                    "generation_predictor serves one image per request; "
+                    f"got {len(out['image_data'])}")
+            sample["image_data"] = np.asarray(out["image_data"][0],
+                                              np.float32)
+        elif out.get("video_data"):
+            if len(out["video_data"]) != 1:
+                raise ValueError("one video per request")
+            sample["image_data"] = np.asarray(out["video_data"][0],
+                                              np.float32)
+        if "fbank" in out:
+            sample["audio"] = np.asarray(out["fbank"], np.float32)
+            sample["audio_mask"] = np.asarray(out["fbank_mask"], np.int32)
+        return SampleList.from_samples([sample])
+
     def build_sample(self, data: Mapping[str, Any]):
+        if getattr(self, "unified", None) is not None and (
+                "conversation" in data or "images" in data
+                or "video" in data or "waveform" in data
+                or any(t in str(data.get("text", ""))
+                       for t in ("<image>", "<video>", "<audio>"))):
+            return self._build_unified_sample(data)
         from antmmf_tpu.scripts.pink_eval import build_prompt
         from antmmf_tpu.structures.sample import Sample
 

@@ -59,3 +59,40 @@ def test_generation_predictor_pink():
     assert "generated_text" in out and isinstance(
         out["generated_text"], str)
     assert out["generated_ids"].shape[0] == 1
+
+
+def test_generation_predictor_m2omni_conversation():
+    """Bailing2-parity serving flow: conversation → chat template → in-place
+    dynamic-resolution token expansion → spliced KV-cache generate
+    (reference user flow: Bailing2Processor + HF generate)."""
+    from antmmf_tpu.common.registry import registry
+    import antmmf_tpu.predictors  # noqa: F401
+
+    cls = registry.get_predictor_class("generation_predictor")
+    pred = cls({
+        "model_attributes": {"m2_omni": {
+            "lm_preset": "omni_tiny_test", "visual_tower": "qwen2",
+            "qwen2_preset": "qwen2_vit_tiny_test",
+            "image_token_id": 1, "audio_token_id": 2,
+            "dtype_str": "float32"}},
+        "predictor_parameters": {
+            "max_new_tokens": 4,
+            "unified_processor": {
+                "text": {"vocab_file":
+                         "tests/data/vocabs/bert-base-uncased_30522_vocab.txt",
+                         "max_seq_length": 48},
+                "image": {"min_pixels": 576, "max_pixels": 576,
+                          "patch_size": 4, "merge_size": 2},
+            }}})
+    pred.load(with_ckpt=False)
+    img = np.zeros((24, 24, 3), np.uint8)
+    out = pred.predict({"text": "what is in <image> here", "images": [img]})
+    assert isinstance(out["generated_text"], str)
+
+    # full conversation (reference chat format) drives the same path
+    out2 = pred.predict({"conversation": [
+        {"role": "user", "content": [
+            {"type": "image", "image": img},
+            {"type": "text", "text": "describe the image"}]}]})
+    assert isinstance(out2["generated_text"], str)
+    assert out2["generated_ids"].shape[0] == 1
