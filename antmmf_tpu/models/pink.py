@@ -56,6 +56,11 @@ class PinkModel(BaseModel):
     adapter_dim: int = 8
     adapter_mlp: bool = False
     adapter_non_linear: bool = False
+    # CLIP feature-selection layer (reference clip_select_layer, default -2:
+    # encode_image consumes ``hidden_states[-2]`` — the PENULTIMATE encoder
+    # layer, never post_layernorm, pink.py:185-188). -1 = all layers. Only
+    # the "vit" tower; the EVA tower is already norm-free per the reference.
+    clip_select_layer: int = -2
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -92,9 +97,17 @@ class PinkModel(BaseModel):
                 image_size=self.image_size, dtype=dtype,
                 **dict(EVA_PRESETS[self.eva_preset]))
         else:
+            vit_kwargs = dict(VIT_PRESETS[self.vit_preset])
+            if not (-vit_kwargs["num_layers"] <= self.clip_select_layer <= -1):
+                raise ValueError(
+                    f"clip_select_layer {self.clip_select_layer} out of "
+                    f"range for a {vit_kwargs['num_layers']}-layer tower")
+            # hidden_states[select] == running select+num_layers+1 encoder
+            # layers with NO post_layernorm
+            vit_kwargs["num_layers"] += self.clip_select_layer + 1
             self.vision_tower = VisionTransformer(
-                image_size=self.image_size, dtype=dtype,
-                **dict(VIT_PRESETS[self.vit_preset]))
+                image_size=self.image_size, dtype=dtype, final_norm=False,
+                **vit_kwargs)
         if self.adapter_style == "pink" or self.lora_rank <= 0:
             # reference mm_projector: a plain Linear (pink.py:145); no
             # output adapter in the reference forward. lora_rank=0 means

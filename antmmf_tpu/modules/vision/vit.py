@@ -47,6 +47,10 @@ class VisionTransformer(nn.Module):
     # ToMe token merging (arXiv:2210.09461): merge r tokens between blocks
     # (serving speedup knob; sequence output shrinks by r per block)
     token_merge_r: int = 0
+    # post_layernorm on the sequence output. HF CLIP ``hidden_states[k]``
+    # never includes it — towers consumed at a select layer (Pink's
+    # clip_select_layer, pink.py:185-188) set this False
+    final_norm: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -67,7 +71,7 @@ class VisionTransformer(nn.Module):
             mlp_ratio=self.mlp_ratio, dropout=self.dropout,
             drop_path=self.drop_path, norm_style="pre",
             activation="quick_gelu" if self.quick_gelu else "gelu",
-            final_norm=True, remat=self.remat,
+            final_norm=self.final_norm, remat=self.remat,
             scan_layers=self.scan_layers, use_pallas=self.use_pallas,
             token_merge_r=self.token_merge_r,
             sequence_parallel=self.sequence_parallel,

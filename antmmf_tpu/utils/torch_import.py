@@ -92,9 +92,13 @@ def bert_state_dict_to_params(
 
 
 def hf_clip_vision_state_dict_to_params(
-    sd: Mapping[str, np.ndarray], num_layers: int,
+    sd: Mapping[str, np.ndarray], num_layers: int, final_norm: bool = True,
 ) -> Dict[str, Any]:
-    """HF ``CLIPVisionModel`` state_dict → our VisionTransformer param tree."""
+    """HF ``CLIPVisionModel`` state_dict → our VisionTransformer param tree.
+
+    ``num_layers`` may be fewer than the checkpoint's (select-layer
+    consumption: Pink's ``hidden_states[-2]``); ``final_norm=False`` skips
+    post_layernorm, which hidden_states never include."""
     sd = {re.sub(r"^vision_model\.", "", k): v for k, v in sd.items()}
     p: Dict[str, Any] = {}
     ln = "LayerNorm_0"
@@ -129,8 +133,9 @@ def hf_clip_vision_state_dict_to_params(
         _set(p, f"{dst}/mlp/fc1/bias", sd[f"{src}.mlp.fc1.bias"])
         _set(p, f"{dst}/mlp/fc2/kernel", T(sd[f"{src}.mlp.fc2.weight"]))
         _set(p, f"{dst}/mlp/fc2/bias", sd[f"{src}.mlp.fc2.bias"])
-    _set(p, f"encoder/final_norm/{ln}/scale", sd["post_layernorm.weight"])
-    _set(p, f"encoder/final_norm/{ln}/bias", sd["post_layernorm.bias"])
+    if final_norm:
+        _set(p, f"encoder/final_norm/{ln}/scale", sd["post_layernorm.weight"])
+        _set(p, f"encoder/final_norm/{ln}/bias", sd["post_layernorm.bias"])
     return p
 
 
@@ -631,13 +636,18 @@ def llama_3d_state_dict_to_params(
     return p
 
 
-def pink_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+def pink_state_dict_to_params(
+    sd: Mapping[str, np.ndarray], clip_select_layer: int = -2,
+) -> Dict[str, Any]:
     """Reference Pink checkpoint (``prj/Pink/pink/model/pink.py`` PinkModel =
     LlamaForCausalLM + CLIP/EVA vision_model + mm_projector + serial
     adapters) → our ``models/pink.PinkModel`` params with
     ``adapter_style="pink"``. Vision tower routes by key shape: EVA
     (``vision_model.blocks.``) → eva importer; CLIP
-    (``vision_model.vision_model.``) → hf_clip_vision importer."""
+    (``vision_model.vision_model.``) → hf_clip_vision importer truncated to
+    ``clip_select_layer`` (reference encode_image consumes
+    ``hidden_states[clip_select_layer]``, default -2 — the trailing layer
+    and post_layernorm never run, pink.py:185-188)."""
     p = llama_3d_state_dict_to_params(sd)
     if any(k.startswith("vision_model.blocks.") for k in sd):
         p["vision_tower"] = eva_vit_state_dict_to_params(
@@ -648,7 +658,7 @@ def pink_state_dict_to_params(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
         p["vision_tower"] = hf_clip_vision_state_dict_to_params(
             {k.replace("vision_model.vision_model.", "vision_model."): v
              for k, v in sd.items() if k.startswith("vision_model.")},
-            depth + 1)
+            depth + 1 + clip_select_layer + 1, final_norm=False)
     def T(v):
         return np.ascontiguousarray(np.asarray(v).T)
     _set(p, "vision_proj/kernel", T(sd["mm_projector.weight"]))

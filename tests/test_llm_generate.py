@@ -304,15 +304,51 @@ def test_int8_quantized_generate_runs_and_approximates(pink_tiny):
 
 
 def test_kv_int8_cache_generate_matches(pink_tiny):
-    """int8 KV cache (kv_int8=True): same generate API, prompt preserved,
-    greedy tokens match the bf16-cache path on the tiny model (per-slot
-    max-abs quantization error << logit gaps)."""
+    """int8 KV cache (kv_int8=True): same generate API/shapes, prompt
+    preserved, and teacher-forcing the fp32-cache greedy trajectory through
+    both cache flavours keeps every decode-step logit within int8
+    quantization noise. (Token-exact greedy equality is NOT asserted: on a
+    random-init model near-tie logit gaps can sit below the per-slot
+    max-abs quantization error, so the trajectory comparison is done at
+    logits level.)"""
+    from antmmf_tpu.models.pink import LM_PRESETS
+
     model, variables, batch = pink_tiny
     qmodel = model.clone(kv_int8=True)
     full, lens = model.generate(variables, batch, eos_id=1, max_length=4)
     q, lens2 = qmodel.generate(variables, batch, eos_id=1, max_length=4)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
-    np.testing.assert_array_equal(np.asarray(q), np.asarray(full))
+    assert q.shape == full.shape
+    Lp = batch["input_ids"].shape[1]
+    np.testing.assert_array_equal(np.asarray(q)[:, :Lp],
+                                  np.asarray(full)[:, :Lp])
+
+    preset = LM_PRESETS[model.lm_preset]
+    B = full.shape[0]
+    Lv = model.num_vision_tokens(batch)
+    T = Lv + full.shape[1]
+    n_kv = preset["num_kv_heads"] or preset["num_heads"]
+
+    def run(m):
+        cache = init_decoder_cache(
+            preset["num_layers"], B, n_kv, T,
+            preset["hidden"] // preset["num_heads"],
+            jnp.dtype(m.dtype_str), quantized=m.kv_int8)
+        logits, cache = m.apply(variables, batch, cache, lens,
+                                method=PinkModel.prefill)
+        out = [logits]
+        pos = Lv + lens
+        for t in range(3):
+            tok = jnp.take_along_axis(full, (lens + t)[:, None], axis=1)[:, 0]
+            logits, cache = m.apply(variables, tok, pos, cache,
+                                    method=PinkModel.decode_step)
+            out.append(logits)
+            pos = pos + 1
+        return jnp.stack(out)
+
+    ref = np.asarray(run(model))
+    got = np.asarray(run(qmodel))
+    np.testing.assert_allclose(got, ref, atol=2e-2 * np.abs(ref).max())
 
 
 def test_kv_int8_cache_m2omni(omni_tiny_spliced):
