@@ -42,6 +42,15 @@ def _jsonable(obj):
 
 
 def main(argv=None) -> None:
+    # honor JAX_PLATFORMS even when a plugin registered itself
+    # programmatically (the env var alone loses to in-process registration,
+    # e.g. TPU relays) — same contract as antmmf_tpu.run
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") in ("cpu",):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--model_dir", default=None)

@@ -86,6 +86,19 @@ class GenerationPredictor(BasePredictor):
             cfg["special_token_ids"] = sp
             self.unified = M2OmniUnifiedProcessor(cfg)
         super().load(with_ckpt=with_ckpt)
+        # tensor-parallel serving: `predictor_parameters.tensor_parallel: N`
+        # Megatron-splits the decoder (and encoder-tower) weights over a
+        # ("data", "model") mesh — 7B decoders don't fit one chip
+        # (parallel/tp_serving.py; tokens match single-device serving)
+        tp = int(self.pp.get("tensor_parallel", 0) or 0)
+        if tp > 1:
+            from antmmf_tpu.parallel.tp_serving import (
+                shard_variables_for_serving,
+                tp_serving_mesh,
+            )
+
+            self.variables = shard_variables_for_serving(
+                self.variables, tp_serving_mesh(n_model=tp))
         return self
 
     def _build_unified_sample(self, data: Mapping[str, Any]):
