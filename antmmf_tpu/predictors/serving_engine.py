@@ -46,7 +46,8 @@ class PinkAdapter:
     the remote-compile relay at 1B+ scale."""
 
     def __init__(self, module, variables, max_prompt_len: int,
-                 max_new_tokens: int, has_image: bool):
+                 max_new_tokens: int, has_image: bool,
+                 extra_slots: int = 0):
         from antmmf_tpu.models.pink import LM_PRESETS
 
         self.module = module
@@ -61,7 +62,9 @@ class PinkAdapter:
             probe["image_data"] = np.zeros(
                 (1, module.image_size, module.image_size, 3), np.float32)
         self.Lv = module.num_vision_tokens(probe)
-        self.T = self.Lv + max_prompt_len + max_new_tokens
+        # extra_slots: cache headroom for multi-turn sessions (each extra
+        # turn appends its tokens + generations after the first exchange)
+        self.T = self.Lv + max_prompt_len + max_new_tokens + extra_slots
         self.has_image = has_image
 
         def _pf(variables, tokens, mask, image):
@@ -104,6 +107,18 @@ class PinkAdapter:
         return self.module.apply(live(step_mode=True), token, slot,
                                  cache, method=PinkModel.decode_step)
 
+    def extend(self, variables, tokens, mask, rope, slot, cache):
+        """Append a new conversation turn (multi-turn sessions): returns
+        (last-valid logits, cache, new_rope, new_slot). Pink's RoPE
+        positions coincide with cache slots."""
+        from antmmf_tpu.models.pink import PinkModel
+
+        live = make_live_vars(variables, self.dtype)
+        logits, cache, new_start = self.module.apply(
+            live(step_mode=True), tokens, mask, slot, cache,
+            method=PinkModel.extend_cache)
+        return logits, cache, new_start, new_start
+
 
 class M2OmniAdapter:
     """Binds ``M2Omni`` to the engine protocol. RoPE positions follow the
@@ -112,7 +127,8 @@ class M2OmniAdapter:
     jit as arguments (see PinkAdapter)."""
 
     def __init__(self, module, variables, max_prompt_len: int,
-                 max_new_tokens: int, has_image: bool):
+                 max_new_tokens: int, has_image: bool,
+                 extra_slots: int = 0):
         self.module = module
         self.variables = variables
         self.max_new = max_new_tokens
@@ -128,7 +144,8 @@ class M2OmniAdapter:
             if image is not None:
                 batch["image_data"] = image
             return self.module.apply(
-                live(), batch, self.max_new, method=M2Omni.prefill)
+                live(), batch, self.max_new + extra_slots,
+                method=M2Omni.prefill)
 
         self._pf_img = jax.jit(_pf)
         self._pf_txt = jax.jit(lambda v, t, m: _pf(v, t, m, None))
@@ -150,6 +167,13 @@ class M2OmniAdapter:
         return self.module.apply(live(step_mode=True), token, rope,
                                  slot, cache, method=M2Omni.decode_step)
 
+    def extend(self, variables, tokens, mask, rope, slot, cache):
+        from antmmf_tpu.models.m2_omni import M2Omni
+
+        live = make_live_vars(variables, self.dtype)
+        return self.module.apply(live(step_mode=True), tokens, mask, rope,
+                                 slot, cache, method=M2Omni.extend_cache)
+
 
 class ContinuousBatchingEngine:
     """Slot-pooled greedy decoding with admission at token boundaries.
@@ -157,6 +181,13 @@ class ContinuousBatchingEngine:
     ``run(requests)`` is the batch driver: feeds every request through the
     pool and returns ``{request_id: token_list}`` plus per-request timing.
     ``submit``/``step`` expose the online loop for a real server.
+
+    Multi-turn sessions: ``submit(rid, {..., "session": True})`` keeps the
+    request's cache row after retirement; ``continue_session(rid, rid2,
+    {"input_ids": turn})`` appends the next turn via the model's
+    ``extend_cache`` and resumes decoding — conversation history is never
+    re-prefilled (the reference re-encodes the whole conversation each
+    turn). ``close_session`` returns the row to the pool.
     """
 
     def __init__(self, adapter, slots: int = 8, max_new_tokens: int = 32,
@@ -183,6 +214,17 @@ class ContinuousBatchingEngine:
         self._done: Dict[Any, List[int]] = {}
         self._latency: Dict[Any, float] = {}
         self._state = None  # lazily built on first admit
+        # multi-turn sessions: a request submitted with {"session": True}
+        # keeps its cache row after retirement; continue_session() appends
+        # the next turn to it via the model's extend_cache (no re-prefill
+        # of the conversation history — the reference re-encodes the whole
+        # conversation each turn)
+        self._session_req: set = set()
+        self._slot_held: List[Optional[Any]] = [None] * slots
+        # host-tracked (rope, slot) where each row's CURRENT generation
+        # started — continuation point = start + len(kept tokens)
+        self._slot_start: List[Tuple[int, int]] = [(0, 0)] * slots
+        self._sessions: Dict[Any, Tuple[int, int, int]] = {}
 
         from functools import partial
 
@@ -198,6 +240,29 @@ class ContinuousBatchingEngine:
             return cache, last_logits, rope, spos
 
         self._admit_jit = _admit
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def _extend(cache, last_logits, rope, spos, tokens1, mask1,
+                    rope_at, slot_at, slot_idx, variables):
+            # gather the session's row, append the turn on the [1]-batch
+            # cache, scatter back — other slots' caches are never written
+            # (a batch-wide chunk write could clamp into their live history
+            # at the T boundary)
+            cache1 = jax.tree_util.tree_map(
+                lambda big: jax.lax.dynamic_slice_in_dim(big, slot_idx, 1, 0),
+                cache)
+            lg, cache1, new_rope, new_slot = self.ad.extend(
+                variables, tokens1[None], mask1[None], rope_at[None],
+                slot_at[None], cache1)
+            cache = jax.tree_util.tree_map(
+                lambda big, one: jax.lax.dynamic_update_index_in_dim(
+                    big, one[0], slot_idx, 0), cache, cache1)
+            last_logits = last_logits.at[slot_idx].set(lg[0])
+            rope = rope.at[slot_idx].set(new_rope[0])
+            spos = spos.at[slot_idx].set(new_slot[0])
+            return cache, last_logits, rope, spos
+
+        self._extend_jit = _extend
 
         H = self.H
 
@@ -250,18 +315,26 @@ class ContinuousBatchingEngine:
         self._t_first.clear()
         self._done = {}
         self._latency = {}
+        self._session_req = set()
+        self._slot_held = [None] * self.S
+        self._sessions = {}
 
     def submit(self, request_id, data: Mapping[str, Any]) -> None:
         """data: {"input_ids": [Lp], "input_mask": [Lp], "image_data"?,
-        "max_new"?: int} — per-request token budgets retire each slot
-        independently (the whole point of continuous batching: no waiting
-        for the longest request in a static batch)."""
+        "max_new"?: int, "session"?: bool} — per-request token budgets
+        retire each slot independently (the whole point of continuous
+        batching: no waiting for the longest request in a static batch).
+        ``session: True`` keeps the cache row after retirement so
+        ``continue_session`` can append the next conversation turn."""
+        if data.get("session"):
+            self._session_req.add(request_id)
         self._t_submit[request_id] = time.perf_counter()
         self._queue.append((request_id, data))
 
     def _admit_waiting(self) -> None:
         for s in range(self.S):
-            if self._slot_req[s] is not None or not self._queue:
+            if self._slot_req[s] is not None or not self._queue \
+                    or self._slot_held[s] is not None:
                 continue
             rid, data = self._queue.pop(0)
             tokens = jnp.asarray(data["input_ids"], jnp.int32)[None]
@@ -284,6 +357,10 @@ class ContinuousBatchingEngine:
             self._slot_toks[s] = []
             self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
                                        self.max_new)
+            # generation start (rope, slot) kept as [1] device arrays —
+            # host-read only at session retirement, so plain requests never
+            # pay an extra sync; continuation = start + len(kept tokens)
+            self._slot_start[s] = (rope0, slot0)
             self._t_first[rid] = time.perf_counter()
 
     def step(self) -> List[Any]:
@@ -316,9 +393,59 @@ class ContinuousBatchingEngine:
                     self._done[rid] = list(self._slot_toks[s])
                     self._latency[rid] = now - self._t_submit[rid]
                     self._slot_req[s] = None
+                    if rid in self._session_req:
+                        # hold the cache row; the EOS token itself stays in
+                        # the conversation (it was written at its slot)
+                        kept = len(self._done[rid])
+                        r0, s0 = self._slot_start[s]
+                        r0 = int(np.asarray(r0).reshape(-1)[0])
+                        s0 = int(np.asarray(s0).reshape(-1)[0])
+                        self._slot_held[s] = rid
+                        self._sessions[rid] = (s, r0 + kept, s0 + kept)
                     retired.append(rid)
                     break  # post-EOS window tokens are discarded
         return retired
+
+    # -- multi-turn sessions ----------------------------------------------
+    def continue_session(self, session_id, new_request_id,
+                         data: Mapping[str, Any]) -> None:
+        """Append the next conversation turn to a held session's cache row
+        (model extend_cache — no re-prefill of history; the reference
+        re-encodes the whole conversation per turn) and resume decoding
+        under ``new_request_id``. data: {"input_ids": [Lt],
+        "input_mask"?: [Lt], "max_new"?: int}."""
+        if session_id not in self._sessions:
+            raise KeyError(f"no held session {session_id!r}")
+        s, rope_c, slot_c = self._sessions.pop(session_id)
+        self._session_req.discard(session_id)
+        tokens = jnp.asarray(data["input_ids"], jnp.int32)
+        mask = jnp.asarray(
+            data.get("input_mask", np.ones(tokens.shape[0], np.int32)),
+            jnp.int32)
+        st = self._state
+        st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+            self._extend_jit(st["cache"], st["last_logits"], st["rope"],
+                             st["spos"], tokens, mask,
+                             jnp.int32(rope_c), jnp.int32(slot_c),
+                             jnp.int32(s), self.ad.variables)
+        tlen = int(np.asarray(mask).sum())
+        self._slot_held[s] = None
+        self._slot_req[s] = new_request_id
+        self._slot_toks[s] = []
+        self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
+                                   self.max_new)
+        self._slot_start[s] = (rope_c + tlen, slot_c + tlen)
+        if data.get("session") or new_request_id in self._session_req:
+            self._session_req.add(new_request_id)
+        self._t_submit.setdefault(new_request_id, time.perf_counter())
+        self._t_first[new_request_id] = time.perf_counter()
+
+    def close_session(self, session_id) -> None:
+        """Free a held session's slot back to the pool."""
+        if session_id in self._sessions:
+            s, _, _ = self._sessions.pop(session_id)
+            self._slot_held[s] = None
+        self._session_req.discard(session_id)
 
     def run(self, requests: List[Tuple[Any, Mapping[str, Any]]]
             ) -> Dict[str, Any]:

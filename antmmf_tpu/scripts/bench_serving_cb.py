@@ -42,6 +42,11 @@ def main() -> None:
     p.add_argument("--max_new", type=int, default=32)
     p.add_argument("--no_image", action="store_true")
     p.add_argument("--skip_sequential", action="store_true")
+    p.add_argument("--turns", type=int, default=1,
+                   help=">1 also benchmarks K-turn conversations: engine "
+                        "sessions (extend_cache per turn) vs the "
+                        "reference's whole-conversation re-prefill")
+    p.add_argument("--turn_len", type=int, default=16)
     args = p.parse_args()
 
     from antmmf_tpu.models.pink import PinkModel
@@ -147,6 +152,114 @@ def main() -> None:
             "metric": "serving_sequential", "wall_s": round(dt, 3),
             "useful_tokens_per_s": round(useful_tokens / dt, 1)}),
             flush=True)
+
+    # -- multi-turn sessions vs per-turn re-prefill ------------------------
+    # K-turn conversations: the engine holds each session's cache row and
+    # appends turns via extend_cache; the reference pattern re-encodes the
+    # WHOLE conversation (vision tower included) every turn, padded to a
+    # fixed Lmax so it compiles once.
+    if args.turns > 1:
+        K, Lt = args.turns, args.turn_len
+        n_sess = min(args.slots, args.requests)
+        per_turn_new = args.max_new // 2
+        sess_reqs = []
+        for i in range(n_sess):
+            _, d = reqs[i]
+            sess_reqs.append((f"s{i}", {**d, "session": True,
+                                        "max_new": per_turn_new}))
+        turn_ids = [np.asarray(jax.random.randint(
+            jax.random.PRNGKey(5000 + k), (Lt,), 5, 1000), np.int32)
+            for k in range(K)]
+
+        def run_sessions(eng):
+            eng.reset()
+            out_counts = 0
+            ids = [rid for rid, _ in sess_reqs]
+            for rid, d in sess_reqs:
+                eng.submit(rid, d)
+            for k in range(K):
+                while any(r not in eng._done for r in ids):
+                    eng.step()
+                out_counts += sum(len(eng._done[r]) for r in ids)
+                if k == K - 1:
+                    for r in ids:
+                        eng.close_session(r)
+                    break
+                for r in ids:
+                    eng.continue_session(
+                        r, f"{r}.t{k + 1}",
+                        {"input_ids": turn_ids[k], "session": True,
+                         "max_new": per_turn_new})
+                ids = [f"{r}.t{k + 1}" for r in ids]
+            return out_counts
+
+        ad2 = PinkAdapter(model, variables, max_prompt_len=Lp,
+                          max_new_tokens=per_turn_new,
+                          has_image=not args.no_image,
+                          extra_slots=(K - 1) * (Lt + per_turn_new))
+        eng2 = ContinuousBatchingEngine(
+            ad2, slots=n_sess, max_new_tokens=per_turn_new, eos_id=EOS,
+            step_tokens=args.step_tokens)
+        run_sessions(eng2)  # compile prefill/extend/step once
+        t0 = time.perf_counter()
+        n_tok = run_sessions(eng2)
+        dt_sess = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "serving_sessions", "turns": K, "sessions": n_sess,
+            "turn_len": Lt, "per_turn_new": per_turn_new,
+            "wall_s": round(dt_sess, 3),
+            "tokens_per_s": round(n_tok / dt_sess, 1)}), flush=True)
+
+        # reference pattern: re-encode the whole (padded) conversation
+        # every turn for the same workload
+        Lmax = Lp + K * per_turn_new + (K - 1) * Lt
+        convo = np.zeros((n_sess, Lmax), np.int32)
+        cmask = np.zeros((n_sess, Lmax), np.int32)
+        clen = np.zeros((n_sess,), np.int32)
+        for i, (_, d) in enumerate(sess_reqs):
+            n = int(d["input_mask"].sum())
+            convo[i, :n] = d["input_ids"][:n]
+            clen[i] = n
+        imgs = (None if args.no_image else jnp.asarray(
+            np.stack([d["image_data"] for _, d in sess_reqs])))
+
+        def one_turn_reprefill():
+            for i in range(n_sess):
+                cmask[i] = (np.arange(Lmax) < clen[i]).astype(np.int32)
+            b = {"input_ids": jnp.asarray(convo),
+                 "input_mask": jnp.asarray(cmask)}
+            if imgs is not None:
+                b["image_data"] = imgs
+            toks, lens = model.generate(variables, b, eos_id=EOS,
+                                        max_length=per_turn_new)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            for i in range(n_sess):
+                e = int(lens[i])
+                gen = toks[i, e: e + per_turn_new]
+                m = int(clen[i])
+                convo[i, m: m + per_turn_new] = gen
+                clen[i] = m + per_turn_new
+
+        one_turn_reprefill()  # compile
+        convo[:, :], clen[:] = 0, 0
+        for i, (_, d) in enumerate(sess_reqs):
+            n = int(d["input_mask"].sum())
+            convo[i, :n] = d["input_ids"][:n]
+            clen[i] = n
+        t0 = time.perf_counter()
+        for k in range(K):
+            one_turn_reprefill()
+            if k < K - 1:
+                for i in range(n_sess):
+                    m = int(clen[i])
+                    convo[i, m: m + Lt] = turn_ids[k]
+                    clen[i] = m + Lt
+        dt_re = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "serving_reprefill_turns", "turns": K,
+            "wall_s": round(dt_re, 3),
+            "tokens_per_s": round(n_tok / dt_re, 1),
+            "speedup_sessions": round(dt_re / dt_sess, 2)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,87 @@ class TestKvInt8Engine:
         for rid, data in reqs[:3]:
             want = _reference_tokens(qmodel, variables, data)
             assert result["outputs"][rid] == want, rid
+
+
+class TestMultiTurnSessions:
+    """Engine-level multi-turn serving: a session keeps its cache row
+    between turns and continue_session appends the next turn via the
+    model's extend_cache — generations must equal a full re-prefill of the
+    whole conversation (what the reference does every turn)."""
+
+    NO_EOS = 999_999  # never generated: turns retire on budget
+
+    def _want(self, model, variables, data):
+        batch = {"input_ids": jnp.asarray(data["input_ids"])[None],
+                 "input_mask": jnp.asarray(data["input_mask"])[None],
+                 "image_data": jnp.asarray(data["image_data"])[None]}
+        tokens, lens = model.generate(variables, batch, eos_id=self.NO_EOS,
+                                      max_length=MAX_NEW)
+        return list(np.asarray(tokens)[0, int(lens[0]):
+                                       int(lens[0]) + MAX_NEW])
+
+    def test_two_turns_match_full_reprefill(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True,
+                         extra_slots=16)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=self.NO_EOS, step_tokens=2)
+        rid0, data0 = reqs[0]
+        eng.submit("t1", dict(data0, session=True))
+        # a plain request shares the pool while the session runs
+        eng.submit(*reqs[1])
+        for _ in range(4 * MAX_NEW):
+            eng.step()
+            if "t1" in eng._done and reqs[1][0] in eng._done:
+                break
+        gen1 = eng._done["t1"]
+        assert len(gen1) == MAX_NEW
+        # the pool-mate is untouched by session bookkeeping
+        assert eng._done[reqs[1][0]] == self._want(model, variables,
+                                                   reqs[1][1])
+
+        turn2 = np.array([17, 23, 31], np.int32)
+        eng.continue_session("t1", "t2", {"input_ids": turn2})
+        for _ in range(4 * MAX_NEW):
+            eng.step()
+            if "t2" in eng._done:
+                break
+        gen2 = eng._done["t2"]
+
+        # reference: re-prefill the FULL conversation [prompt; gen1; turn2]
+        n1 = int(np.asarray(data0["input_mask"]).sum())
+        full = np.concatenate([np.asarray(data0["input_ids"][:n1]),
+                               np.asarray(gen1, np.int32), turn2])
+        batch2 = {
+            "input_ids": jnp.asarray(full)[None],
+            "input_mask": jnp.ones((1, full.shape[0]), jnp.int32),
+            "image_data": jnp.asarray(data0["image_data"])[None],
+        }
+        want, lens = model.generate(variables, batch2, eos_id=self.NO_EOS,
+                                    max_length=MAX_NEW)
+        want2 = list(np.asarray(want)[0, int(lens[0]): int(lens[0]) + MAX_NEW])
+        assert gen2 == want2
+
+    def test_close_session_frees_the_slot(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True,
+                         extra_slots=8)
+        eng = ContinuousBatchingEngine(ad, slots=1, max_new_tokens=MAX_NEW,
+                                       eos_id=self.NO_EOS, step_tokens=2)
+        eng.submit("s1", dict(reqs[0][1], session=True))
+        for _ in range(2 * MAX_NEW):
+            eng.step()
+            if "s1" in eng._done:
+                break
+        # the single slot is held: a new request cannot be admitted
+        eng.submit(*reqs[2])
+        assert eng.step() == [] and eng._slot_held[0] == "s1"
+        eng.close_session("s1")
+        for _ in range(4 * MAX_NEW):
+            eng.step()
+            if reqs[2][0] in eng._done:
+                break
+        assert eng._done[reqs[2][0]] == self._want(model, variables,
+                                                   reqs[2][1])
