@@ -118,35 +118,85 @@ def load_quantized(path: str) -> Any:
     return payload
 
 
-def quantize_for_decode(variables: Any, min_size: int = 65536) -> Any:
-    """Prepare variables for weight-only int8 DECODE serving: large matmul
-    kernels become jit-friendly ``{"q": int8, "scale": f32}`` records (no
-    dtype strings), everything else passes through. Pass the result as
-    ``variables`` to ``PinkModel.generate`` / ``M2Omni.generate`` — the
-    decode loop dequantizes per step behind an optimization barrier, so the
-    per-token HBM weight read is int8 (measured +67% tokens/s on the 1.3 B
-    preset, BASELINE.md round 3)."""
-    qtree, _ = quantize_params(variables, min_size=min_size)
+def quantize_for_decode(variables: Any, min_size: int = 65536,
+                        bits: int = 8, group: int = 128) -> Any:
+    """Prepare variables for weight-only DECODE serving: large matmul
+    kernels become jit-friendly records, everything else passes through.
+    Pass the result as ``variables`` to ``PinkModel.generate`` /
+    ``M2Omni.generate`` — the decode loop dequantizes per step behind an
+    optimization barrier, so the per-token HBM weight read is quantized
+    (int8 measured +67% tokens/s on the 1.3 B preset, BASELINE.md round 3).
 
-    def strip(node):
-        if _is_record(node):
-            return {"q": node["q"], "scale": node["scale"]}
-        return node
+    ``bits=8``: symmetric per-output-channel int8, ``{"q", "scale"}``.
+    ``bits=4``: symmetric GROUP-WISE int4 (one fp32 scale per ``group``
+    input rows × output channel — per-channel alone is too coarse at 4
+    bits), two values nibble-packed per byte along the input dim:
+    ``{"q4": uint8 [in/2, out], "scale": f32 [in/group, out]}`` — halves
+    the weight read again vs int8. Kernels whose input dim doesn't divide
+    (2, group) fall back to int8. Greedy tokens may differ from full
+    precision (≈2.4% per-element error vs 0.4% at int8); serving-quality
+    knob, measure on your eval set."""
+    if bits == 8:
+        qtree, _ = quantize_params(variables, min_size=min_size)
 
-    return jax.tree_util.tree_map(strip, qtree, is_leaf=_is_record)
+        def strip(node):
+            if _is_record(node):
+                return {"q": node["q"], "scale": node["scale"]}
+            return node
+
+        return jax.tree_util.tree_map(strip, qtree, is_leaf=_is_record)
+    if bits != 4:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    exclude = re.compile(r"(norm|embed|logit_scale)")
+
+    def quant4(path, leaf):
+        arr = np.asarray(leaf)
+        if not _is_quantizable(_path_str(path), arr, min_size, exclude):
+            return leaf
+        if arr.ndim != 2 or arr.shape[0] % max(2, group):
+            # conv kernels / odd shapes: int8 per-channel fallback
+            flat = arr.reshape(-1, arr.shape[-1]).astype(np.float32)
+            scale = np.maximum(np.abs(flat).max(axis=0), 1e-12) / 127.0
+            q = np.clip(np.round(arr.astype(np.float32) / scale),
+                        -127, 127).astype(np.int8)
+            return {"q": q, "scale": scale.astype(np.float32)}
+        fin, fout = arr.shape
+        g = arr.astype(np.float32).reshape(fin // group, group, fout)
+        scale = np.maximum(np.abs(g).max(axis=1), 1e-12) / 7.0  # [in/g, out]
+        q = np.clip(np.round(g / scale[:, None]), -7, 7)
+        q = (q.reshape(fin, fout) + 8).astype(np.uint8)  # [1..15]
+        # pack row i with row i+in/2 (top/bottom halves, NOT even/odd):
+        # unpack is then a layout-preserving CONCAT — an even/odd interleave
+        # needs a transpose-shaped reshape that XLA cannot fuse into the
+        # dot (measured 6x SLOWER than bf16; concat-unpack keeps the int8
+        # path's fusion structure)
+        half = fin // 2
+        packed = q[:half] | (q[half:] << 4)  # [in/2, out] uint8
+        return {"q4": packed, "scale": scale.astype(np.float32)}
+
+    return jax.tree_util.tree_map_with_path(
+        quant4, variables, is_leaf=lambda x: hasattr(x, "dtype"))
+
+
+def _is_q8(n) -> bool:
+    return isinstance(n, dict) and set(n) == {"q", "scale"}
+
+
+def _is_q4(n) -> bool:
+    return isinstance(n, dict) and set(n) == {"q4", "scale"}
 
 
 def is_decode_quantized(tree: Any) -> bool:
     found = [False]
 
     def probe(node):
-        if isinstance(node, dict) and set(node) == {"q", "scale"}:
+        if _is_q8(node) or _is_q4(node):
             found[0] = True
         return node
 
     jax.tree_util.tree_map(
-        probe, tree,
-        is_leaf=lambda n: isinstance(n, dict) and set(n) == {"q", "scale"})
+        probe, tree, is_leaf=lambda n: _is_q8(n) or _is_q4(n))
     return found[0]
 
 
@@ -155,13 +205,28 @@ def dequantize_for_compute(tree: Any, dtype) -> Any:
     kernels. Call inside the decode step on
     ``jax.lax.optimization_barrier(tree)`` to stop XLA hoisting the convert
     out of the loop (which would re-materialize full-width weights)."""
+    import jax.numpy as jnp
 
-    def rec(n):
-        return isinstance(n, dict) and set(n) == {"q", "scale"}
+    def dq(n):
+        if _is_q8(n):
+            return n["q"].astype(dtype) * n["scale"].astype(dtype)
+        if _is_q4(n):
+            packed, scale = n["q4"], n["scale"]
+            fin = packed.shape[0] * 2
+            fout = packed.shape[1]
+            lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8)
+            hi = (packed >> jnp.uint8(4)).astype(jnp.int8)
+            # top/bottom-half packing → concat, layout-preserving (see
+            # quantize_for_decode); every op here fuses like the int8 path
+            vals = jnp.concatenate([lo, hi], axis=0) - 8
+            group = fin // scale.shape[0]
+            w = (vals.astype(dtype).reshape(scale.shape[0], group, fout)
+                 * scale.astype(dtype)[:, None])
+            return w.reshape(fin, fout)
+        return n
 
     return jax.tree_util.tree_map(
-        lambda n: (n["q"].astype(dtype) * n["scale"].astype(dtype))
-        if rec(n) else n, tree, is_leaf=rec)
+        dq, tree, is_leaf=lambda n: _is_q8(n) or _is_q4(n))
 
 
 def make_live_vars(variables: Any, dtype) -> Callable[[bool], Any]:

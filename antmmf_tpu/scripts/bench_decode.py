@@ -32,6 +32,9 @@ def main() -> None:
     p.add_argument("--decode_steps", type=int, default=32)
     p.add_argument("--int8", action="store_true",
                    help="also measure weight-only int8 decode")
+    p.add_argument("--int4", action="store_true",
+                   help="also measure weight-only group-int4 decode "
+                        "(nibble-packed; quarter the bf16 weight read)")
     p.add_argument("--kv_int8", action="store_true",
                    help="also measure int8-KV-cache decode (and the combined "
                         "w8+kv8 serving config when --int8 is also set)")
@@ -201,6 +204,32 @@ def main() -> None:
             row["int8_per_token_ms"] = round(q_ms, 3)
             row["int8_tokens_per_sec"] = round(B * 1e3 / q_ms, 1)
             row["int8_weight_mb"] = round(qstats["bytes_after"] / 1e6, 1)
+
+        if args.int4:
+            # group-int4 weights: quarter the bf16 per-step weight read;
+            # tokens may diverge from full precision (report agreement)
+            q4params = jax.device_put(
+                quantize_for_decode(params, min_size=4096, bits=4))
+
+            def _mb(tree):
+                return sum(np.asarray(l).nbytes
+                           for l in jax.tree_util.tree_leaves(tree)) / 1e6
+
+            lat4 = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                toks4, _ = decode_int8(q4params, embed_table, logits0,
+                                       cache, pos0, toks0)
+                int(np.asarray(toks4)[0, -1])
+                lat4.append((time.perf_counter() - t0) * 1e3)
+            q4_ms = float(np.median(lat4[1:])) / args.decode_steps
+            ref_toks4 = np.asarray(decode(params, embed_table, logits0,
+                                          cache, pos0, toks0)[0])
+            row["int4_per_token_ms"] = round(q4_ms, 3)
+            row["int4_tokens_per_sec"] = round(B * 1e3 / q4_ms, 1)
+            row["int4_weight_mb"] = round(_mb(q4params), 1)
+            row["int4_token_agreement"] = round(float(
+                (np.asarray(toks4) == ref_toks4).mean()), 3)
 
         if args.kv_int8:
             # int8 KV cache: halves the per-step HBM cache read (the term

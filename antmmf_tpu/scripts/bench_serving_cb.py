@@ -174,24 +174,28 @@ def main() -> None:
         def run_sessions(eng):
             eng.reset()
             out_counts = 0
+            per_turn = []
             ids = [rid for rid, _ in sess_reqs]
+            t0 = time.perf_counter()
             for rid, d in sess_reqs:
                 eng.submit(rid, d)
             for k in range(K):
                 while any(r not in eng._done for r in ids):
                     eng.step()
+                per_turn.append(round(time.perf_counter() - t0, 3))
                 out_counts += sum(len(eng._done[r]) for r in ids)
                 if k == K - 1:
                     for r in ids:
                         eng.close_session(r)
                     break
+                t0 = time.perf_counter()
                 for r in ids:
                     eng.continue_session(
                         r, f"{r}.t{k + 1}",
                         {"input_ids": turn_ids[k], "session": True,
                          "max_new": per_turn_new})
                 ids = [f"{r}.t{k + 1}" for r in ids]
-            return out_counts
+            return out_counts, per_turn
 
         ad2 = PinkAdapter(model, variables, max_prompt_len=Lp,
                           max_new_tokens=per_turn_new,
@@ -202,12 +206,13 @@ def main() -> None:
             step_tokens=args.step_tokens)
         run_sessions(eng2)  # compile prefill/extend/step once
         t0 = time.perf_counter()
-        n_tok = run_sessions(eng2)
+        n_tok, per_turn = run_sessions(eng2)
         dt_sess = time.perf_counter() - t0
         print(json.dumps({
             "metric": "serving_sessions", "turns": K, "sessions": n_sess,
             "turn_len": Lt, "per_turn_new": per_turn_new,
             "wall_s": round(dt_sess, 3),
+            "per_turn_s": per_turn,
             "tokens_per_s": round(n_tok / dt_sess, 1)}), flush=True)
 
         # reference pattern: re-encode the whole (padded) conversation
@@ -246,9 +251,12 @@ def main() -> None:
             n = int(d["input_mask"].sum())
             convo[i, :n] = d["input_ids"][:n]
             clen[i] = n
+        per_turn_re = []
         t0 = time.perf_counter()
         for k in range(K):
+            tk = time.perf_counter()
             one_turn_reprefill()
+            per_turn_re.append(round(time.perf_counter() - tk, 3))
             if k < K - 1:
                 for i in range(n_sess):
                     m = int(clen[i])
@@ -258,6 +266,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "serving_reprefill_turns", "turns": K,
             "wall_s": round(dt_re, 3),
+            "per_turn_s": per_turn_re,
             "tokens_per_s": round(n_tok / dt_re, 1),
             "speedup_sessions": round(dt_re / dt_sess, 2)}), flush=True)
 

@@ -177,6 +177,138 @@ BENCHMARK_ALIASES = {
     "pointingvqa_looktwice": "pointing",  # model_pointingvqa_looktwice.py
 }
 
+# Instruction-marker tokens (reference pink/model/pink.py:35-51): questions,
+# option blocks, referring descriptions and serialized locations are wrapped
+# in typed tags that Pink's instruction tuning expects verbatim.
+BEGIN_QUESTION, END_QUESTION = "<qes>", "</qes>"
+BEGIN_OPTIONS, END_OPTIONS = "<opt>", "</opt>"
+BEGIN_DESCRIPTION, END_DESCRIPTION = "<des>", "</des>"
+BEGIN_LOC, END_LOC = "<loc>", "</loc>"
+
+# Instruction pools in the style of the reference Templates.py families
+# (QuestionAnswer:294, ChoiceQuestionAnswer:833, VisualGrounding:1,
+# GroundingCaption:166 — pools of ~50 paraphrases with `<question>`,
+# `<option>`, `<expr>`, `<objs>`, `<image>` placeholders). The eval drivers
+# `random.choice` a paraphrase per row; here the pools are small fresh
+# paraphrases with the SAME placeholder/tag structure and rows cycle through
+# them deterministically (reproducible evals).
+QUESTION_ANSWER_TEMPLATES = (
+    "Please look at the image <image> and give a direct answer to my "
+    "question: <question>",
+    "Answer the question <question> briefly, based on the image <image>.",
+    "Consider the image <image> and respond concisely to: <question>",
+)
+CHOICE_QUESTION_TEMPLATES = (
+    "Look at the image <image> and pick the correct answer to <question> "
+    "from the options below\n<option>.",
+    "Based on the image <image>, select the best answer for the question: "
+    "<question> from these options\n<option>.",
+)
+VISUAL_GROUNDING_EVAL_TEMPLATES = (
+    "Where is <expr>? answer in [x0,y0,x1,y1] format.",
+    "What are the coordinates of <expr> in the image?",
+    "Locate <expr> in the image and give its bounding-box coordinates.",
+)
+GROUNDING_CAPTION_TEMPLATES = (
+    "Can you describe the region <objs> of the image <image>?",
+    "Give a short description of the area <objs> in the image <image>.",
+)
+
+_OPTION_LETTERS = "ABCDEFGH"
+
+
+def _cycle(pool: Sequence[str], idx: int) -> str:
+    return pool[idx % len(pool)]
+
+
+def _format_options(options: Sequence[str], idx_to_loc: bool = False) -> str:
+    """'A. opt\nB. opt' block, tag-wrapped (reference model_seed.py:227-231;
+    v7w wraps each candidate box in <loc></loc>, model_v7wgrounding.py:184-188)."""
+    body = ""
+    for i, opt in enumerate(options):
+        o = f"{BEGIN_LOC}{opt}{END_LOC}" if idx_to_loc else str(opt)
+        body += f"{_OPTION_LETTERS[i]}. {o}\n"
+    return BEGIN_OPTIONS + body.rstrip("\n").rstrip(" ") + END_OPTIONS
+
+
+def build_benchmark_prompt(benchmark: str, row: Dict, idx: int = 0,
+                           template: str = "vicuna_v1") -> str:
+    """Render row → the per-benchmark instruction the reference eval driver
+    builds, then wrap it in the conversation template.
+
+    Mirrors (structure, tags and task hints — paraphrase pools are fresh):
+      vqav2/gqa/okvqa  QuestionAnswer template, <question> → <qes>q</qes>
+                       (model_vqav2.py:406-408, model_gqa.py:223-225)
+      vsr              question + " Is it correct? Answer with Yes or No."
+                       through QuestionAnswer (model_vsr.py:175-178)
+      iconqa/seed      ChoiceQuestionAnswer + lettered <opt> block
+                       (model_seed.py:224-231)
+      v7wgrounding     ChoiceQuestionAnswer, options are <loc>-wrapped
+                       candidate boxes (model_v7wgrounding.py:181-188)
+      vg               VisualGrounding, <expr> → <des>expr</des>
+                       (model_vg_base_batch.py:54-56)
+      object365        GroundingCaption, <objs> → <loc>[box]</loc>
+                       (model_object365.py:324-326)
+      pointingvqa_*    "{question} <loc>[x,y]</loc>" / bbox variant, raw
+                       1/width scaling, no expand2square
+                       (model_pointingvqa_local.py:180-190)
+
+    Rows reuse the generic jsonl schema (`question`, `options`, `bbox`,
+    `point`, `expr`/`caption`, `width`, `height`).
+    """
+    q = str(row.get("question", ""))
+    if benchmark in ("vqa", "vqav2", "gqa", "okvqa", "vsr"):
+        if benchmark == "vsr":
+            q = (str(row.get("caption", q))
+                 + " Is it correct? Answer with Yes or No.")
+        instr = _cycle(QUESTION_ANSWER_TEMPLATES, idx).replace(" <image>", "")
+        instr = instr.replace("<question>",
+                              BEGIN_QUESTION + q + END_QUESTION)
+    elif benchmark in ("mc", "iconqa", "seed", "v7wgrounding"):
+        opts = list(row.get("options", []))
+        if benchmark == "v7wgrounding" and opts and not isinstance(
+                opts[0], str):  # candidate boxes given as [x1,y1,x2,y2]
+            w, h = float(row.get("width", 1.0)), float(row.get("height", 1.0))
+            opts = ["[{:.3f},{:.3f},{:.3f},{:.3f}]".format(
+                b[0] / w, b[1] / h, b[2] / w, b[3] / h) for b in opts]
+        instr = _cycle(CHOICE_QUESTION_TEMPLATES, idx).replace(" <image>", "")
+        instr = instr.replace("<question>",
+                              BEGIN_QUESTION + q + END_QUESTION)
+        instr = instr.replace("<option>", _format_options(
+            opts, idx_to_loc=benchmark == "v7wgrounding"))
+    elif benchmark in ("grounding", "vg"):
+        expr = str(row.get("expr", row.get("caption", q)))
+        instr = _cycle(VISUAL_GROUNDING_EVAL_TEMPLATES, idx).replace(
+            " <image>", "")
+        instr = instr.replace(
+            "<expr>", BEGIN_DESCRIPTION + expr + END_DESCRIPTION)
+    elif benchmark in ("object365", "caption"):
+        from antmmf_tpu.datasets.processors.pink_processors import (
+            serialize_box,
+        )
+
+        box = row.get("bbox", (0.0, 0.0, 1.0, 1.0))
+        loc = serialize_box(box, float(row.get("width", 1.0)),
+                            float(row.get("height", 1.0)),
+                            expand2square=False)
+        instr = _cycle(GROUNDING_CAPTION_TEMPLATES, idx).replace(
+            " <image>", "")
+        instr = instr.replace("<objs>", loc)
+    elif benchmark in ("pointing", "pointingvqa_local",
+                       "pointingvqa_looktwice"):
+        w, h = float(row.get("width", 1.0)), float(row.get("height", 1.0))
+        if "point" in row:
+            px, py = row["point"]
+            loc = "[{:.3f},{:.3f}]".format(px / w, py / h)
+        else:
+            b = row["bbox"]
+            loc = "[{:.3f},{:.3f},{:.3f},{:.3f}]".format(
+                b[0] / w, b[1] / h, b[2] / w, b[3] / h)
+        instr = f"{q} {BEGIN_LOC}{loc}{END_LOC}"
+    else:
+        instr = q
+    return build_prompt(instr, template)
+
 
 def build_prompt(question: str, template: str = "vicuna_v1") -> str:
     from antmmf_tpu.utils.conversation import get_conv_template
@@ -188,6 +320,13 @@ def build_prompt(question: str, template: str = "vicuna_v1") -> str:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    # honor JAX_PLATFORMS even when a plugin registered itself
+    # programmatically (the env var alone loses to in-process registration,
+    # e.g. TPU relays) — same contract as antmmf_tpu.run / predictors.cli
+    if os.environ.get("JAX_PLATFORMS") in ("cpu",):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from antmmf_tpu.common.build import build_config
@@ -267,8 +406,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     for s in range(0, len(rows), bs):
         chunk = rows[s: s + bs]
         ids, masks, imgs = [], [], []
-        for r in chunk:
-            i, m = tokenize(build_prompt(r["question"], args.template))
+        for ri, r in enumerate(chunk):
+            i, m = tokenize(build_benchmark_prompt(
+                args.task, r, idx=s + ri, template=args.template))
             ids.append(i)
             masks.append(m)
             img = cv2.imread(os.path.join(args.image_dir, r["image"]))

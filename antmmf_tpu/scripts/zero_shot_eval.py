@@ -78,6 +78,14 @@ def zero_shot_accuracy(
 
 
 def main(argv=None) -> None:
+    # honor JAX_PLATFORMS even when a plugin registered itself
+    # programmatically (same contract as antmmf_tpu.run / predictors.cli)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") in ("cpu",):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from antmmf_tpu.common.build import build_config

@@ -96,3 +96,25 @@ def test_generation_predictor_m2omni_conversation():
             {"type": "text", "text": "describe the image"}]}]})
     assert isinstance(out2["generated_text"], str)
     assert out2["generated_ids"].shape[0] == 1
+
+
+def test_generation_predictor_decode_quant_int4():
+    """`predictor_parameters.decode_quant: int4` serves through nibble-packed
+    weight records (per-step dequant in the decode loop)."""
+    from antmmf_tpu.common.registry import registry
+    from antmmf_tpu.predictors.quantization import is_decode_quantized
+    import antmmf_tpu.predictors  # noqa: F401
+
+    cls = registry.get_predictor_class("generation_predictor")
+    pred = cls({
+        "model_attributes": {"pink": {
+            "lm_preset": "omni_tiny_test", "vit_preset": "vit_tiny_test",
+            "image_size": 32, "lora_rank": 2, "dtype_str": "float32"}},
+        "predictor_parameters": {"max_new_tokens": 4, "max_prompt_len": 12,
+                                 "decode_quant": "int4",
+                                 "decode_quant_min_size": 1024}})
+    pred.load(with_ckpt=False)
+    assert is_decode_quantized(pred.variables)
+    out = pred.predict({"text": "what is in the image?",
+                        "image": np.zeros((32, 32, 3), np.float32)})
+    assert "generated_text" in out and out["generated_ids"].shape[0] == 1

@@ -303,6 +303,31 @@ def test_int8_quantized_generate_runs_and_approximates(pink_tiny):
                                   np.asarray(full)[:, :Lp])
 
 
+def test_int4_quantized_generate_runs(pink_tiny):
+    """Group-int4 weights (nibble-packed) drive the same generate API:
+    records detected, prompt preserved, decode runs end-to-end. Tokens may
+    deviate from full precision (4-bit error vs random-init logit gaps),
+    so only the API contract is pinned here; dequant numerics are pinned
+    in test_quantization.py."""
+    from antmmf_tpu.predictors.quantization import (
+        is_decode_quantized, quantize_for_decode)
+
+    model, variables, batch = pink_tiny
+    q4 = quantize_for_decode(variables, min_size=1024, bits=4, group=32)
+    assert is_decode_quantized(q4)
+    full, lens = model.generate(variables, batch, eos_id=1, max_length=4)
+    out, lens2 = model.generate(q4, batch, eos_id=1, max_length=4)
+    assert out.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
+    # prompt slots only — generations (written after each row's prompt,
+    # inside the padding for short rows) may deviate at 4 bits
+    out_np, lens_np = np.asarray(out), np.asarray(lens)
+    ids_np = np.asarray(batch["input_ids"])
+    for b in range(out_np.shape[0]):
+        np.testing.assert_array_equal(out_np[b, :lens_np[b]],
+                                      ids_np[b, :lens_np[b]])
+
+
 def test_kv_int8_cache_generate_matches(pink_tiny):
     """int8 KV cache (kv_int8=True): same generate API/shapes, prompt
     preserved, and teacher-forcing the fp32-cache greedy trajectory through

@@ -255,3 +255,61 @@ def test_pink_eval_mc_and_binary_scorers():
     assert s["binary_accuracy"] == 0.0
     s = score_rows([{"answer": "x"}], ["anything"], "caption")
     assert s["n_dumped"] == 1.0
+
+
+def test_pink_eval_benchmark_prompts():
+    """Per-benchmark instruction rendering mirrors the reference eval
+    drivers' structure: typed tags (<qes>/<opt>/<des>/<loc>), lettered
+    option blocks, VSR's Yes/No suffix, v7w's <loc>-wrapped candidate
+    boxes, pointing's raw-normalized point (reference
+    prj/Pink/pink/eval/model_{vqav2,vsr,seed,v7wgrounding,vg_base_batch,
+    pointingvqa_local}.py)."""
+    from antmmf_tpu.scripts.pink_eval import build_benchmark_prompt
+
+    # vqa family: question wrapped in <qes></qes>, no bare <image> slot left
+    p = build_benchmark_prompt("vqav2", {"question": "what color?"}, idx=0)
+    assert "<qes>what color?</qes>" in p and " <image>" not in p
+
+    # template cycling is deterministic and varies by row index
+    p2 = build_benchmark_prompt("vqav2", {"question": "what color?"}, idx=1)
+    assert p != p2
+    assert p == build_benchmark_prompt("vqav2", {"question": "what color?"},
+                                       idx=3)
+
+    # vsr: caption + the exact Yes/No suffix (model_vsr.py:175)
+    p = build_benchmark_prompt("vsr", {"caption": "the cat is left of it"})
+    assert ("<qes>the cat is left of it Is it correct? "
+            "Answer with Yes or No.</qes>") in p
+
+    # seed/iconqa: lettered options inside <opt></opt> (model_seed.py:227)
+    p = build_benchmark_prompt(
+        "seed", {"question": "which?", "options": ["red", "green"]})
+    assert "<opt>A. red\nB. green</opt>" in p and "<qes>which?</qes>" in p
+
+    # v7w: candidate boxes serialized + <loc>-wrapped per option
+    p = build_benchmark_prompt("v7wgrounding", {
+        "question": "which box?", "width": 100, "height": 200,
+        "options": [[10, 20, 30, 40], [50, 60, 70, 80]]})
+    assert "A. <loc>[0.100,0.100,0.300,0.200]</loc>" in p
+    assert "B. <loc>[0.500,0.300,0.700,0.400]</loc>" in p
+
+    # vg: referring expression in <des></des> (model_vg_base_batch.py:56)
+    p = build_benchmark_prompt("vg", {"expr": "the red car"})
+    assert "<des>the red car</des>" in p
+
+    # pointing: raw 1/width scaling, point form "[x,y]"
+    p = build_benchmark_prompt("pointingvqa_local", {
+        "question": "what is here?", "point": [50, 100],
+        "width": 100, "height": 200})
+    assert "what is here? <loc>[0.500,0.500]</loc>" in p
+
+    # pointing falls back to the bbox form when no point is given
+    p = build_benchmark_prompt("pointingvqa_looktwice", {
+        "question": "q", "bbox": [10, 20, 30, 40],
+        "width": 100, "height": 200})
+    assert "<loc>[0.100,0.100,0.300,0.200]</loc>" in p
+
+    # object365/caption: <objs> → serialized normalized box
+    p = build_benchmark_prompt("object365", {
+        "bbox": [10, 20, 30, 40], "width": 100, "height": 200})
+    assert "<loc>[0.100,0.100,0.300,0.200]</loc>" in p

@@ -31,6 +31,39 @@ def test_quantize_roundtrip_error_bound():
                                   params["dense"]["bias"])
 
 
+def test_int4_pack_dequant_roundtrip_error_bound():
+    """Group-int4: nibble pack/unpack is exact on the quantized grid and
+    the dequantized weight is within scale/2 per element (scale = group
+    max-abs / 7)."""
+    from antmmf_tpu.predictors.quantization import (
+        dequantize_for_compute, quantize_for_decode)
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((256, 48)).astype(np.float32)
+    tree = {"proj": {"kernel": w}}
+    q4 = quantize_for_decode(tree, min_size=1024, bits=4, group=64)
+    rec = q4["proj"]["kernel"]
+    assert set(rec) == {"q4", "scale"}
+    assert rec["q4"].shape == (128, 48) and rec["q4"].dtype == np.uint8
+    assert rec["scale"].shape == (4, 48)
+    back = np.asarray(dequantize_for_compute(q4, jnp.float32)
+                      ["proj"]["kernel"])
+    bound = np.repeat(np.asarray(rec["scale"]), 64, axis=0) / 2 + 1e-6
+    assert (np.abs(back - w) <= bound).all()
+
+
+def test_int4_non_divisible_falls_back_to_int8():
+    from antmmf_tpu.predictors.quantization import (
+        dequantize_for_compute, quantize_for_decode)
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((100, 48)).astype(np.float32)  # 100 % 128 != 0
+    q = quantize_for_decode({"k": w}, min_size=1024, bits=4)
+    assert set(q["k"]) == {"q", "scale"}  # int8 record
+    back = np.asarray(dequantize_for_compute(q, jnp.float32)["k"])
+    assert np.abs(back - w).max() <= np.abs(w).max() / 254 + 1e-6
+
+
 def test_quantized_retrieval_rankings_stable(tmp_path):
     """The flagship retrieval model keeps identical t2v/v2t rankings after
     int8 weight round-trip on the fixture batch."""
