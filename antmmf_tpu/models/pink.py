@@ -66,12 +66,18 @@ class PinkModel(BaseModel):
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
     # the bf16 cache (quantization), gate per deployment
     kv_int8: bool = False
+    # embedding/lm_head vocab override (0 = the preset's). Set this when the
+    # tokenizer's id space is larger than the preset (e.g. a 30k-wordpiece
+    # vocab on a tiny test preset) — out-of-range ids otherwise read
+    # NaN-filled embedding rows (jnp.take fill semantics) and poison the
+    # whole forward.
+    vocab_override: int = 0
 
     def setup(self) -> None:
         dtype = jnp.dtype(self.dtype_str)
         p = LM_PRESETS[self.lm_preset]
         self.hidden = p["hidden"]
-        self.vocab_size = p["vocab_size"]
+        self.vocab_size = int(self.vocab_override) or p["vocab_size"]
         self.token_embed = nn.Embed(self.vocab_size, self.hidden, dtype=dtype,
                                     param_dtype=jnp.float32)
         if self.adapter_style not in ("lora", "pink"):
