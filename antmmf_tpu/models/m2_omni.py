@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from antmmf_tpu.common.registry import registry
 from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.modules.llm import DecoderLM, RMSNorm
+from antmmf_tpu.modules.qdense import QuantDense
 from antmmf_tpu.modules.transformers.base import TransformerEncoder
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
 
@@ -176,8 +177,11 @@ class M2Omni(BaseModel):
             raise ValueError(
                 f"audio_tower must be 'conv' or 'sanm', got "
                 f"{self.audio_tower!r}")
-        self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
-                                param_dtype=jnp.float32)
+        # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
+        # it can consume int4-packed weights (modules/qdense.py) — the
+        # vocab projection is ~20% of decode weight bytes
+        self.lm_head = QuantDense(self.vocab_size, dtype=dtype,
+                                  param_dtype=jnp.float32)
 
     def _audio_tokens(self, batch: Mapping[str, Any],
                       deterministic: bool) -> jnp.ndarray:

@@ -22,6 +22,7 @@ from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.models.m2_omni import LM_PRESETS
 from antmmf_tpu.modules.llm import DecoderLM
 from antmmf_tpu.modules.lora import LoRADense
+from antmmf_tpu.modules.qdense import QuantDense
 from antmmf_tpu.modules.vision.eva_vit import EVA_PRESETS, EvaVisionTransformer
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
 
@@ -128,8 +129,11 @@ class PinkModel(BaseModel):
                                          freeze_base=False, dtype=dtype)
             self.output_adapter = LoRADense(self.hidden, rank=self.lora_rank,
                                             freeze_base=True, dtype=dtype)
-        self.lm_head = nn.Dense(self.vocab_size, use_bias=False, dtype=dtype,
-                                param_dtype=jnp.float32)
+        # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
+        # it can consume int4-packed weights (modules/qdense.py) — the
+        # vocab projection is ~20% of decode weight bytes
+        self.lm_head = QuantDense(self.vocab_size, dtype=dtype,
+                                  param_dtype=jnp.float32)
 
     def _assemble(self, batch: Mapping[str, Any], deterministic: bool = True):
         """[vision tokens][text tokens] prefix layout →

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from antmmf_tpu.modules.qdense import QuantDense
+
 Dtype = Any
 
 # ---------------------------------------------------------------------------
@@ -188,9 +190,10 @@ class GQAttention(nn.Module):
         B, L, C = x.shape
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = self.head_dim or C // self.num_heads
-        dense = lambda f, name: nn.Dense(  # noqa: E731
-            f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name=name)
+        # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
+        # it consumes int4-packed kernels (modules/qdense.py)
+        dense = lambda f, name: QuantDense(  # noqa: E731
+            f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
         def maybe_lora(base_out, inp, feats, name):
             if self.lora_rank <= 0 or name not in self.lora_targets:
@@ -288,13 +291,15 @@ class GQAttention(nn.Module):
                          <= qpos[:, :, None])  # [B, L, T]
                 bias = jnp.where(valid, 0.0, -1e30)[:, None]
 
-        if n_kv != self.num_heads:  # expand kv groups
+        # cache-decode GQA attends GROUPED (q reshaped [B, kv, rep, L, d]
+        # against the kv-head cache) instead of repeating k/v to num_heads:
+        # a materialized repeat multiplies the per-step cache HBM read by
+        # rep (4x on omni_1b) and decode is bandwidth-bound
+        grouped = (decode_pos is not None and n_kv != self.num_heads)
+        if n_kv != self.num_heads and not grouped:  # expand kv groups
             rep = self.num_heads // n_kv
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
-            if k_scale_row is not None:
-                k_scale_row = jnp.repeat(k_scale_row, rep, axis=1)
-                v_scale_row = jnp.repeat(v_scale_row, rep, axis=1)
 
         use_flash = (
             self.use_pallas
@@ -309,6 +314,22 @@ class GQAttention(nn.Module):
             # causal part itself, so pass only the key-padding row
             kv_bias = bias[:, 0, -1, :] if bias is not None else None
             out = flash_attention(q, k, v, bias=kv_bias, causal=True)
+        elif grouped:
+            rep = self.num_heads // n_kv
+            qg = q.reshape(B, n_kv, rep, L, head_dim)
+            logits = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k,
+                                preferred_element_type=jnp.float32)
+            if k_scale_row is not None:  # [B, kv, 1, T] per-slot key scales
+                logits = logits * k_scale_row[:, :, None]
+            logits = logits * (head_dim ** -0.5)
+            if bias is not None:  # [B, 1, L, T] → broadcast over (g, r)
+                logits = logits + bias[:, :, None]
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
+                self.dtype)
+            if v_scale_row is not None:  # fold value scales into probs
+                probs = probs * v_scale_row[:, :, None].astype(probs.dtype)
+            out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v).reshape(
+                B, self.num_heads, L, head_dim)
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
@@ -340,9 +361,10 @@ class SwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dense = lambda f, name: nn.Dense(  # noqa: E731
-            f, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name=name)
+        # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
+        # it consumes int4-packed kernels (modules/qdense.py)
+        dense = lambda f, name: QuantDense(  # noqa: E731
+            f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
         def maybe_lora(base_out, inp, feats, name):
             if self.lora_rank <= 0:

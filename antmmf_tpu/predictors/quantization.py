@@ -150,33 +150,76 @@ def quantize_for_decode(variables: Any, min_size: int = 65536,
 
     exclude = re.compile(r"(norm|embed|logit_scale)")
 
+    from antmmf_tpu.ops.pallas.int4_matmul import best_group, pack_int4
+
     def quant4(path, leaf):
         arr = np.asarray(leaf)
         if not _is_quantizable(_path_str(path), arr, min_size, exclude):
             return leaf
-        if arr.ndim != 2 or arr.shape[0] % max(2, group):
+        # per-kernel group: the largest ≤ requested the Pallas GEMV can
+        # serve (it must divide in/2 — e.g. a 5504-row down_proj adapts to
+        # group 86); group is inferable downstream from the scale shape
+        g = best_group(arr.shape[0], arr.shape[1],
+                       group) if arr.ndim == 2 else None
+        if g is None:
             # conv kernels / odd shapes: int8 per-channel fallback
             flat = arr.reshape(-1, arr.shape[-1]).astype(np.float32)
             scale = np.maximum(np.abs(flat).max(axis=0), 1e-12) / 127.0
             q = np.clip(np.round(arr.astype(np.float32) / scale),
                         -127, 127).astype(np.int8)
             return {"q": q, "scale": scale.astype(np.float32)}
-        fin, fout = arr.shape
-        g = arr.astype(np.float32).reshape(fin // group, group, fout)
-        scale = np.maximum(np.abs(g).max(axis=1), 1e-12) / 7.0  # [in/g, out]
-        q = np.clip(np.round(g / scale[:, None]), -7, 7)
-        q = (q.reshape(fin, fout) + 8).astype(np.uint8)  # [1..15]
-        # pack row i with row i+in/2 (top/bottom halves, NOT even/odd):
-        # unpack is then a layout-preserving CONCAT — an even/odd interleave
-        # needs a transpose-shaped reshape that XLA cannot fuse into the
-        # dot (measured 6x SLOWER than bf16; concat-unpack keeps the int8
-        # path's fusion structure)
-        half = fin // 2
-        packed = q[:half] | (q[half:] << 4)  # [in/2, out] uint8
-        return {"q4": packed, "scale": scale.astype(np.float32)}
+        # global top/bottom-half nibble packing, NOT even/odd: unpack is a
+        # layout-preserving CONCAT that fuses into the dot (an interleave
+        # needs a transpose-shaped reshape XLA cannot fuse — measured 6x
+        # slower than bf16), and the same bytes feed the Pallas decode GEMV
+        # (ops/pallas/int4_matmul.py) via make_live_vars' sibling routing
+        packed, scale = pack_int4(arr, group=g)
+        return {"q4": packed, "scale": scale}
 
     return jax.tree_util.tree_map_with_path(
         quant4, variables, is_leaf=lambda x: hasattr(x, "dtype"))
+
+
+def synth_quantized_like(shape_tree: Any, min_size: int = 65536,
+                         bits: int = 4, group: int = 128,
+                         seed: int = 0) -> Any:
+    """Build a ``quantize_for_decode``-shaped tree of random weights
+    DIRECTLY from a ``jax.eval_shape`` tree — no full-precision weights are
+    ever materialized, on host or device. For serving-capacity benches of
+    models whose bf16 params exceed one chip's HBM (omni_7b bf16 = 13.8 GB
+    vs v5e 16 GB; int4 = 3.5 GB): throughput is real, tokens are noise.
+
+    Reference role: the capacity claim behind prj/M2_omni's 7B-class
+    serving — the reference needs A100-80GB-class cards for fp16."""
+    if bits != 4:
+        raise ValueError("synth trees are int4-only")
+    rng = np.random.default_rng(seed)
+    exclude = re.compile(r"(norm|embed|logit_scale)")
+    from antmmf_tpu.ops.pallas.int4_matmul import best_group
+
+    def make(path, sds):
+        shape, dtype = tuple(sds.shape), np.dtype(sds.dtype)
+        quantizable = (np.issubdtype(dtype, np.floating) and len(shape) >= 2
+                       and int(np.prod(shape)) >= min_size
+                       and not exclude.search(_path_str(path)))
+        if not quantizable:
+            if np.issubdtype(dtype, np.floating):
+                return (rng.standard_normal(shape) * 0.02).astype(dtype)
+            return np.zeros(shape, dtype)
+        g = best_group(shape[0], shape[1], group) if len(shape) == 2 \
+            else None
+        if g is None:  # conv/odd shapes: int8 per-channel record
+            q = rng.integers(-127, 128, size=shape).astype(np.int8)
+            return {"q": q, "scale": np.full(shape[-1], 2e-4, np.float32)}
+        fin, fout = shape
+        lo = rng.integers(1, 16, size=(fin // 2, fout)).astype(np.uint8)
+        hi = rng.integers(1, 16, size=(fin // 2, fout)).astype(np.uint8)
+        # small scales keep 32-layer activations finite under random init
+        scale = (rng.uniform(0.5, 1.5, size=(fin // g, fout)) * 2e-4
+                 ).astype(np.float32)
+        return {"q4": lo | (hi << 4), "scale": scale}
+
+    return jax.tree_util.tree_map_with_path(make, shape_tree)
 
 
 def _is_q8(n) -> bool:
@@ -229,19 +272,64 @@ def dequantize_for_compute(tree: Any, dtype) -> Any:
         dq, tree, is_leaf=lambda n: _is_q8(n) or _is_q4(n))
 
 
+# modules whose matmul is a QuantDense (modules/qdense.py) and can consume
+# packed int4 siblings directly — the Pallas GEMV then reads 4-bit weights
+# from HBM instead of a dequantized full-width materialization. Identified
+# by the DecoderLM scope chain (".../decoder/.../attention/{q,k,v,o}_proj"
+# or ".../mlp/{gate,up,down}_proj") — vision towers reuse the
+# "attention/q_proj" names with plain nn.Dense but never sit under a
+# "decoder" scope (caption decoders name theirs self_/cross_attention)
+_QDENSE_PARENTS = {
+    "attention": re.compile(r"^[qkvo]_proj$"),
+    "mlp": re.compile(r"^(?:gate|up|down)_proj$"),
+}
+
+
+def _route_q4_siblings(tree: Any, in_decoder: bool = False,
+                       parent: str = "") -> Any:
+    """{"q4","scale"} records under QuantDense kernels become sibling
+    arrays ``kernel_q4`` / ``kernel_scale`` the module consumes directly;
+    records elsewhere (lm_head, vision) are left for
+    ``dequantize_for_compute``."""
+    import collections.abc
+    if (not isinstance(tree, collections.abc.Mapping) or _is_q4(tree)
+            or _is_q8(tree)):
+        return tree
+    out = {}
+    for key, val in tree.items():
+        key = str(key)
+        if (((in_decoder and parent in _QDENSE_PARENTS
+              and _QDENSE_PARENTS[parent].match(key))
+             or key == "lm_head")  # vocab projection is a QuantDense too
+                and isinstance(val, collections.abc.Mapping)
+                and _is_q4(val.get("kernel"))):
+            out[key] = {
+                "kernel_q4": val["kernel"]["q4"],
+                "kernel_scale": val["kernel"]["scale"],
+                **{str(k): v for k, v in val.items() if k != "kernel"},
+            }
+        else:
+            out[key] = _route_q4_siblings(
+                val, in_decoder or key == "decoder", key)
+    return out
+
+
 def make_live_vars(variables: Any, dtype) -> Callable[[bool], Any]:
-    """One helper for every int8 decode caller (Pink / M2Omni generate,
-    bench_decode): returns ``live_vars(step_mode)`` which passes
-    un-quantized variables through unchanged, and for quantized trees
-    dequantizes to ``dtype`` — behind ``jax.lax.optimization_barrier`` when
-    ``step_mode`` so XLA cannot hoist the convert out of a decode loop."""
+    """One helper for every quantized decode caller (Pink / M2Omni
+    generate, bench_decode, serving engine): returns ``live_vars(step_mode)``
+    which passes un-quantized variables through unchanged, and for
+    quantized trees dequantizes to ``dtype`` — behind
+    ``jax.lax.optimization_barrier`` when ``step_mode`` so XLA cannot hoist
+    the convert out of a decode loop. int4 records under QuantDense modules
+    stay PACKED (sibling routing above): the module's Pallas GEMV
+    dequantizes in-register, so the per-token HBM weight read is 4-bit."""
     quantized = is_decode_quantized(variables)
 
     def live_vars(step_mode: bool = False) -> Any:
         if not quantized:
             return variables
-        src = jax.lax.optimization_barrier(variables) if step_mode \
-            else variables
+        src = _route_q4_siblings(variables)
+        src = jax.lax.optimization_barrier(src) if step_mode else src
         return dequantize_for_compute(src, dtype)
 
     return live_vars

@@ -45,6 +45,12 @@ def main() -> None:
                         "chunk-verify step cost at width GAMMA+1 plus an "
                         "end-to-end speculative run with measured "
                         "acceptance telemetry")
+    p.add_argument("--synth_q4", action="store_true",
+                   help="serving-CAPACITY mode: build the int4-packed tree "
+                        "directly from eval_shape (no full-precision "
+                        "weights ever exist) — lets omni_7b (bf16 13.8 GB) "
+                        "decode on one 16 GB chip; tokens are noise, "
+                        "throughput is real")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin wins "
                         "over JAX_PLATFORMS alone)")
@@ -77,8 +83,9 @@ def main() -> None:
                 num_kv_heads=cfg["num_kv_heads"], dtype=dtype, name="decoder")
             out = dec(embeds, positions, mask, True, cache=cache,
                       decode_pos=decode_pos)
-            head = nn.Dense(vocab, use_bias=False, dtype=dtype,
-                            param_dtype=jnp.float32, name="lm_head")
+            from antmmf_tpu.modules.qdense import QuantDense
+            head = QuantDense(vocab, dtype=dtype,
+                              param_dtype=jnp.float32, name="lm_head")
             if cache is not None:
                 hiddens, cache = out
                 if all_logits:
@@ -93,8 +100,15 @@ def main() -> None:
     B = args.batch
     rng = jax.random.PRNGKey(0)
     ex = jax.random.normal(rng, (B, 8, hidden)).astype(dtype)
-    params = model.init(rng, ex, jnp.zeros((B, 8), jnp.int32))
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    if args.synth_q4:
+        params = None  # bf16/f32 params would not fit the chip (the point)
+        shapes = jax.eval_shape(model.init, rng, ex,
+                                jnp.zeros((B, 8), jnp.int32))
+        n_params = sum(int(np.prod(x.shape))
+                       for x in jax.tree_util.tree_leaves(shapes))
+    else:
+        params = model.init(rng, ex, jnp.zeros((B, 8), jnp.int32))
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(json.dumps({"model": f"decoder_{preset}",
                       "params_m": round(n_params / 1e6, 1),
                       "backend": jax.default_backend()}), flush=True)
@@ -152,6 +166,61 @@ def main() -> None:
         toks, _, cache = jax.lax.fori_loop(
             0, args.decode_steps, step, (steps_tokens, logits0, cache))
         return toks, cache
+
+    if args.synth_q4:
+        # serving-CAPACITY mode: weights exist only int4-packed (built from
+        # eval_shape — no full-precision tree on host or device). omni_7b
+        # bf16 is 13.8 GB vs 16 GB HBM; packed it is ~3.5 GB + 1.2 GB bf16
+        # embed table, so a 7B-class decoder serves on ONE chip. Reference
+        # counterpart: prj/M2_omni serves fp16 on A100-80GB-class GPUs.
+        from antmmf_tpu.predictors.quantization import (
+            make_live_vars, synth_quantized_like)
+
+        host_q4 = synth_quantized_like(shapes, min_size=4096)
+        q4_gb = sum(np.asarray(l).nbytes for l in
+                    jax.tree_util.tree_leaves(host_q4)) / 1e9
+        q4params = jax.device_put(host_q4)
+        del host_q4
+        print(json.dumps({"synth_q4": True, "weights_gb": round(q4_gb, 2),
+                          "embed_gb": round(vocab * hidden * 2 / 1e9, 2)}),
+              flush=True)
+
+        @jax.jit
+        def prefill_q(qparams, embeds, positions, mask, cache):
+            live = make_live_vars(qparams, dtype)
+            return model.apply(live(), embeds, positions, mask, cache=cache)
+
+        for L in args.lens:
+            T = L + args.decode_steps
+            ids = jax.random.randint(jax.random.PRNGKey(2), (B, L), 0, vocab)
+            embeds = embed_table[ids]
+            positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+            mask = jnp.ones((B, L), jnp.int32)
+            cache0 = init_decoder_cache(cfg["num_layers"], B, n_kv, T,
+                                        head_dim, dtype)
+            lat_pre = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                logits0, cache = prefill_q(q4params, embeds, positions,
+                                           mask, cache0)
+                float(np.asarray(logits0).reshape(-1)[0])
+                lat_pre.append((time.perf_counter() - t0) * 1e3)
+            toks0 = jnp.zeros((B, args.decode_steps), jnp.int32)
+            pos0 = jnp.full((B,), L, jnp.int32)
+            lat = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                toks, _ = decode_int8(q4params, embed_table, logits0, cache,
+                                      pos0, toks0)
+                int(np.asarray(toks)[0, -1])
+                lat.append((time.perf_counter() - t0) * 1e3)
+            ms = float(np.median(lat[1:])) / args.decode_steps
+            print(json.dumps({
+                "exp": f"synthq4_decode_L{L}_b{B}",
+                "prefill_ms": round(float(np.median(lat_pre[1:])), 2),
+                "per_token_ms": round(ms, 3),
+                "tokens_per_sec": round(B * 1e3 / ms, 1)}), flush=True)
+        return
 
     for L in args.lens:
         T = L + args.decode_steps

@@ -122,6 +122,16 @@ def main() -> None:
         return (x[:, :half] @ (lo.astype(jnp.bfloat16) * rep_lo)
                 + x[:, half:] @ (hi.astype(jnp.bfloat16) * rep_hi))
 
+    def dot_pallas(x, packed):
+        # the kernel answer (ops/pallas/int4_matmul.py): DMA the packed
+        # bytes, split nibbles on the VPU, feed bf16 sub-blocks to the MXU
+        # — nothing full-width ever exists, in HBM or VMEM
+        from antmmf_tpu.ops.pallas.int4_matmul import int4_gemv
+        pk, sc = jax.lax.optimization_barrier((packed, scale_j))
+        return int4_gemv(x, pk, sc,
+                         interpret=jax.default_backend() == "cpu"
+                         ).astype(jnp.bfloat16)
+
     variants = {
         "bf16": dot_bf16,
         "int8_chan": dot_int8,
@@ -129,6 +139,7 @@ def main() -> None:
         "int4_concat_repeat": dot_concat_repeat,
         "int4_concat_chan": dot_concat_chan,
         "int4_half_dots": dot_half_dots,
+        "int4_pallas": dot_pallas,
     }
 
     ref = np.asarray(dot_bf16(x, packed), np.float32)
