@@ -47,6 +47,9 @@ def main() -> None:
                         "sessions (extend_cache per turn) vs the "
                         "reference's whole-conversation re-prefill")
     p.add_argument("--turn_len", type=int, default=16)
+    p.add_argument("--decode_quant", choices=["int8", "int4"], default=None,
+                   help="weight-only quantized serving through the engine "
+                        "(and the sequential/static comparisons)")
     args = p.parse_args()
 
     from antmmf_tpu.models.pink import PinkModel
@@ -65,6 +68,15 @@ def main() -> None:
             rng, (1, args.image_size, args.image_size, 3))
     variables = jax.jit(model.init)(rng, init_batch)
     jax.block_until_ready(variables)
+    if args.decode_quant:
+        # the engine applies make_live_vars internally: int8 dequantizes per
+        # window step behind a barrier, int4 routes to QuantDense siblings
+        # (the Pallas GEMV on TPU decode shapes)
+        from antmmf_tpu.predictors.quantization import quantize_for_decode
+
+        variables = jax.device_put(quantize_for_decode(
+            jax.device_get(variables), min_size=4096,
+            bits={"int8": 8, "int4": 4}[args.decode_quant]))
 
     EOS = -1  # never emitted: generation length = each request's budget
     # heterogeneous output budgets — the realistic serving mix where
