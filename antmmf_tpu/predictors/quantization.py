@@ -150,17 +150,32 @@ def quantize_for_decode(variables: Any, min_size: int = 65536,
 
     exclude = re.compile(r"(norm|embed|logit_scale)")
 
-    from antmmf_tpu.ops.pallas.int4_matmul import best_group, pack_int4
+    from antmmf_tpu.ops.pallas.int4_matmul import (
+        _pick_tiles, best_group, pack_int4, pad_rows_for_kernel)
 
     def quant4(path, leaf):
         arr = np.asarray(leaf)
-        if not _is_quantizable(_path_str(path), arr, min_size, exclude):
+        pstr = _path_str(path)
+        if not _is_quantizable(pstr, arr, min_size, exclude):
             return leaf
         # per-kernel group: the largest ≤ requested the Pallas GEMV can
-        # serve (it must divide in/2 — e.g. a 5504-row down_proj adapts to
-        # group 86); group is inferable downstream from the scale shape
+        # serve (it must divide in/2); group is inferable downstream from
+        # the scale shape. QuantDense-routed kernels whose input dim has no
+        # legal tiling (5504-row down_proj) are ZERO-PADDED to the nearest
+        # servable width (5632, +2.3%) — reads stay 4-bit instead of
+        # falling back to a full-width XLA unpack inside the decode loop;
+        # int4_apply pads the activations to match. Non-routed records
+        # must keep their true shape (their consumers dequantize).
         g = best_group(arr.shape[0], arr.shape[1],
                        group) if arr.ndim == 2 else None
+        if (g is not None and _pick_tiles(arr.shape[0], arr.shape[1], g)
+                is None and _QDENSE_PATH_RE.search(pstr)):
+            fin_pad = pad_rows_for_kernel(arr.shape[0], arr.shape[1], group)
+            if fin_pad is not None:
+                arr = np.concatenate(
+                    [arr, np.zeros((fin_pad - arr.shape[0], arr.shape[1]),
+                                   arr.dtype)], axis=0)
+                g = best_group(fin_pad, arr.shape[1], group)
         if g is None:
             # conv kernels / odd shapes: int8 per-channel fallback
             flat = arr.reshape(-1, arr.shape[-1]).astype(np.float32)
@@ -195,19 +210,27 @@ def synth_quantized_like(shape_tree: Any, min_size: int = 65536,
         raise ValueError("synth trees are int4-only")
     rng = np.random.default_rng(seed)
     exclude = re.compile(r"(norm|embed|logit_scale)")
-    from antmmf_tpu.ops.pallas.int4_matmul import best_group
+    from antmmf_tpu.ops.pallas.int4_matmul import (
+        _pick_tiles, best_group, pad_rows_for_kernel)
 
     def make(path, sds):
         shape, dtype = tuple(sds.shape), np.dtype(sds.dtype)
+        pstr = _path_str(path)
         quantizable = (np.issubdtype(dtype, np.floating) and len(shape) >= 2
                        and int(np.prod(shape)) >= min_size
-                       and not exclude.search(_path_str(path)))
+                       and not exclude.search(pstr))
         if not quantizable:
             if np.issubdtype(dtype, np.floating):
                 return (rng.standard_normal(shape) * 0.02).astype(dtype)
             return np.zeros(shape, dtype)
         g = best_group(shape[0], shape[1], group) if len(shape) == 2 \
             else None
+        if (g is not None and _pick_tiles(shape[0], shape[1], g) is None
+                and _QDENSE_PATH_RE.search(pstr)):
+            fin_pad = pad_rows_for_kernel(shape[0], shape[1], group)
+            if fin_pad is not None:  # row-padded like quantize_for_decode
+                shape = (fin_pad, shape[1])
+                g = best_group(fin_pad, shape[1], group)
         if g is None:  # conv/odd shapes: int8 per-channel record
             q = rng.integers(-127, 128, size=shape).astype(np.int8)
             return {"q": q, "scale": np.full(shape[-1], 2e-4, np.float32)}
@@ -254,18 +277,11 @@ def dequantize_for_compute(tree: Any, dtype) -> Any:
         if _is_q8(n):
             return n["q"].astype(dtype) * n["scale"].astype(dtype)
         if _is_q4(n):
-            packed, scale = n["q4"], n["scale"]
-            fin = packed.shape[0] * 2
-            fout = packed.shape[1]
-            lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8)
-            hi = (packed >> jnp.uint8(4)).astype(jnp.int8)
             # top/bottom-half packing → concat, layout-preserving (see
-            # quantize_for_decode); every op here fuses like the int8 path
-            vals = jnp.concatenate([lo, hi], axis=0) - 8
-            group = fin // scale.shape[0]
-            w = (vals.astype(dtype).reshape(scale.shape[0], group, fout)
-                 * scale.astype(dtype)[:, None])
-            return w.reshape(fin, fout)
+            # pack_int4); every op here fuses like the int8 path
+            from antmmf_tpu.ops.pallas.int4_matmul import unpack_int4
+
+            return unpack_int4(n["q4"], n["scale"], dtype)
         return n
 
     return jax.tree_util.tree_map(
@@ -283,6 +299,12 @@ _QDENSE_PARENTS = {
     "attention": re.compile(r"^[qkvo]_proj$"),
     "mlp": re.compile(r"^(?:gate|up|down)_proj$"),
 }
+# quantize-time mirror of the routing above (full-path form): kernels at
+# these paths may be row-padded for the GEMV — their QuantDense consumer
+# pads activations to match; anything else must keep its true shape
+_QDENSE_PATH_RE = re.compile(
+    r"decoder/.*(?:attention/[qkvo]_proj|mlp/(?:gate|up|down)_proj)"
+    r"/kernel$|(?:^|/)lm_head/kernel$")
 
 
 def _route_q4_siblings(tree: Any, in_decoder: bool = False,

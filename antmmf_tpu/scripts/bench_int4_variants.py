@@ -60,13 +60,13 @@ def main() -> None:
     w = rng.standard_normal((fin, fout)).astype(np.float32) * 0.02
     x = jnp.asarray(rng.standard_normal((B, fin)), jnp.bfloat16)
 
-    # pack exactly like quantize_for_decode(bits=4)
-    gw = w.reshape(G, g, fout)
-    scale = np.maximum(np.abs(gw).max(axis=1), 1e-12) / 7.0  # [G, fout]
-    q = np.clip(np.round(gw / scale[:, None]), -7, 7)
-    q = (q.reshape(fin, fout) + 8).astype(np.uint8)
-    packed = jnp.asarray(q[:half] | (q[half:] << 4))  # [half, fout] uint8
+    # pack exactly like quantize_for_decode(bits=4) (signed-hi layout)
+    from antmmf_tpu.ops.pallas.int4_matmul import pack_int4
+
+    packed_np, scale = pack_int4(w, group=g)
+    packed = jnp.asarray(packed_np)  # [half, fout] uint8
     scale_j = jnp.asarray(scale)
+    G = fin // g
     w_bf16 = jnp.asarray(w, jnp.bfloat16)
     q8 = np.clip(np.round(w / (np.abs(w).max(0) / 127.0)), -127, 127)
     q8 = jnp.asarray(q8, jnp.int8)
@@ -74,8 +74,9 @@ def main() -> None:
     chan_scale = jnp.asarray(np.abs(w).max(0) / 7.0)
 
     def unpack(packed):
-        lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8) - 8
-        hi = (packed >> jnp.uint8(4)).astype(jnp.int8) - 8
+        v = jax.lax.bitcast_convert_type(packed, jnp.int8)
+        lo = (v & jnp.int8(0x0F)) - jnp.int8(8)
+        hi = jnp.right_shift(v, jnp.int8(4))  # signed-hi layout
         return lo, hi
 
     # every variant takes its weight buffers through a per-step

@@ -134,3 +134,37 @@ def test_live_vars_int4_apply_matches_dequantized_tree():
     out_ref = model.apply(dequantize_for_compute(q4, jnp.bfloat16), emb, pos)
     np.testing.assert_array_equal(np.asarray(out_live, np.float32),
                                   np.asarray(out_ref, np.float32))
+
+
+def test_row_padded_packing_for_unservable_fin():
+    """A 5504-row down_proj (no legal GEMV tiling: 2752 has no group that
+    is a multiple of 8 with aligned tiles) zero-pads to 5632 (+2.3%) at
+    quantize time; int4_apply pads activations to match and the pad rows
+    contribute nothing."""
+    from antmmf_tpu.ops.pallas.int4_matmul import (
+        _pick_tiles, int4_apply, pad_rows_for_kernel, unpack_int4)
+
+    assert pad_rows_for_kernel(5504, 256, 128) == 5632
+    assert _pick_tiles(5632, 256, 88) is not None
+
+    rng = np.random.default_rng(3)
+    w = (rng.normal(size=(5504, 256)) * 0.02).astype(np.float32)
+    tree = {"decoder": {"layer_0": {"mlp": {"down_proj": {
+        "kernel": w}}}}}
+    q4 = quantize_for_decode(tree, min_size=1024, bits=4)
+    rec = q4["decoder"]["layer_0"]["mlp"]["down_proj"]["kernel"]
+    assert rec["q4"].shape == (2816, 256)       # 5632 / 2 packed rows
+    assert rec["scale"].shape == (64, 256)      # group 88
+
+    x = jnp.asarray(rng.normal(size=(2, 5504)), jnp.float32)
+    y = np.asarray(int4_apply(x, jnp.asarray(rec["q4"]),
+                              jnp.asarray(rec["scale"]), jnp.float32))
+    w_back = np.asarray(unpack_int4(jnp.asarray(rec["q4"]),
+                                    jnp.asarray(rec["scale"]),
+                                    jnp.float32))
+    assert np.abs(w_back[5504:]).max() == 0.0   # pad rows are exact zeros
+    ref = np.asarray(x) @ w_back[:5504]
+    np.testing.assert_allclose(y, ref, atol=1e-4, rtol=1e-4)
+    # quantization itself is faithful on the unpadded rows
+    err = np.abs(w_back[:5504] - w).max()
+    assert err < 0.02 * 8 / 7  # <= scale/2 bound at these magnitudes
