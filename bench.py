@@ -148,7 +148,18 @@ def main() -> None:
         "serving_cb_useful_tokens_per_sec": 294.2,
         "serving_sequential_tokens_per_sec": 124.4,
         "serving_static_b8_tokens_per_sec": 183.0,
-        "llm_decode_L1024_b8_tokens_per_sec": 1074.2,
+        # grouped-GQA decode attention (no kv repeat: rep x less cache HBM
+        # read per step) lifted B=8 decode 1074.2 -> 1313.0
+        "llm_decode_L1024_b8_tokens_per_sec": 1313.0,
+        "llm_decode_L1024_b8_int8_tokens_per_sec": 1530.2,
+        # group-int4 Pallas GEMV (ops/pallas/int4_matmul.py): in-register
+        # nibble unpack between HBM load and MXU feed; fastest batched
+        # config and the capacity knob (BASELINE.md round-3 int4 table)
+        "llm_decode_L1024_b8_int4_tokens_per_sec": 1624.3,
+        "llm_decode_L512_int4_tokens_per_sec": 216.4,
+        # omni_7b (6.29 B params) decoding on ONE 16 GB v5e chip: int4
+        # weights 3.38 GB + bf16 embed 1.24 GB (bf16 13.8 GB cannot load)
+        "llm_decode_7b_one_chip_tokens_per_sec": 98.8,
         # prompt-lookup speculative decoding (bench_decode --speculate 4):
         # a 5-token verify step costs 7.03 ms vs 4.99 ms plain decode, so
         # tokens/s at acceptance a is (1+4a)/7.03ms — exact greedy tokens
