@@ -160,6 +160,7 @@ def main() -> None:
         # omni_7b (6.29 B params) decoding on ONE 16 GB v5e chip: int4
         # weights 3.38 GB + bf16 embed 1.24 GB (bf16 13.8 GB cannot load)
         "llm_decode_7b_one_chip_tokens_per_sec": 98.8,
+        "llm_decode_7b_one_chip_b8_tokens_per_sec": 601.2,
         # prompt-lookup speculative decoding (bench_decode --speculate 4):
         # a 5-token verify step costs 7.03 ms vs 4.99 ms plain decode, so
         # tokens/s at acceptance a is (1+4a)/7.03ms — exact greedy tokens
