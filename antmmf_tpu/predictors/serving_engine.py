@@ -191,11 +191,18 @@ class ContinuousBatchingEngine:
     """
 
     def __init__(self, adapter, slots: int = 8, max_new_tokens: int = 32,
-                 eos_id: int = 102, step_tokens: int = 8):
+                 eos_id: int = 102, step_tokens: int = 8,
+                 suffix_pad: Optional[int] = None):
         self.ad = adapter
         self.S = slots
         self.max_new = max_new_tokens
         self.eos_id = eos_id
+        # prefix-forked requests pad their suffix to this width so ONE
+        # compiled extend serves every suffix length (a fresh trace per
+        # length would recompile mid-serving); None = exact shapes. The
+        # padded write stays inside prefix_len + suffix_pad ≤ prompt budget
+        # and pre-overwrite pad slots sit above the causal validity bound.
+        self.suffix_pad = suffix_pad
         # decode window: tokens advanced per host round-trip. Every host
         # sync pays the dispatch latency of the accelerator link (on a
         # remote-attached chip it can exceed the decode step itself —
@@ -225,6 +232,11 @@ class ContinuousBatchingEngine:
         # started — continuation point = start + len(kept tokens)
         self._slot_start: List[Tuple[int, int]] = [(0, 0)] * slots
         self._sessions: Dict[Any, Tuple[int, int, int]] = {}
+        # prefix cache: prefix_id -> (cache1, logits0, rope0, slot0,
+        # rope_end, slot_end) — a shared prompt prefix prefilled ONCE and
+        # forked into each request's slot at admission (vLLM-class prefix
+        # caching; the reference re-encodes everything per request)
+        self._prefixes: Dict[Any, Tuple[Any, Any, Any, Any, int, int]] = {}
 
         from functools import partial
 
@@ -319,6 +331,35 @@ class ContinuousBatchingEngine:
         self._slot_held = [None] * self.S
         self._sessions = {}
 
+    def register_prefix(self, prefix_id, data: Mapping[str, Any]) -> None:
+        """Prefill a SHARED prompt prefix once (system prompt, few-shot
+        preamble, shared image) for reuse across requests:
+        ``submit(rid, {"prefix": prefix_id, "input_ids": suffix})`` forks
+        the stored cache row into the request's slot and appends only the
+        suffix through the model's ``extend_cache`` — the prefix's vision
+        tower + prefill compute never reruns. Suffix tokens are identical
+        to a full re-prefill of prefix+suffix (the extend_cache ragged-row
+        equivalence, tests/test_serving_engine.py). data: {"input_ids":
+        [Lp], "input_mask"?, "image_data"?}."""
+        tokens = jnp.asarray(data["input_ids"], jnp.int32)[None]
+        mask = jnp.asarray(
+            data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
+            jnp.int32)[None]
+        img = data.get("image_data")
+        if img is not None:
+            img = jnp.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+        logits0, cache1, slot0, rope0 = self.ad.prefill1(tokens, mask, img)
+        self._ensure_state(cache1, logits0)
+        self._prefixes[prefix_id] = (
+            cache1, logits0, rope0, slot0,
+            int(np.asarray(rope0).reshape(-1)[0]),
+            int(np.asarray(slot0).reshape(-1)[0]))
+
+    def drop_prefix(self, prefix_id) -> None:
+        self._prefixes.pop(prefix_id, None)
+
     def submit(self, request_id, data: Mapping[str, Any]) -> None:
         """data: {"input_ids": [Lp], "input_mask": [Lp], "image_data"?,
         "max_new"?: int, "session"?: bool} — per-request token budgets
@@ -337,6 +378,9 @@ class ContinuousBatchingEngine:
                     or self._slot_held[s] is not None:
                 continue
             rid, data = self._queue.pop(0)
+            if data.get("prefix") is not None:
+                self._admit_with_prefix(s, rid, data)
+                continue
             tokens = jnp.asarray(data["input_ids"], jnp.int32)[None]
             mask = jnp.asarray(
                 data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
@@ -362,6 +406,43 @@ class ContinuousBatchingEngine:
             # pay an extra sync; continuation = start + len(kept tokens)
             self._slot_start[s] = (rope0, slot0)
             self._t_first[rid] = time.perf_counter()
+
+    def _admit_with_prefix(self, s: int, rid, data: Mapping[str, Any]
+                           ) -> None:
+        """Fork a registered prefix row into slot ``s`` (no prefill — the
+        stored [1]-cache scatters in; _admit_jit does not donate it) and
+        append the request's suffix tokens via the model's extend_cache."""
+        cache1, logits0, rope0, slot0, r0, s0 = self._prefixes[data["prefix"]]
+        st = self._state
+        st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+            self._admit_jit(st["cache"], st["last_logits"], st["rope"],
+                            st["spos"], cache1, logits0, rope0, slot0, s)
+        suffix = data.get("input_ids")
+        tlen = 0
+        if suffix is not None and len(suffix) > 0:
+            suffix = np.asarray(suffix, np.int32)
+            msk = np.asarray(
+                data.get("input_mask", np.ones(suffix.shape[0], np.int32)),
+                np.int32)
+            pad = self.suffix_pad
+            if pad is not None and suffix.shape[0] < pad:
+                ext = pad - suffix.shape[0]
+                suffix = np.concatenate([suffix, np.zeros(ext, np.int32)])
+                msk = np.concatenate([msk, np.zeros(ext, np.int32)])
+            tokens = jnp.asarray(suffix, jnp.int32)
+            mask = jnp.asarray(msk, jnp.int32)
+            st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+                self._extend_jit(st["cache"], st["last_logits"], st["rope"],
+                                 st["spos"], tokens, mask,
+                                 jnp.int32(r0), jnp.int32(s0),
+                                 jnp.int32(s), self.ad.variables)
+            tlen = int(np.asarray(mask).sum())
+        self._slot_req[s] = rid
+        self._slot_toks[s] = []
+        self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
+                                   self.max_new)
+        self._slot_start[s] = (r0 + tlen, s0 + tlen)
+        self._t_first[rid] = time.perf_counter()
 
     def step(self) -> List[Any]:
         """Admit from the queue, advance every active slot one decode

@@ -50,6 +50,10 @@ def main() -> None:
     p.add_argument("--decode_quant", choices=["int8", "int4"], default=None,
                    help="weight-only quantized serving through the engine "
                         "(and the sequential/static comparisons)")
+    p.add_argument("--shared_prefix", type=int, default=0, metavar="K",
+                   help="also measure prefix caching: all requests share "
+                        "[image + first K prompt tokens], registered once "
+                        "and forked per request (engine.register_prefix)")
     args = p.parse_args()
 
     from antmmf_tpu.models.pink import PinkModel
@@ -128,6 +132,41 @@ def main() -> None:
         "useful_tokens_per_s": round(useful_tokens / result["wall_s"], 1),
         "latency_p50_s": round(result["latency_p50"], 3),
         "latency_max_s": round(result["latency_max"], 3)}), flush=True)
+
+    # -- prefix caching: all requests share [image + half the prompt] ------
+    if args.shared_prefix:
+        k = args.shared_prefix
+        pre = {"input_ids": reqs[0][1]["input_ids"][:k],
+               "input_mask": np.ones(k, np.int32)}
+        if not args.no_image:
+            pre["image_data"] = reqs[0][1]["image_data"]
+        preqs = []
+        for i, (rid, d) in enumerate(reqs):
+            n = int(d["input_mask"].sum())
+            ns = max(1, n - k)
+            preqs.append((f"px{i}", {"prefix": "sys",
+                                     "input_ids": d["input_ids"][k:k + ns],
+                                     "max_new": d["max_new"]}))
+        # one compiled extend for every suffix length (per-length traces
+        # would recompile mid-serving)
+        eng.suffix_pad = Lp - k
+        eng.reset()
+        eng.register_prefix("sys", pre)
+        eng.run(preqs[: args.slots + 1])  # compile the extend-admit path
+        eng.reset()
+        t0 = time.perf_counter()
+        # prefix registration is part of the serving cost — re-register
+        eng.drop_prefix("sys")
+        eng.register_prefix("sys", pre)
+        result_p = eng.run(preqs)
+        wall_p = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "serving_prefix_cached", "prefix_len": k,
+            "requests": args.requests,
+            "wall_s": round(wall_p, 3),
+            "useful_tokens_per_s": round(useful_tokens / wall_p, 1),
+            "latency_p50_s": round(result_p["latency_p50"], 3)}),
+            flush=True)
 
     # -- static batches of S: every group decodes to its longest budget ----
     groups = [reqs[i:i + args.slots]

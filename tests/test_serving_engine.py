@@ -259,3 +259,54 @@ class TestMultiTurnSessions:
                 break
         assert eng._done[reqs[2][0]] == self._want(model, variables,
                                                    reqs[2][1])
+
+
+class TestPrefixCaching:
+    def test_prefix_fork_matches_full_prompt(self, pink_setup):
+        """register_prefix prefills a shared [image + system tokens] ONCE;
+        requests fork the stored row and append only their suffix — tokens
+        identical to a full re-prefill of prefix+suffix (the vLLM-class
+        prefix-caching feature; the reference re-encodes everything per
+        request)."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        rng = np.random.default_rng(7)
+        img = np.asarray(jax.random.normal(jax.random.PRNGKey(9),
+                                           (32, 32, 3)), np.float32)
+        pre = rng.integers(5, 40, size=(3,)).astype(np.int32)
+        eng.register_prefix("sys", {"input_ids": pre,
+                                    "input_mask": np.ones(3, np.int32),
+                                    "image_data": img})
+        suffixes = [rng.integers(5, 40, size=(k,)).astype(np.int32)
+                    for k in (2, 3, 2)]
+        for i, suf in enumerate(suffixes):
+            eng.submit(f"p{i}", {"prefix": "sys", "input_ids": suf})
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        for i, suf in enumerate(suffixes):
+            n = len(pre) + len(suf)
+            full = np.zeros((LP,), np.int32)
+            full[:n] = np.concatenate([pre, suf])
+            mask = (np.arange(LP) < n).astype(np.int32)
+            want = _reference_tokens(model, variables, {
+                "input_ids": full, "input_mask": mask, "image_data": img})
+            assert eng._done[f"p{i}"] == want, i
+        # the prefix row survives admissions (admit does not donate it):
+        # a later fork still works after the pool churned
+        eng.submit("late", {"prefix": "sys", "input_ids": suffixes[0]})
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        assert eng._done["late"] == eng._done["p0"]
+        # suffix_pad: one compiled extend serves every suffix length —
+        # padded suffixes produce the same tokens (stale pad writes sit
+        # beyond the attention validity horizon)
+        eng.suffix_pad = 3
+        for i, suf in enumerate(suffixes):
+            eng.submit(f"pad{i}", {"prefix": "sys", "input_ids": suf})
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        for i in range(len(suffixes)):
+            assert eng._done[f"pad{i}"] == eng._done[f"p{i}"], i
