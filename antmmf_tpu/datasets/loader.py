@@ -126,3 +126,53 @@ def prefetch_to_device(iterator, transfer, depth: int = 2):
             yield queue_.popleft()
     while queue_:
         yield queue_.popleft()
+
+
+def stack_windows(arrays_iter, window: int, budget=None):
+    """Group consecutive same-shape batches into ``[window, ...]`` stacks for
+    multi-step dispatch (``training_parameters.steps_per_dispatch``): the
+    trainer runs one ``lax.scan`` over the stack inside a single jit, so the
+    host syncs once per *window* instead of once per step — the training
+    analog of the serving engine's decode windows (the reference dispatches
+    every step from Python, ``antmmf/trainers/base_trainer.py:545-675``).
+
+    Yields ``(stacked_dict, count)``. Consecutive batches whose field
+    keys/shapes/dtypes differ (multi-dataset chains with different padding
+    maxima) flush the current group early, so a stack is always homogeneous;
+    ``budget`` bounds the total number of batches consumed (max_iterations).
+    """
+    import numpy as np
+
+    group: list = []
+    sig = None
+
+    def flush():
+        nonlocal group, sig
+        if not group:
+            return None
+        out = {f: np.stack([g[f] for g in group]) for f in group[0]}
+        n = len(group)
+        group, sig = [], None
+        return out, n
+
+    seen = 0
+    for arrays in arrays_iter:
+        if budget is not None and seen >= budget:
+            break
+        arrays = {f: np.asarray(v) for f, v in arrays.items()}
+        s = tuple(sorted(
+            (f, v.shape, str(v.dtype)) for f, v in arrays.items()))
+        if sig is not None and s != sig:
+            item = flush()
+            if item:
+                yield item
+        sig = s
+        group.append(arrays)
+        seen += 1
+        if len(group) == window:
+            item = flush()
+            if item:
+                yield item
+    item = flush()
+    if item:
+        yield item

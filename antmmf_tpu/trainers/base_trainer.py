@@ -91,6 +91,9 @@ class BaseTrainer:
         # modules with a sequence_parallel knob resolve the active mesh here
         registry.register("mesh", self.mesh)
         self.batch_sharding_ = jax.sharding.NamedSharding(self.mesh, batch_spec())
+        # stacked [K, batch, ...] windows: leading scan axis replicated
+        self.window_sharding_ = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, *batch_spec()))
 
     def load_task(self) -> None:
         self.task_loader = TaskLoader(self.config)
@@ -282,6 +285,22 @@ class BaseTrainer:
             train_step, donate_argnums=(0,) if donate else ())
         self._eval_step = jax.jit(eval_step)
 
+        # Multi-step dispatch windows: scan K stacked batches inside ONE jit
+        # so the host dispatches once per window (the training analog of the
+        # serving engine's decode windows — per-step Python dispatch is the
+        # reference's loop structure, base_trainer.py:545-675, and costs
+        # ~30% on a remote-attached chip: BASELINE.md round-2 "fully synced
+        # per step"). Numerics are exactly K sequential steps: per-step rngs
+        # fold state.step, and MoCo queues/batch stats thread functionally.
+        self.steps_per_dispatch = max(
+            1, int(self.tp.get("steps_per_dispatch", 1)))
+        if self.steps_per_dispatch > 1:
+            def train_window(state: TrainState, stacked):
+                return jax.lax.scan(train_step, state, stacked)
+
+            self._train_window = jax.jit(
+                train_window, donate_argnums=(0,) if donate else ())
+
     # ==================================================================== train
     def train(self) -> None:
         if "train" not in self.run_type:
@@ -312,6 +331,19 @@ class BaseTrainer:
 
                 batches = (b for b in itertools.chain(*train_loaders)
                            if b.get_batch_size() > 0)
+                if getattr(self, "steps_per_dispatch", 1) > 1:
+                    iteration, should_stop, exit_now = \
+                        self._train_epoch_windows(
+                            batches, iteration, val_batch, timer)
+                    if exit_now:
+                        return
+                    if should_stop:
+                        break
+                    epoch += 1
+                    if (self.max_epochs is not None
+                            and epoch >= int(self.max_epochs)):
+                        break
+                    continue
                 profile_at = int(self.tp.get("profile_at_iteration", 0) or 0)
                 for sharded in prefetch_to_device(batches, self._shard_batch):
                     iteration += 1
@@ -473,6 +505,66 @@ class BaseTrainer:
             return next(iter(loaders[0]))
         except StopIteration:
             return None
+
+    def _train_epoch_windows(self, batches, iteration, val_batch, timer):
+        """One epoch under ``steps_per_dispatch: K``: the host dispatches one
+        jitted ``lax.scan`` over K stacked batches and syncs once per window
+        instead of once per step. log/snapshot intervals fire at the first
+        window edge after a step crossed a boundary (cadence rounds up to K;
+        logged scalars are the window's last step). Remainder stacks (< K at
+        epoch end, budget exhaustion, or a mid-chain shape change) run
+        through the per-step jit. Returns (iteration, should_stop, exit_now).
+        """
+        from antmmf_tpu.datasets.loader import (
+            prefetch_to_device,
+            stack_windows,
+        )
+
+        budget = self.max_iterations - iteration
+        if budget <= 0:
+            return iteration, False, False
+        stacks = stack_windows((b.arrays() for b in batches),
+                               self.steps_per_dispatch, budget=budget)
+        should_stop = False
+        for stacked, k in prefetch_to_device(stacks, self._shard_window):
+            start = iteration
+            if k == self.steps_per_dispatch:
+                self.state, wscalars = self._train_window(self.state, stacked)
+                scalars = jax.tree_util.tree_map(lambda x: x[-1], wscalars)
+                iteration += k
+            else:
+                for i in range(k):
+                    one = jax.tree_util.tree_map(
+                        lambda x, i=i: x[i], stacked)
+                    self.state, scalars = self._train_step(self.state, one)
+                    iteration += 1
+            if self._preempted:
+                self.checkpoint.save(self.state, iteration)
+                self.checkpoint.finalize_writes()
+                self.writer.write(
+                    f"preemption checkpoint saved @ iter {iteration};"
+                    " exiting", "warning")
+                return iteration, True, True
+            crossed = range(start + 1, iteration + 1)
+            if any(j % self.log_interval == 0 for j in crossed):
+                self._logistics_log(iteration, scalars, val_batch, timer)
+            if any(j % self.snapshot_interval == 0 for j in crossed):
+                should_stop = self._try_full_validation(iteration)
+                if should_stop:
+                    break
+            if iteration >= self.max_iterations:
+                break
+        return iteration, should_stop, False
+
+    def _shard_window(self, item):
+        stacked, k = item
+        if jax.process_count() == 1:
+            return jax.device_put(stacked, self.window_sharding_), k
+        return {
+            f: jax.make_array_from_process_local_data(
+                self.window_sharding_, np.asarray(v))
+            for f, v in stacked.items()
+        }, k
 
     def _shard_batch(self, batch) -> Dict[str, jnp.ndarray]:
         arrays = batch.arrays()
