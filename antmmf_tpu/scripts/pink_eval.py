@@ -26,31 +26,133 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import string
+import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+# --- Official VQA-protocol text normalization -------------------------------
+# Exact behavior of the VQAv2 evaluation API the reference vendors at
+# prj/Pink/pink/eval/vqa_tools/vqa_eval.py:249-275 (processPunctuation +
+# processDigitArticle). The tables below are the standard public VQA-eval
+# data tables (Agrawal et al. COCO VQA API), required verbatim for
+# protocol-identical accuracy numbers.
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't",
+    "couldve": "could've", "couldnt": "couldn't",
+    "couldn'tve": "couldn't've", "couldnt've": "couldn't've",
+    "didnt": "didn't", "doesnt": "doesn't", "dont": "don't",
+    "hadnt": "hadn't", "hadnt've": "hadn't've", "hadn'tve": "hadn't've",
+    "hasnt": "hasn't", "havent": "haven't", "hed": "he'd",
+    "hed've": "he'd've", "he'dve": "he'd've", "hes": "he's",
+    "howd": "how'd", "howll": "how'll", "hows": "how's",
+    "Id've": "I'd've", "I'dve": "I'd've", "Im": "I'm", "Ive": "I've",
+    "isnt": "isn't", "itd": "it'd", "itd've": "it'd've",
+    "it'dve": "it'd've", "itll": "it'll", "let's": "let's",
+    "maam": "ma'am", "mightnt": "mightn't", "mightnt've": "mightn't've",
+    "mightn'tve": "mightn't've", "mightve": "might've",
+    "mustnt": "mustn't", "mustve": "must've", "neednt": "needn't",
+    "notve": "not've", "oclock": "o'clock", "oughtnt": "oughtn't",
+    "ow's'at": "'ow's'at", "'ows'at": "'ow's'at", "'ow'sat": "'ow's'at",
+    "shant": "shan't", "shed've": "she'd've", "she'dve": "she'd've",
+    "she's": "she's", "shouldve": "should've", "shouldnt": "shouldn't",
+    "shouldnt've": "shouldn't've", "shouldn'tve": "shouldn't've",
+    "somebody'd": "somebodyd", "somebodyd've": "somebody'd've",
+    "somebody'dve": "somebody'd've", "somebodyll": "somebody'll",
+    "somebodys": "somebody's", "someoned": "someone'd",
+    "someoned've": "someone'd've", "someone'dve": "someone'd've",
+    "someonell": "someone'll", "someones": "someone's",
+    "somethingd": "something'd", "somethingd've": "something'd've",
+    "something'dve": "something'd've", "somethingll": "something'll",
+    "thats": "that's", "thered": "there'd", "thered've": "there'd've",
+    "there'dve": "there'd've", "therere": "there're", "theres": "there's",
+    "theyd": "they'd", "theyd've": "they'd've", "they'dve": "they'd've",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed've": "we'd've",
+    "we'dve": "we'd've", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd",
+    "wheres": "where's", "whereve": "where've", "whod": "who'd",
+    "whod've": "who'd've", "who'dve": "who'd've", "wholl": "who'll",
+    "whos": "who's", "whove": "who've", "whyll": "why'll",
+    "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't",
+    "wouldnt've": "wouldn't've", "wouldn'tve": "wouldn't've",
+    "yall": "y'all", "yall'll": "y'all'll", "y'allll": "y'all'll",
+    "yall'd've": "y'all'd've", "y'alld've": "y'all'd've",
+    "y'all'dve": "y'all'd've", "youd": "you'd", "youd've": "you'd've",
+    "you'dve": "you'd've", "youll": "you'll", "youre": "you're",
+    "youve": "you've",
+}
+_MANUAL_MAP = {
+    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
+    "nine": "9", "ten": "10",
+}
 _ARTICLES = frozenset(("a", "an", "the"))
-_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+# note: the upstream periodStrip regex carries a typo'd lookbehind
+# ("(?!<=\d)" — a LOOKAHEAD for the literal "<=\d") so it strips every
+# period; reproduced as-is for protocol-identical output.
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
+_VQA_PUNCT = [";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
+              "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+
+
+def process_punctuation(text: str) -> str:
+    """vqa_eval.py:249-260 processPunctuation: a punct char glued to a word
+    (or any digit,digit comma in the string) is deleted; a free-standing one
+    becomes a space; then periods not followed by a digit are stripped."""
+    out = text
+    for p in _VQA_PUNCT:
+        if (p + " " in text or " " + p in text) or (
+                _COMMA_STRIP.search(text) is not None):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    return _PERIOD_STRIP.sub("", out)
+
+
+def process_digit_article(text: str) -> str:
+    """vqa_eval.py:261-275 processDigitArticle: lowercase, number words →
+    digits, drop articles, then expand known contractions."""
+    out = []
+    for word in text.lower().split():
+        word = _MANUAL_MAP.get(word, word)
+        if word not in _ARTICLES:
+            out.append(word)
+    for i, word in enumerate(out):
+        if word in _CONTRACTIONS:
+            out[i] = _CONTRACTIONS[word]
+    return " ".join(out)
 
 
 def normalize_answer(text: str) -> str:
-    """VQA-protocol normalization: lowercase, strip punctuation/articles,
-    collapse whitespace (the `vqa_tools` processPunctuation/processDigitArticle
-    convention used by every reference eval_* script)."""
-    words = text.lower().translate(_PUNCT_TABLE).split()
-    return " ".join(w for w in words if w not in _ARTICLES)
+    """Full VQA-protocol normalization of a generated answer
+    (vqa_eval.py:211-216: newline/tab → space, strip, processPunctuation,
+    processDigitArticle)."""
+    text = text.replace("\n", " ").replace("\t", " ").strip()
+    return process_digit_article(process_punctuation(text))
 
 
 def vqa_score(prediction: str, answers: Sequence[str]) -> float:
-    """min(#human answers matching / 3, 1) — the VQAv2 accuracy; with a single
-    gt answer this degrades to exact match."""
+    """Official VQAv2 per-question accuracy (vqa_eval.py:193-246): the
+    prediction is fully normalized; ground-truth answers get punctuation
+    normalization only (and only when annotators disagree); accuracy is the
+    leave-one-annotator-out average of min(1, #matching others / 3). With a
+    single gt answer this degrades to exact match."""
     pred = normalize_answer(prediction)
-    matches = sum(normalize_answer(a) == pred for a in answers)
-    if len(answers) == 1:
-        return float(matches > 0)
-    return min(matches / 3.0, 1.0)
+    gt = [str(a).replace("\n", " ").replace("\t", " ").strip()
+          for a in answers]
+    if len(set(gt)) > 1:
+        gt = [process_punctuation(a) for a in gt]
+    if len(gt) == 1:
+        return float(gt[0] == pred)
+    accs = []
+    for i in range(len(gt)):
+        others = gt[:i] + gt[i + 1:]
+        accs.append(min(1.0, sum(o == pred for o in others) / 3.0))
+    return float(sum(accs) / len(accs))
 
 
 def box_iou(a: Sequence[float], b: Sequence[float]) -> float:

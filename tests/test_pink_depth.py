@@ -212,7 +212,9 @@ def test_pink_eval_scorers():
     # VQAv2 agreement protocol
     ten = ["blue"] * 8 + ["red", "green"]
     assert vqa_score("Blue!", ten) == 1.0
-    assert abs(vqa_score("red", ten) - 1 / 3) < 1e-9
+    # official leave-one-annotator-out protocol (vqa_eval.py:219-227):
+    # 9 of 10 left-out sets still contain the single "red" → 9·(1/3)/10
+    assert abs(vqa_score("red", ten) - 0.3) < 1e-9
     assert vqa_score("the cat", ["cat"]) == 1.0  # article stripped
 
     # grounding: serialize a gt box, parse it back, perfect IoU
