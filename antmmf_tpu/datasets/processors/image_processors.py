@@ -80,7 +80,17 @@ def normalize(img: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> n
 
 @registry.register_processor("normalized_image")
 class NormalizedImageProcessor(BaseProcessor):
-    """shorter-side resize → center crop → normalize. Output: float32[H, W, 3]."""
+    """shorter-side resize → center crop → normalize. Output: float32[H, W, 3].
+
+    Optional ``train_augment`` block (the M2-Encoder training transform,
+    reference prj/M2_Encoder/vlmo/transforms/square_transform.py:17-41 —
+    datasets pass it through only on the train split)::
+
+        train_augment:
+          random_resized_crop: {scale: [0.8, 1.0]}   # replaces resize+crop
+          random_flip: {prob: 0.5}
+          rand_augment: {num_ops: 2, magnitude: 7}
+    """
 
     def __init__(self, config: Optional[Mapping[str, Any]] = None, *args: Any, **kw: Any):
         super().__init__(config)
@@ -95,11 +105,34 @@ class NormalizedImageProcessor(BaseProcessor):
         }[preset]
         self.mean = tuple(cfg.get("mean", default_mean))
         self.std = tuple(cfg.get("std", default_std))
+        aug = cfg.get("train_augment")
+        self._augment: Optional[ImageTransforms] = None
+        if aug:
+            steps = []
+            if "random_resized_crop" in aug:
+                p = dict(aug["random_resized_crop"] or {})
+                p.setdefault("size", self.size)
+                steps.append({"type": "random_resized_crop", "params": p})
+            if "random_flip" in aug:
+                steps.append({"type": "random_flip",
+                              "params": dict(aug["random_flip"] or {})})
+            if "rand_augment" in aug:
+                steps.append({"type": "rand_augment",
+                              "params": dict(aug["rand_augment"] or {})})
+            self._augment = ImageTransforms(
+                {"transforms": steps, "seed": cfg.get("seed", None)})
 
     def transform_array(self, img: np.ndarray) -> np.ndarray:
         img = _to_float_hwc(img)
         if img.shape[2] == 1:
             img = np.repeat(img, 3, axis=2)
+        if self._augment is not None:
+            for kind, p in self._augment.steps:
+                img = self._augment._apply(img, kind, p)
+            if img.shape[0] != self.size or img.shape[1] != self.size:
+                img = resize_shorter_side(img, self.resize_target)
+                img = center_crop(img, (self.size, self.size))
+            return normalize(img, self.mean, self.std)
         img = resize_shorter_side(img, self.resize_target)
         img = center_crop(img, (self.size, self.size))
         return normalize(img, self.mean, self.std)
@@ -150,8 +183,12 @@ class RandomHorizontalFlip(BaseProcessor):
 @registry.register_processor("torchvision_transforms")
 class ImageTransforms(BaseProcessor):
     """Composable pipeline: config.transforms = [{type, params}, ...] with types
-    resize / resize_shorter_side / center_crop / random_crop / random_flip /
-    normalize / to_float."""
+    resize / resize_shorter_side / center_crop / random_crop /
+    random_resized_crop / random_flip / rand_augment / normalize / to_float.
+
+    ``random_resized_crop`` + ``rand_augment`` compose the M2-Encoder training
+    transform (reference prj/M2_Encoder/vlmo/transforms/square_transform.py:
+    17-41: RandomResizedCrop(scale=(0.8, 1.0)) → flip → RandomAugment(2, 7))."""
 
     def __init__(self, config: Optional[Mapping[str, Any]] = None, *args: Any, **kw: Any):
         super().__init__(config)
@@ -184,6 +221,39 @@ class ImageTransforms(BaseProcessor):
             left = int(self.rng.integers(0, max(1, w - tw + 1)))
             out = img[top : top + th, left : left + tw]
             return center_crop(out, (th, tw))  # pad if undersized
+        if kind == "random_resized_crop":
+            # torchvision RandomResizedCrop: sample area scale + aspect
+            # ratio, crop, then resize to the target square
+            size = p.get("size", 224)
+            th, tw = (size, size) if isinstance(size, int) else tuple(size)
+            lo, hi = p.get("scale", (0.8, 1.0))
+            rlo, rhi = p.get("ratio", (3.0 / 4.0, 4.0 / 3.0))
+            h, w = img.shape[:2]
+            for _ in range(10):
+                area = h * w * self.rng.uniform(lo, hi)
+                ratio = np.exp(self.rng.uniform(np.log(rlo), np.log(rhi)))
+                ch = int(round(np.sqrt(area / ratio)))
+                cw = int(round(np.sqrt(area * ratio)))
+                if 0 < ch <= h and 0 < cw <= w:
+                    top = int(self.rng.integers(0, h - ch + 1))
+                    left = int(self.rng.integers(0, w - cw + 1))
+                    crop = img[top:top + ch, left:left + cw]
+                    return resize_image(crop, (th, tw))
+            return resize_image(center_crop(img, (min(h, w), min(h, w))),
+                                (th, tw))
+        if kind == "rand_augment":
+            from antmmf_tpu.datasets.processors.augment import (
+                M2_ENCODER_AUGS,
+                _to_uint8,
+                rand_augment,
+            )
+
+            u8, was_float = _to_uint8(img)
+            out = rand_augment(
+                u8, int(p.get("num_ops", 2)), float(p.get("magnitude", 7)),
+                self.rng, tuple(p.get("augs", M2_ENCODER_AUGS)),
+                float(p.get("prob", 0.5)))
+            return out.astype(np.float32) / 255.0 if was_float else out
         if kind == "random_flip":
             if self.rng.random() < float(p.get("prob", 0.5)):
                 return np.ascontiguousarray(np.flip(img, axis=-2))

@@ -65,7 +65,10 @@ class VideoTextDataset(BaseDataset):
 
         self.n_clips = int(cfg.get("n_clips", 1))
         self.frames_per_clip = int(cfg.get("frames_per_clip", cfg.get("num_frames", 4)))
-        self.image_processor = NormalizedImageProcessor(cfg.get("image", {"size": 224}))
+        img_cfg = dict(cfg.get("image", {"size": 224}))
+        if dataset_type != "train":  # augmentation is train-only
+            img_cfg.pop("train_augment", None)
+        self.image_processor = NormalizedImageProcessor(img_cfg)
 
         text_cfg = dict(cfg.get("text", {}))
         text_cfg.setdefault("vocab_file",
