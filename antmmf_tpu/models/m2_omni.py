@@ -110,6 +110,10 @@ class M2Omni(BaseModel):
     # LoRA on the Qwen2-ViT tower blocks (reference wrap_vit_lora,
     # modeling_m2omni.py:301-309: qkv/proj/fc1/fc2); 0 = off
     vit_lora_rank: int = 0
+    # rematerialize decoder layers in the training forward (see
+    # modules/llm.DecoderLM.remat) — the memory knob for 1B-class LoRA
+    # finetuning on a 16 GB chip; no effect on the cached decode paths
+    remat: bool = False
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -133,7 +137,7 @@ class M2Omni(BaseModel):
             num_kv_heads=p["num_kv_heads"], rope_3d=True,
             lora_rank=self.llm_lora_rank,
             lora_targets=("q", "k", "v", "o") if all_tgt else ("q", "v"),
-            lora_mlp=all_tgt, dtype=dtype)
+            lora_mlp=all_tgt, remat=self.remat, dtype=dtype)
         if self.visual_tower == "qwen2":
             from antmmf_tpu.modules.vision.qwen2_vit import build_qwen2_vit
 

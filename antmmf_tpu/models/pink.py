@@ -63,7 +63,11 @@ class PinkModel(BaseModel):
     # the "vit" tower; the EVA tower is already norm-free per the reference.
     clip_select_layer: int = -2
     dtype_str: str = "bfloat16"
-    # int8 KV cache for generate/serving: halves the per-step HBM cache read
+    # rematerialize decoder layers in the training forward (see
+    # modules/llm.DecoderLM.remat) — required to fit 1B-class instruction
+    # tuning on a 16 GB chip; no effect on the cached decode paths
+    remat: bool = False
+    # int8 KV cache for serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
     # the bf16 cache (quantization), gate per deployment
     kv_int8: bool = False
@@ -94,7 +98,8 @@ class PinkModel(BaseModel):
             lora_freeze_base=self.lora_freeze_base,
             adapter_dim=self.adapter_dim if pink_style else 0,
             adapter_mlp=self.adapter_mlp,
-            adapter_non_linear=self.adapter_non_linear, dtype=dtype)
+            adapter_non_linear=self.adapter_non_linear,
+            remat=self.remat, dtype=dtype)
         if self.visual_tower not in ("vit", "eva"):
             raise ValueError(
                 f"visual_tower must be 'vit' or 'eva', got "

@@ -480,6 +480,12 @@ class DecoderLM(nn.Module):
     adapter_dim: int = 0
     adapter_mlp: bool = False
     adapter_non_linear: bool = False
+    # rematerialize each decoder layer in the training (cache-free) forward:
+    # activations are recomputed in the backward pass instead of saved —
+    # O(1-layer) live activations instead of O(num_layers); the memory knob
+    # that lets 1B-class training fit a 16 GB chip (attention logits alone
+    # are [B, H, L, L] f32 per layer when L is below the flash crossover)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -509,8 +515,12 @@ class DecoderLM(nn.Module):
                 bias = bias + pad
         x = embeds
         new_cache = [] if cache is not None else None
+        # deterministic (index 4; 0 = the module) is the only non-array arg
+        # on the cache-free path
+        layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
+                     if self.remat and cache is None else DecoderLayer)
         for i in range(self.num_layers):
-            layer = DecoderLayer(
+            layer = layer_cls(
                 num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
                 mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
                 rope_3d=self.rope_3d, lora_rank=self.lora_rank,

@@ -139,15 +139,22 @@ def vqa_score(prediction: str, answers: Sequence[str]) -> float:
     """Official VQAv2 per-question accuracy (vqa_eval.py:193-246): the
     prediction is fully normalized; ground-truth answers get punctuation
     normalization only (and only when annotators disagree); accuracy is the
-    leave-one-annotator-out average of min(1, #matching others / 3). With a
-    single gt answer this degrades to exact match."""
+    leave-one-annotator-out average of min(1, #matching others / 3).
+
+    The multi-annotator path follows the official VQA API (vqa_tools/
+    vqa_eval.py) verbatim — deliberately chosen over the slightly divergent
+    per-benchmark driver copies. With a single gt answer it degrades to
+    exact match on FULLY-normalized strings on both sides, matching the
+    reference single-answer drivers (eval_gqa.py:96-105 lowercases and
+    normalizes the gt too — a raw gt would make e.g. vqa_score("two",
+    ["two"]) == 0.0 since only the pred is number-mapped to "2")."""
     pred = normalize_answer(prediction)
     gt = [str(a).replace("\n", " ").replace("\t", " ").strip()
           for a in answers]
+    if len(gt) == 1:
+        return float(normalize_answer(gt[0]) == pred)
     if len(set(gt)) > 1:
         gt = [process_punctuation(a) for a in gt]
-    if len(gt) == 1:
-        return float(gt[0] == pred)
     accs = []
     for i in range(len(gt)):
         others = gt[:i] + gt[i + 1:]
