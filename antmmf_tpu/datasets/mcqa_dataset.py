@@ -39,7 +39,9 @@ class MultiChoiceQADataset(BaseDataset):
         self.n_clips = int(cfg.get("n_clips", 1))
         self.frames_per_clip = int(cfg.get("frames_per_clip", 4))
         self.n_options = int(cfg.get("n_options", 5))
-        self.image_processor = NormalizedImageProcessor(cfg.get("image", {"size": 224}))
+        self.image_processor = NormalizedImageProcessor(
+            cfg.get("image", {"size": 224}),
+            is_train=dataset_type == "train")
         text_cfg = dict(cfg.get("text", {}))
         text_cfg.setdefault("vocab_file",
                             "tests/data/vocabs/bert-base-uncased_30522_vocab.txt")

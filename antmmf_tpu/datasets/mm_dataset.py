@@ -33,7 +33,9 @@ class MmfImageTextDataset(BaseDataset):
         ann = cfg.get("annotations", {}).get(dataset_type)
         self.annotations = AnnotatedDatabase(os.path.join(root, ann))
         self.images = ImageDatabase(os.path.join(root, cfg.get("image_root", "")))
-        self.image_processor = NormalizedImageProcessor(cfg.get("image", {"size": 224}))
+        self.image_processor = NormalizedImageProcessor(
+            cfg.get("image", {"size": 224}),
+            is_train=dataset_type == "train")
         text_cfg = dict(cfg.get("text", {}))
         text_cfg.setdefault(
             "vocab_file", "tests/data/vocabs/bert-base-uncased_30522_vocab.txt")

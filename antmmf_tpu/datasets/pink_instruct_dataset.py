@@ -230,7 +230,8 @@ class PinkInstructDataset(BaseDataset):
         )
 
         self.image_processor = NormalizedImageProcessor(
-            dict(cfg.get("image", {"size": 224})))
+            dict(cfg.get("image", {"size": 224})),
+            is_train=dataset_type == "train")
         self.image_size = int(self.image_processor.size)
         conv_cfg = dict(cfg.get("conversation", {}))
         # PinkModel uses a vision-PREFIX layout (models/pink.py _assemble:

@@ -98,7 +98,13 @@ def brightness(img: np.ndarray, factor: float) -> np.ndarray:
 
 def contrast(img: np.ndarray, factor: float) -> np.ndarray:
     """Blend against the mean luminance (PIL.ImageEnhance.Contrast; float
-    mean as in the ALBEF variant)."""
+    mean as in the ALBEF variant).
+
+    Intentional divergence: the reference randaugment applies its BGR-ordered
+    luminance weights to RGB inputs (randaugment.py contrast_func/color_func
+    swap the 0.299/0.114 channels); here the weights match the channel order
+    — correct PIL behavior rather than bug-for-bug parity. Not reachable with
+    the default M2_ENCODER_AUGS subset (Contrast/Color are opt-in)."""
     mean = float(img.astype(np.float32).mean(axis=(0, 1)) @ _GRAY)
     table = (np.arange(256, dtype=np.float32) - mean) * factor + mean
     return _lut(img, table)

@@ -92,7 +92,11 @@ class NormalizedImageProcessor(BaseProcessor):
           rand_augment: {num_ops: 2, magnitude: 7}
     """
 
-    def __init__(self, config: Optional[Mapping[str, Any]] = None, *args: Any, **kw: Any):
+    def __init__(self, config: Optional[Mapping[str, Any]] = None, *args: Any,
+                 is_train: bool = True, **kw: Any):
+        """``is_train=False`` drops any ``train_augment`` block — the gate
+        lives HERE so every dataset that forwards its image config gets
+        train-only augmentation without remembering to pop the key."""
         super().__init__(config)
         cfg = self.config
         self.size = int(cfg.get("size", 224))
@@ -105,7 +109,7 @@ class NormalizedImageProcessor(BaseProcessor):
         }[preset]
         self.mean = tuple(cfg.get("mean", default_mean))
         self.std = tuple(cfg.get("std", default_std))
-        aug = cfg.get("train_augment")
+        aug = cfg.get("train_augment") if is_train else None
         self._augment: Optional[ImageTransforms] = None
         if aug:
             steps = []

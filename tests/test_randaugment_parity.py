@@ -174,3 +174,14 @@ def test_normalized_image_train_augment(img):
             "rand_augment": {"num_ops": 2, "magnitude": 7},
         }})
     assert np.allclose(b, aug2.transform_array(img))
+    # the is_train gate lives in the processor itself: an eval-split build
+    # with the same config must be augmentation-free (== plain pipeline)
+    eval_proc = NormalizedImageProcessor({
+        "size": 32, "norm_preset": "clip", "seed": 5,
+        "train_augment": {
+            "random_resized_crop": {"scale": (0.8, 1.0)},
+            "random_flip": {"prob": 0.5},
+            "rand_augment": {"num_ops": 2, "magnitude": 7},
+        }}, is_train=False)
+    assert eval_proc._augment is None
+    assert np.allclose(a, eval_proc.transform_array(img))
