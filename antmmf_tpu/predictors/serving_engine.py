@@ -20,8 +20,13 @@ Design (XLA-friendly, zero dynamic shapes):
   retirement at window boundaries, per-request token collection.
 
 Works with any model exposing the ``prefill``/``decode_step`` contract
-(PinkModel, M2Omni) via the small adapters below. Greedy decoding —
-token-for-token identical to ``model.generate`` (regression-tested).
+(PinkModel, M2Omni) via the small adapters below. Greedy by default —
+token-for-token identical to ``model.generate`` (regression-tested) — with
+per-request nucleus sampling (do_sample/temperature/top_p/seed, the HF
+``generate`` surface the reference serves through,
+prj/Pink/pink/eval/model_vqav2.py:446-448), stop sequences, cancellation,
+and optional interleaved chunked prefill (``prefill_chunk``) so one long
+prompt admission never stalls the pool's active decode slots.
 """
 
 from __future__ import annotations
@@ -65,9 +70,13 @@ class PinkAdapter:
         # extra_slots: cache headroom for multi-turn sessions (each extra
         # turn appends its tokens + generations after the first exchange)
         self.T = self.Lv + max_prompt_len + max_new_tokens + extra_slots
+        self.max_prompt = max_prompt_len
         self.has_image = has_image
 
-        def _pf(variables, tokens, mask, image):
+        def _pf(variables, tokens, mask, image, reserve=0):
+            # reserve is unused: Pink's cache is always sized to the FULL
+            # budget self.T regardless of the prompt chunk length, so a
+            # chunk-0 prefill already leaves room for the remaining chunks
             from antmmf_tpu.models.pink import PinkModel
 
             live = make_live_vars(variables, self.dtype)
@@ -81,8 +90,9 @@ class PinkAdapter:
             start = self.Lv + lens
             return logits, cache, start, start
 
-        self._pf_img = jax.jit(_pf)
-        self._pf_txt = jax.jit(lambda v, t, m: _pf(v, t, m, None))
+        self._pf_img = jax.jit(_pf, static_argnums=(4,))
+        self._pf_txt = jax.jit(lambda v, t, m, reserve=0: _pf(v, t, m, None),
+                               static_argnums=(3,))
 
     def make_cache(self, batch: int):
         from antmmf_tpu.modules.llm import init_decoder_cache
@@ -92,11 +102,14 @@ class PinkAdapter:
                                   quantized=getattr(self.module, "kv_int8",
                                                     False))
 
-    def prefill1(self, tokens, mask, image):
-        """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1])."""
+    def prefill1(self, tokens, mask, image, reserve: int = 0):
+        """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1]).
+        ``reserve`` extra cache slots are requested beyond the prompt+decode
+        budget (chunked admission prefills chunk 0 here and appends the
+        remaining prompt chunks through ``extend``)."""
         if image is not None:
-            return self._pf_img(self.variables, tokens, mask, image)
-        return self._pf_txt(self.variables, tokens, mask)
+            return self._pf_img(self.variables, tokens, mask, image, reserve)
+        return self._pf_txt(self.variables, tokens, mask, reserve)
 
     def decode(self, variables, token, rope, slot, cache):
         """Called from inside the engine's jitted ``_step`` — ``variables``
@@ -132,11 +145,12 @@ class M2OmniAdapter:
         self.module = module
         self.variables = variables
         self.max_new = max_new_tokens
+        self.max_prompt = max_prompt_len
         self.has_image = has_image
         self.dtype = jnp.dtype(getattr(module, "dtype_str", "bfloat16"))
         self.T: Optional[int] = None  # discovered from the first prefill
 
-        def _pf(variables, tokens, mask, image):
+        def _pf(variables, tokens, mask, image, reserve=0):
             from antmmf_tpu.models.m2_omni import M2Omni
 
             live = make_live_vars(variables, self.dtype)
@@ -144,19 +158,24 @@ class M2OmniAdapter:
             if image is not None:
                 batch["image_data"] = image
             return self.module.apply(
-                live(), batch, self.max_new + extra_slots,
+                live(), batch, self.max_new + extra_slots + reserve,
                 method=M2Omni.prefill)
 
-        self._pf_img = jax.jit(_pf)
-        self._pf_txt = jax.jit(lambda v, t, m: _pf(v, t, m, None))
+        self._pf_img = jax.jit(_pf, static_argnums=(4,))
+        self._pf_txt = jax.jit(lambda v, t, m, reserve=0: _pf(v, t, m, None,
+                                                              reserve),
+                               static_argnums=(3,))
 
-    def prefill1(self, tokens, mask, image):
+    def prefill1(self, tokens, mask, image, reserve: int = 0):
+        """``reserve`` widens the discovered cache beyond prompt+decode —
+        chunked admission prefills chunk 0 and must leave room for the
+        remaining prompt chunks (M2Omni sizes T from the prompt it sees)."""
         if image is not None:
             logits, cache, lens_full, next_p = self._pf_img(
-                self.variables, tokens, mask, image)
+                self.variables, tokens, mask, image, reserve)
         else:
             logits, cache, lens_full, next_p = self._pf_txt(
-                self.variables, tokens, mask)
+                self.variables, tokens, mask, reserve)
         self.T = cache[0]["k"].shape[2]
         return logits, cache, lens_full, next_p
 
@@ -192,11 +211,27 @@ class ContinuousBatchingEngine:
 
     def __init__(self, adapter, slots: int = 8, max_new_tokens: int = 32,
                  eos_id: int = 102, step_tokens: int = 8,
-                 suffix_pad: Optional[int] = None):
+                 suffix_pad: Optional[int] = None,
+                 prefill_chunk: Optional[int] = None,
+                 chunks_per_step: int = 1):
         self.ad = adapter
         self.S = slots
         self.max_new = max_new_tokens
         self.eos_id = eos_id
+        # interleaved chunked prefill (vLLM-style): with ``prefill_chunk=W``
+        # a prompt is admitted as a W-token chunk-0 prefill and the rest of
+        # the prompt is appended W tokens at a time via the model's
+        # extend_cache, at most ``chunks_per_step`` chunks BETWEEN decode
+        # windows — one long prompt no longer stalls every active decode
+        # slot behind a full-length prefill, and one compiled
+        # (prefill@[1,W], extend@[W]) pair serves EVERY prompt length
+        # (full prefill compiles a new program per length). Tokens are
+        # identical to whole-prompt admission (the extend_cache ragged-row
+        # equivalence; regression-tested).
+        self.chunk = int(prefill_chunk) if prefill_chunk else None
+        self.chunks_per_step = max(1, int(chunks_per_step))
+        # per-slot pending prompt chunks awaiting extend (chunked admission)
+        self._slot_pending: List[Optional[Dict[str, Any]]] = [None] * slots
         # prefix-forked requests pad their suffix to this width so ONE
         # compiled extend serves every suffix length (a fresh trace per
         # length would recompile mid-serving); None = exact shapes. The
@@ -216,6 +251,12 @@ class ContinuousBatchingEngine:
         self._slot_req: List[Optional[Any]] = [None] * slots
         self._slot_toks: List[List[int]] = [[] for _ in range(slots)]
         self._slot_budget: List[int] = [max_new_tokens] * slots
+        # per-request decoding controls (host side; sampling params also
+        # mirror into device arrays at admission)
+        self._slot_stop: List[List[List[int]]] = [[] for _ in range(slots)]
+        self._slot_temp = np.zeros((slots,), np.float32)  # 0 = greedy
+        self._slot_topp = np.ones((slots,), np.float32)
+        self._cancelled: set = set()
         self._t_submit: Dict[Any, float] = {}
         self._t_first: Dict[Any, float] = {}
         self._done: Dict[Any, List[int]] = {}
@@ -301,6 +342,52 @@ class ContinuousBatchingEngine:
 
         self._step_jit = _step
 
+        NEG_INF = jnp.float32(-1e9)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def _step_sample(cache, last_logits, rope, spos, active, temps,
+                         top_ps, keys, variables):
+            """Decode window with per-slot nucleus sampling. Slots with
+            temperature 0 take the greedy argmax (bit-identical to _step),
+            so mixed greedy/sampling batches share one program. A token's
+            RNG key is fold_in(request seed key, rope position) — a pure
+            function of (seed, the request's own progress), so sampled
+            tokens never depend on which other requests happen to be
+            co-scheduled in the pool."""
+            T = cache[0]["k"].shape[2]
+
+            def body(i, carry):
+                toks, last_logits, cache, rope, spos = carry
+                greedy = jnp.argmax(last_logits, -1).astype(jnp.int32)
+                lg = last_logits.astype(jnp.float32) \
+                    / jnp.maximum(temps, 1e-6)[:, None]
+                srt = jnp.sort(lg, axis=-1)[:, ::-1]
+                probs = jax.nn.softmax(srt, -1)
+                cum = jnp.cumsum(probs, axis=-1)
+                cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1)
+                cutoff = jnp.take_along_axis(srt, cutoff_idx[:, None], -1)
+                filtered = jnp.where(lg < cutoff, NEG_INF, lg)
+                subs = jax.vmap(jax.random.fold_in)(keys, rope)
+                sampled = jax.vmap(
+                    lambda k, row: jax.random.categorical(k, row))(
+                        subs, filtered).astype(jnp.int32)
+                nxt = jnp.where(temps > 0, sampled, greedy)
+                nxt = jnp.where(active, nxt, 0)
+                toks = toks.at[:, i].set(nxt)
+                safe_slot = jnp.minimum(spos, T - 1)
+                logits, cache = self.ad.decode(variables, nxt, rope,
+                                               safe_slot, cache)
+                rope = jnp.where(active, rope + 1, rope)
+                spos = jnp.where(active, jnp.minimum(spos + 1, T - 1), spos)
+                return toks, logits, cache, rope, spos
+
+            toks0 = jnp.zeros((last_logits.shape[0], H), jnp.int32)
+            toks, last_logits, cache, rope, spos = jax.lax.fori_loop(
+                0, H, body, (toks0, last_logits, cache, rope, spos))
+            return toks, last_logits, cache, rope, spos
+
+        self._step_sample_jit = _step_sample
+
     # -- pool state --------------------------------------------------------
     def _ensure_state(self, cache1, logits0):
         if self._state is not None:
@@ -314,6 +401,9 @@ class ContinuousBatchingEngine:
             "last_logits": jnp.zeros((S, V), logits0.dtype),
             "rope": jnp.zeros((S,), jnp.int32),
             "spos": jnp.zeros((S,), jnp.int32),
+            # per-slot RNG seed keys for sampling (uint32[2] threefry keys;
+            # per-token subkeys are fold_in(key, rope) inside _step_sample)
+            "keys": jnp.zeros((S, 2), jnp.uint32),
         }
 
     # -- public API --------------------------------------------------------
@@ -323,6 +413,11 @@ class ContinuousBatchingEngine:
         self._queue.clear()
         self._slot_req = [None] * self.S
         self._slot_toks = [[] for _ in range(self.S)]
+        self._slot_stop = [[] for _ in range(self.S)]
+        self._slot_temp[:] = 0.0
+        self._slot_topp[:] = 1.0
+        self._slot_pending = [None] * self.S
+        self._cancelled = set()
         self._t_submit.clear()
         self._t_first.clear()
         self._done = {}
@@ -362,50 +457,204 @@ class ContinuousBatchingEngine:
 
     def submit(self, request_id, data: Mapping[str, Any]) -> None:
         """data: {"input_ids": [Lp], "input_mask": [Lp], "image_data"?,
-        "max_new"?: int, "session"?: bool} — per-request token budgets
-        retire each slot independently (the whole point of continuous
-        batching: no waiting for the longest request in a static batch).
-        ``session: True`` keeps the cache row after retirement so
-        ``continue_session`` can append the next conversation turn."""
+        "max_new"?: int, "session"?: bool,
+        "do_sample"?: bool, "temperature"?: float, "top_p"?: float,
+        "seed"?: int, "stop"?: [[token ids], ...]} — per-request token
+        budgets retire each slot independently (the whole point of
+        continuous batching: no waiting for the longest request in a static
+        batch). ``session: True`` keeps the cache row after retirement so
+        ``continue_session`` can append the next conversation turn.
+        ``do_sample`` turns on nucleus sampling for this request only
+        (temperature/top_p per request, reproducible under ``seed``,
+        independent of co-scheduled requests); ``stop`` sequences retire the
+        request when generated (matched tokens are excluded from the
+        output, the HF stop-string convention)."""
         if data.get("session"):
             self._session_req.add(request_id)
         self._t_submit[request_id] = time.perf_counter()
         self._queue.append((request_id, data))
 
+    def cancel(self, request_id) -> bool:
+        """Cancel a queued or running request. A queued request never runs;
+        a running one frees its slot at the next window boundary (its
+        partial tokens appear in the outputs, marked in ``cancelled``).
+        Returns False if the id is unknown or already finished."""
+        for i, (rid, _) in enumerate(self._queue):
+            if rid == request_id:
+                self._queue.pop(i)
+                self._cancelled.add(request_id)
+                self._done[request_id] = []
+                self._latency[request_id] = (
+                    time.perf_counter() - self._t_submit[request_id])
+                return True
+        if request_id in self._slot_req or any(
+                p is not None and p["rid"] == request_id
+                for p in self._slot_pending):
+            self._cancelled.add(request_id)  # retired in the next step()
+            return True
+        return False
+
+    def _set_controls(self, s: int, rid, data: Mapping[str, Any]) -> None:
+        """Per-request decode controls for the slot: budget, stop
+        sequences, sampling params (+ the slot's RNG seed key)."""
+        self._slot_req[s] = rid
+        self._slot_toks[s] = []
+        self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
+                                   self.max_new)
+        self._slot_stop[s] = [list(map(int, seq))
+                              for seq in data.get("stop", []) if len(seq)]
+        if data.get("do_sample"):
+            self._slot_temp[s] = max(float(data.get("temperature", 1.0)),
+                                     1e-6)
+            self._slot_topp[s] = float(data.get("top_p", 0.9))
+            key = jax.random.PRNGKey(int(data.get("seed", 0)))
+            st = self._state
+            st["keys"] = st["keys"].at[s].set(key.astype(jnp.uint32))
+        else:
+            self._slot_temp[s] = 0.0
+            self._slot_topp[s] = 1.0
+
     def _admit_waiting(self) -> None:
         for s in range(self.S):
             if self._slot_req[s] is not None or not self._queue \
-                    or self._slot_held[s] is not None:
+                    or self._slot_held[s] is not None \
+                    or self._slot_pending[s] is not None:
                 continue
             rid, data = self._queue.pop(0)
+            if rid in self._cancelled:
+                continue
             if data.get("prefix") is not None:
                 self._admit_with_prefix(s, rid, data)
+            elif self.chunk is not None:
+                self._admit_chunked(s, rid, data)
+            else:
+                self._admit_full(s, rid, data)
+
+    def _admit_full(self, s: int, rid, data: Mapping[str, Any]) -> None:
+        tokens = jnp.asarray(data["input_ids"], jnp.int32)[None]
+        mask = jnp.asarray(
+            data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
+            jnp.int32)[None]
+        img = data.get("image_data")
+        if img is not None:
+            img = jnp.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+        logits0, cache1, slot0, rope0 = self.ad.prefill1(
+            tokens, mask, img)
+        self._ensure_state(cache1, logits0)
+        st = self._state
+        st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+            self._admit_jit(st["cache"], st["last_logits"], st["rope"],
+                            st["spos"], cache1, logits0, rope0, slot0, s)
+        self._set_controls(s, rid, data)
+        # generation start (rope, slot) kept as [1] device arrays —
+        # host-read only at session retirement, so plain requests never
+        # pay an extra sync; continuation = start + len(kept tokens)
+        self._slot_start[s] = (rope0, slot0)
+
+    def _admit_chunked(self, s: int, rid, data: Mapping[str, Any]) -> None:
+        """Chunked admission: prefill chunk 0 (vision tower + the first
+        ``self.chunk`` prompt tokens, padded to that width so ONE compiled
+        prefill serves every prompt length) into slot ``s``; the remaining
+        prompt is queued host-side as W-token chunks appended via
+        ``_extend_jit`` between decode windows (``_advance_pending``). The
+        slot joins decoding only once its whole prompt is in — other slots
+        keep decoding meanwhile instead of stalling behind one long
+        prefill."""
+        W = self.chunk
+        ids = np.asarray(data["input_ids"], np.int32)
+        msk = np.asarray(
+            data.get("input_mask", np.ones(ids.shape[0], np.int32)),
+            np.int32)
+        # drop right padding; chunking re-pads per chunk
+        n_valid = int(msk.sum())
+        ids, msk = ids[:n_valid], msk[:n_valid]
+        # splice-layout models (M2Omni image/audio_token_id) replace
+        # placeholder ids with modality embeddings DURING prefill; the
+        # text-only extend path can't do that, so placeholders must all sit
+        # inside chunk 0 — otherwise admit the whole prompt at once
+        splice_ids = [t for t in (
+            getattr(self.ad.module, "image_token_id", None),
+            getattr(self.ad.module, "audio_token_id", None)) if t is not None]
+        if splice_ids and np.isin(ids[W:], splice_ids).any():
+            self._admit_full(s, rid, data)
+            return
+        c0, c0m = ids[:W], msk[:W]
+        if c0.shape[0] < W:
+            pad = W - c0.shape[0]
+            c0 = np.concatenate([c0, np.zeros(pad, np.int32)])
+            c0m = np.concatenate([c0m, np.zeros(pad, np.int32)])
+        img = data.get("image_data")
+        if img is not None:
+            img = jnp.asarray(img)
+            if img.ndim == 3:
+                img = img[None]
+        reserve = max(0, getattr(self.ad, "max_prompt", W) - W)
+        logits0, cache1, slot0, rope0 = self.ad.prefill1(
+            jnp.asarray(c0)[None], jnp.asarray(c0m)[None], img, reserve)
+        self._ensure_state(cache1, logits0)
+        st = self._state
+        st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+            self._admit_jit(st["cache"], st["last_logits"], st["rope"],
+                            st["spos"], cache1, logits0, rope0, slot0, s)
+        self._set_controls(s, rid, data)
+        self._slot_start[s] = (rope0, slot0)
+        rest = ids[W:]
+        if rest.shape[0]:
+            chunks = [rest[i:i + W] for i in range(0, rest.shape[0], W)]
+            self._slot_pending[s] = {
+                "rid": rid, "chunks": chunks,
+                # continuation point after chunk 0's valid tokens
+                "rope": int(np.asarray(rope0).reshape(-1)[0]),
+                "slot": int(np.asarray(slot0).reshape(-1)[0]),
+            }
+            self._slot_req[s] = None  # not decodable until the prompt is in
+
+    def _advance_pending(self) -> None:
+        """Append up to ``chunks_per_step`` pending prompt chunks (across
+        all prefilling slots, round-robin by slot index) via the compiled
+        W-wide extend. A slot whose last chunk lands becomes decodable with
+        the extend's last-valid logits as its first-token logits."""
+        quota = self.chunks_per_step
+        for s in range(self.S):
+            if quota <= 0:
+                break
+            pend = self._slot_pending[s]
+            if pend is None:
                 continue
-            tokens = jnp.asarray(data["input_ids"], jnp.int32)[None]
-            mask = jnp.asarray(
-                data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
-                jnp.int32)[None]
-            img = data.get("image_data")
-            if img is not None:
-                img = jnp.asarray(img)
-                if img.ndim == 3:
-                    img = img[None]
-            logits0, cache1, slot0, rope0 = self.ad.prefill1(
-                tokens, mask, img)
-            self._ensure_state(cache1, logits0)
+            if pend["rid"] in self._cancelled:  # cancelled mid-prefill
+                self._finish_cancelled(s, pend["rid"])
+                self._slot_pending[s] = None
+                continue
+            W = self.chunk
             st = self._state
-            st["cache"], st["last_logits"], st["rope"], st["spos"] = \
-                self._admit_jit(st["cache"], st["last_logits"], st["rope"],
-                                st["spos"], cache1, logits0, rope0, slot0, s)
-            self._slot_req[s] = rid
-            self._slot_toks[s] = []
-            self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
-                                       self.max_new)
-            # generation start (rope, slot) kept as [1] device arrays —
-            # host-read only at session retirement, so plain requests never
-            # pay an extra sync; continuation = start + len(kept tokens)
-            self._slot_start[s] = (rope0, slot0)
-            self._t_first[rid] = time.perf_counter()
+            while pend["chunks"] and quota > 0:
+                chunk = pend["chunks"].pop(0)
+                n = chunk.shape[0]
+                tokens = np.zeros(W, np.int32)
+                tokens[:n] = chunk
+                mask = np.zeros(W, np.int32)
+                mask[:n] = 1
+                st["cache"], st["last_logits"], st["rope"], st["spos"] = \
+                    self._extend_jit(
+                        st["cache"], st["last_logits"], st["rope"],
+                        st["spos"], jnp.asarray(tokens), jnp.asarray(mask),
+                        jnp.int32(pend["rope"]), jnp.int32(pend["slot"]),
+                        jnp.int32(s), self.ad.variables)
+                pend["rope"] += n
+                pend["slot"] += n
+                quota -= 1
+            if not pend["chunks"]:
+                self._slot_req[s] = pend["rid"]
+                self._slot_start[s] = (pend["rope"], pend["slot"])
+                self._slot_pending[s] = None
+
+    def _finish_cancelled(self, s: int, rid) -> None:
+        self._done[rid] = list(self._slot_toks[s])
+        self._latency[rid] = time.perf_counter() - self._t_submit[rid]
+        self._slot_req[s] = None
+        self._slot_toks[s] = []
 
     def _admit_with_prefix(self, s: int, rid, data: Mapping[str, Any]
                            ) -> None:
@@ -437,17 +686,30 @@ class ContinuousBatchingEngine:
                                  jnp.int32(r0), jnp.int32(s0),
                                  jnp.int32(s), self.ad.variables)
             tlen = int(np.asarray(mask).sum())
-        self._slot_req[s] = rid
-        self._slot_toks[s] = []
-        self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
-                                   self.max_new)
+        self._set_controls(s, rid, data)
         self._slot_start[s] = (r0 + tlen, s0 + tlen)
-        self._t_first[rid] = time.perf_counter()
+
+    @staticmethod
+    def _stop_hit(toks: List[int], stops: List[List[int]]) -> int:
+        """If ``toks`` ends with any stop sequence, return its length
+        (so the caller can exclude it from the output); else 0."""
+        for seq in stops:
+            n = len(seq)
+            if n and len(toks) >= n and toks[-n:] == seq:
+                return n
+        return 0
 
     def step(self) -> List[Any]:
-        """Admit from the queue, advance every active slot one decode
-        window (``step_tokens`` tokens under one jitted program), retire
-        finished requests. Returns the ids retired this step."""
+        """Retire cancelled slots, advance pending prompt chunks (chunked
+        admission), admit from the queue, advance every decodable slot one
+        decode window (``step_tokens`` tokens under one jitted program),
+        retire finished requests. Returns the ids retired this step."""
+        # cancelled-on-slot requests retire before spending another window
+        for s in range(self.S):
+            rid = self._slot_req[s]
+            if rid is not None and rid in self._cancelled:
+                self._finish_cancelled(s, rid)
+        self._advance_pending()
         self._admit_waiting()
         if self._state is None:
             return []
@@ -456,9 +718,19 @@ class ContinuousBatchingEngine:
             return []
         st = self._state
         active = jnp.asarray(active_py)
-        toks, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
-            self._step_jit(st["cache"], st["last_logits"], st["rope"],
-                           st["spos"], active, self.ad.variables)
+        sampling = bool((self._slot_temp[active_py] > 0).any()) \
+            if any(active_py) else False
+        if sampling:
+            toks, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
+                self._step_sample_jit(
+                    st["cache"], st["last_logits"], st["rope"], st["spos"],
+                    active, jnp.asarray(self._slot_temp),
+                    jnp.asarray(self._slot_topp), st["keys"],
+                    self.ad.variables)
+        else:
+            toks, st["last_logits"], st["cache"], st["rope"], st["spos"] = \
+                self._step_jit(st["cache"], st["last_logits"], st["rope"],
+                               st["spos"], active, self.ad.variables)
         toks_host = np.asarray(toks)  # [S, H]
         retired = []
         now = time.perf_counter()
@@ -466,10 +738,15 @@ class ContinuousBatchingEngine:
             rid = self._slot_req[s]
             if rid is None:
                 continue
+            if not self._slot_toks[s]:
+                self._t_first[rid] = now  # first token landed this window
             for h in range(self.H):
                 tok = int(toks_host[s, h])
                 self._slot_toks[s].append(tok)
-                if tok == self.eos_id \
+                cut = self._stop_hit(self._slot_toks[s], self._slot_stop[s])
+                if cut:
+                    del self._slot_toks[s][-cut:]
+                if tok == self.eos_id or cut \
                         or len(self._slot_toks[s]) >= self._slot_budget[s]:
                     self._done[rid] = list(self._slot_toks[s])
                     self._latency[rid] = now - self._t_submit[rid]
@@ -477,7 +754,7 @@ class ContinuousBatchingEngine:
                     if rid in self._session_req:
                         # hold the cache row; the EOS token itself stays in
                         # the conversation (it was written at its slot)
-                        kept = len(self._done[rid])
+                        kept = len(self._done[rid]) + cut
                         r0, s0 = self._slot_start[s]
                         r0 = int(np.asarray(r0).reshape(-1)[0])
                         s0 = int(np.asarray(s0).reshape(-1)[0])
@@ -511,15 +788,11 @@ class ContinuousBatchingEngine:
                              jnp.int32(s), self.ad.variables)
         tlen = int(np.asarray(mask).sum())
         self._slot_held[s] = None
-        self._slot_req[s] = new_request_id
-        self._slot_toks[s] = []
-        self._slot_budget[s] = min(int(data.get("max_new", self.max_new)),
-                                   self.max_new)
+        self._set_controls(s, new_request_id, data)
         self._slot_start[s] = (rope_c + tlen, slot_c + tlen)
         if data.get("session") or new_request_id in self._session_req:
             self._session_req.add(new_request_id)
         self._t_submit.setdefault(new_request_id, time.perf_counter())
-        self._t_first[new_request_id] = time.perf_counter()
 
     def close_session(self, session_id) -> None:
         """Free a held session's slot back to the pool."""
@@ -530,20 +803,42 @@ class ContinuousBatchingEngine:
 
     def run(self, requests: List[Tuple[Any, Mapping[str, Any]]]
             ) -> Dict[str, Any]:
-        """Drive a full workload; returns outputs + timing summary."""
+        """Drive a full workload; returns outputs + timing summary
+        (latency, TTFT = submit→first token, TPOT = mean inter-token time
+        after the first — the serving-quality pair chunked admission
+        trades against raw throughput)."""
         for rid, data in requests:
             self.submit(rid, data)
         t0 = time.perf_counter()
-        while self._queue or any(r is not None for r in self._slot_req):
+        while self._queue or any(r is not None for r in self._slot_req) \
+                or any(p is not None for p in self._slot_pending):
             self.step()
-        wall = time.perf_counter() - t0
+        return self.stats(time.perf_counter() - t0)
+
+    def stats(self, wall: float) -> Dict[str, Any]:
+        """Summary over everything retired since the last reset — shared by
+        ``run`` and online drivers (Poisson-arrival benches) that own their
+        submit/step loop."""
         total_tokens = sum(len(v) for v in self._done.values())
         lat = sorted(self._latency.values())
+        ttft = sorted(self._t_first[r] - self._t_submit[r]
+                      for r in self._done if r in self._t_first)
+        tpot = sorted(
+            (self._latency[r] - (self._t_first[r] - self._t_submit[r]))
+            / max(len(self._done[r]) - 1, 1)
+            for r in self._done if r in self._t_first)
+
+        def pct(xs, q):
+            return xs[min(int(q * len(xs)), len(xs) - 1)] if xs else 0.0
+
         return {
             "outputs": dict(self._done),
+            "cancelled": set(self._cancelled),
             "wall_s": wall,
             "total_tokens": total_tokens,
             "tokens_per_s": total_tokens / max(wall, 1e-9),
-            "latency_p50": lat[len(lat) // 2] if lat else 0.0,
+            "latency_p50": pct(lat, 0.5),
             "latency_max": lat[-1] if lat else 0.0,
+            "ttft_p50": pct(ttft, 0.5), "ttft_p99": pct(ttft, 0.99),
+            "tpot_p50": pct(tpot, 0.5), "tpot_p99": pct(tpot, 0.99),
         }

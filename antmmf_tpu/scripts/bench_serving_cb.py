@@ -54,7 +54,20 @@ def main() -> None:
                    help="also measure prefix caching: all requests share "
                         "[image + first K prompt tokens], registered once "
                         "and forked per request (engine.register_prefix)")
+    p.add_argument("--poisson", type=float, default=0.0, metavar="RATE",
+                   help="also run a Poisson-arrival mixed-prompt-length "
+                        "load test (RATE req/s) reporting TTFT/TPOT "
+                        "p50/p99 with whole-prompt vs chunked admission "
+                        "(tokens pinned equal)")
+    p.add_argument("--prefill_chunk", type=int, default=64,
+                   help="chunk width for the chunked-admission leg of the "
+                        "Poisson test")
+    p.add_argument("--cpu", action="store_true",
+                   help="smoke run on host CPU (tiny preset recommended)")
     args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from antmmf_tpu.models.pink import PinkModel
     from antmmf_tpu.predictors.serving_engine import (
@@ -167,6 +180,78 @@ def main() -> None:
             "useful_tokens_per_s": round(useful_tokens / wall_p, 1),
             "latency_p50_s": round(result_p["latency_p50"], 3)}),
             flush=True)
+
+    # -- Poisson arrivals: mixed prompt lengths, whole vs chunked admission
+    # The serving-quality question VERDICT r3 asked: does one long prefill
+    # stall active decode slots (head-of-line blocking)? Chunked admission
+    # streams the prompt in prefill_chunk-token extends between decode
+    # windows; tokens are pinned equal to whole-prompt admission.
+    if args.poisson > 0:
+        host = np.random.default_rng(7)
+        # mixed lengths: 1/3 long (full Lp), 2/3 short (Lp/4)
+        preqs = []
+        for i in range(args.requests):
+            r = jax.random.PRNGKey(3000 + i)
+            n = Lp if i % 3 == 0 else max(4, Lp // 4)
+            ids = np.zeros((Lp,), np.int32)
+            ids[:n] = np.asarray(jax.random.randint(r, (n,), 5, 1000),
+                                 np.int32)
+            d = {"input_ids": ids[:n],
+                 "input_mask": np.ones(n, np.int32),
+                 "max_new": budgets[i % len(budgets)]}
+            if not args.no_image:
+                d["image_data"] = np.asarray(jax.random.normal(
+                    r, (args.image_size, args.image_size, 3)), np.float32)
+            preqs.append((f"p{i}", d))
+        arrivals = np.cumsum(host.exponential(1.0 / args.poisson,
+                                              size=len(preqs)))
+
+        def poisson_run(engine):
+            engine.reset()
+            t0 = time.perf_counter()
+            nxt = 0
+            while nxt < len(preqs) or engine._queue \
+                    or any(r is not None for r in engine._slot_req) \
+                    or any(p_ is not None
+                           for p_ in engine._slot_pending):
+                now = time.perf_counter() - t0
+                while nxt < len(preqs) and arrivals[nxt] <= now:
+                    engine.submit(*preqs[nxt])
+                    nxt += 1
+                if nxt < len(preqs) and not engine._queue and not any(
+                        r is not None for r in engine._slot_req) and not any(
+                        p_ is not None for p_ in engine._slot_pending):
+                    time.sleep(max(0.0, arrivals[nxt] - now))
+                    continue
+                engine.step()
+            return engine.stats(time.perf_counter() - t0)
+
+        legs = [("whole", ContinuousBatchingEngine(
+            ad, slots=args.slots, max_new_tokens=args.max_new, eos_id=EOS,
+            step_tokens=args.step_tokens))]
+        legs.append(("chunked", ContinuousBatchingEngine(
+            ad, slots=args.slots, max_new_tokens=args.max_new, eos_id=EOS,
+            step_tokens=args.step_tokens,
+            prefill_chunk=args.prefill_chunk)))
+        outs = {}
+        for name, engine in legs:
+            engine.run(preqs[: args.slots + 1])  # pay the compiles
+            res = poisson_run(engine)
+            outs[name] = res["outputs"]
+            print(json.dumps({
+                "metric": f"serving_poisson_{name}",
+                "rate_rps": args.poisson, "requests": args.requests,
+                "prefill_chunk": (args.prefill_chunk if name == "chunked"
+                                  else None),
+                "wall_s": round(res["wall_s"], 3),
+                "tokens_per_s": round(res["tokens_per_s"], 1),
+                "ttft_p50_s": round(res["ttft_p50"], 3),
+                "ttft_p99_s": round(res["ttft_p99"], 3),
+                "tpot_p50_s": round(res["tpot_p50"], 4),
+                "tpot_p99_s": round(res["tpot_p99"], 4)}), flush=True)
+        same = outs["whole"] == outs["chunked"]
+        print(json.dumps({"metric": "serving_poisson_tokens_equal",
+                          "equal": bool(same)}), flush=True)
 
     # -- static batches of S: every group decodes to its longest budget ----
     groups = [reqs[i:i + args.slots]

@@ -310,3 +310,174 @@ class TestPrefixCaching:
             eng.step()
         for i in range(len(suffixes)):
             assert eng._done[f"pad{i}"] == eng._done[f"p{i}"], i
+
+
+class TestChunkedPrefill:
+    """Interleaved chunked admission (prefill_chunk=W): one compiled
+    (prefill@[1,W], extend@[W]) pair serves every prompt length, long
+    prompts stream in between decode windows — tokens must be identical to
+    whole-prompt admission."""
+
+    @pytest.mark.parametrize("chunk", [2, 3])
+    def test_tokens_match_unchunked(self, pink_setup, chunk):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, prefill_chunk=chunk)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, (chunk, rid)
+        assert result["ttft_p50"] > 0 and result["tpot_p50"] >= 0
+
+    def test_decode_proceeds_while_prefilling(self, pink_setup):
+        """A decoding slot advances during another request's chunked
+        prefill: after one step() with a long prompt still pending, the
+        first slot has tokens while the pending one has none."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, prefill_chunk=2,
+                                       chunks_per_step=1, step_tokens=1)
+        eng.submit("short", reqs[0][1])
+        eng.step()  # admits short (1 pending chunk), decodes 1 token
+        eng.submit("long", reqs[1][1])
+        eng.step()
+        # long's 6-token prompt = chunk0 + 2 pending chunks; with
+        # chunks_per_step=1 it is still prefilling while short decodes
+        assert any(p is not None for p in eng._slot_pending)
+        n_short = len(eng._slot_toks[[r for r in eng._slot_req].index(
+            "short")]) if "short" in eng._slot_req else len(
+            eng._done.get("short", []))
+        assert n_short >= 1
+        # drain; tokens still exact
+        while eng._queue or any(r is not None for r in eng._slot_req) \
+                or any(p is not None for p in eng._slot_pending):
+            eng.step()
+        for rid, data in [("short", reqs[0][1]), ("long", reqs[1][1])]:
+            want = _reference_tokens(model, variables, data)
+            assert eng._done[rid] == want, rid
+
+    def test_m2omni_spliced_falls_back_when_placeholders_span_chunks(self):
+        """Spliced-layout prompts whose placeholders cross the chunk
+        boundary must admit whole-prompt (extend can't splice vision)."""
+        model = M2Omni(lm_preset="omni_tiny_test",
+                       vit_preset="vit_tiny_test", image_size=32,
+                       image_token_id=3, audio_token_id=None,
+                       dtype_str="float32")
+        rng = jax.random.PRNGKey(0)
+        N = (32 // 16) ** 2
+
+        def mk(seed, n_text):
+            r = jax.random.PRNGKey(seed)
+            row = [5] + [3] * N + list(
+                np.asarray(jax.random.randint(r, (n_text,), 5, 40)))
+            ids = np.zeros((LP + N,), np.int32)
+            ids[:len(row)] = row
+            mask = (ids != 0).astype(np.int32)
+            img = np.asarray(jax.random.normal(r, (1, 32, 32, 3)),
+                             np.float32)
+            return {"input_ids": ids, "input_mask": mask, "image_data": img}
+
+        init = mk(0, 3)
+        variables = model.init(rng, {
+            "input_ids": jnp.asarray(init["input_ids"])[None],
+            "input_mask": jnp.asarray(init["input_mask"])[None],
+            "image_data": jnp.asarray(init["image_data"])[None]})
+        reqs = [(f"r{i}", mk(200 + i, 2 + i % 3)) for i in range(2)]
+        ad = M2OmniAdapter(model, variables, max_prompt_len=LP + N,
+                           max_new_tokens=MAX_NEW, has_image=True)
+        # chunk=2 < 1 + N placeholders -> every request falls back
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, prefill_chunk=2)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
+
+
+class TestSamplingControls:
+    def test_top_p_zero_equals_greedy_and_mixed_pool_isolated(
+            self, pink_setup):
+        """top_p→0 nucleus sampling == greedy, and a sampling request in
+        the pool must not perturb greedy requests' tokens (they run inside
+        the same _step_sample program)."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=3, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        mixed = [
+            (reqs[0][0], {**reqs[0][1], "do_sample": True, "top_p": 1e-9,
+                          "temperature": 0.7, "seed": 11}),
+            (reqs[1][0], dict(reqs[1][1])),  # greedy
+            (reqs[2][0], {**reqs[2][1], "do_sample": True, "top_p": 0.9,
+                          "temperature": 1.3, "seed": 7}),
+        ]
+        result = eng.run(mixed)
+        # top_p -> 0 keeps only the argmax token: greedy tokens exactly
+        for rid, data in reqs[:2]:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
+        assert len(result["outputs"][reqs[2][0]]) >= 1
+
+    def test_seeded_sampling_reproducible_and_schedule_independent(
+            self, pink_setup):
+        """Same request + seed gives the same tokens regardless of what
+        else is co-scheduled (per-token keys are fold_in(seed, rope))."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        sample_req = {**reqs[0][1], "do_sample": True, "top_p": 0.95,
+                      "temperature": 1.0, "seed": 42}
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        alone = eng.run([("a", sample_req)])["outputs"]["a"]
+        eng.reset()
+        crowded = eng.run([("a", sample_req)] + reqs[1:4])["outputs"]["a"]
+        assert alone == crowded
+
+
+class TestStopAndCancel:
+    def test_stop_sequence_truncates_and_retires(self, pink_setup):
+        model, variables, reqs = pink_setup
+        rid, data = reqs[0]
+        want = _reference_tokens(model, variables, data)
+        # stop on the first token that DIFFERS from the opener (the greedy
+        # fixture repeats tokens, so stopping on want[1] could fire at
+        # position 0)
+        idx = next((i for i, t in enumerate(want) if t != want[0]), None)
+        if idx is None:
+            pytest.skip("fixture generated a constant sequence")
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run([(rid, {**data, "stop": [[want[idx]]]})])
+        # stop tokens are excluded from the output (HF convention)
+        assert result["outputs"][rid] == want[:idx]
+        # multi-token stop sequence: the pair (want[idx-1], want[idx])
+        eng.reset()
+        result = eng.run(
+            [(rid, {**data, "stop": [[want[idx - 1], want[idx]]]})])
+        assert result["outputs"][rid] == want[:idx - 1]
+
+    def test_cancel_queued_and_running(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=1, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, step_tokens=1)
+        eng.submit("run", reqs[0][1])
+        eng.submit("queued", reqs[1][1])
+        eng.step()  # "run" admitted + 1 token; "queued" still waiting
+        assert eng.cancel("queued") is True
+        assert eng.cancel("run") is True
+        assert eng.cancel("nonexistent") is False
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        assert eng._done["queued"] == []
+        assert len(eng._done["run"]) <= 2  # partial, freed at the boundary
+        assert eng._cancelled == {"queued", "run"}
