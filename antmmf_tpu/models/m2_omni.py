@@ -94,13 +94,26 @@ class M2Omni(BaseModel):
     mlp_depths: int = 1
     audio_hidden: int = 256
     max_vision_tokens: int = 256
-    # in-text placeholder splicing (reference prompt_wrap_image/audio,
-    # modeling_m2omni.py:695-771): when set, <image>/<audio> placeholder
-    # ids inside input_ids are REPLACED by the modality embeddings (the
-    # processor must expand each tag to exactly the modality token count);
-    # when None, modality segments are prepended (legacy layout).
+    # in-text placeholder splicing (reference prompt_wrap_image/video/audio,
+    # modeling_m2omni.py:695-771): when set, <image>/<video>/<audio>
+    # placeholder ids inside input_ids are REPLACED by the modality
+    # embeddings (the processor must expand each tag to exactly the
+    # modality token count); when None, modality segments are prepended
+    # (legacy layout). video_token_id mirrors the reference's
+    # frame_patch_token: a video is a separate pixel stream
+    # (batch["video_data"]) spliced at its own placeholder id with its own
+    # (t, h, w) grid positions.
     image_token_id: Optional[int] = None
     audio_token_id: Optional[int] = None
+    video_token_id: Optional[int] = None
+    # Reference quirk (get_rope_index, modeling_m2omni.py:398-404):
+    # image_nums is only counted when video_grid_thw is None, so in a row
+    # that mixes images WITH a video the image runs silently degrade to
+    # sequential 1-D text positions (only video runs get 3D grids).
+    # False (default) reproduces that behavior for checkpoint parity;
+    # True gives image runs their 3D grids in mixed rows (the documented
+    # intent).
+    mixed_vision_grid_positions: bool = False
     # LoRA on the decoder projections (reference wrap_llm_lora,
     # modeling_m2omni.py:311-326); 0 = off. llm_lora_targets "qv" is the
     # lightweight default; "all" matches the reference recipe exactly
@@ -247,6 +260,31 @@ class M2Omni(BaseModel):
         pos = jnp.stack([t_pos, h_pos, w_pos], axis=-1)  # [F*N, 3]
         return tokens, jnp.broadcast_to(pos[None], (B, F * N, 3))
 
+    def _encode_visual_streams(self, data, deterministic: bool):
+        """One or several visual streams → concatenated (tokens, positions).
+
+        ``data`` is a single array [B, F, H, W, 3] (or [B, H, W, 3]) or a
+        tuple/list of them — one entry per image/video in the row, encoded
+        separately and concatenated in order, exactly how the reference
+        concatenates per-image patch streams into one flat ``pixel_values``
+        consumed by masked_scatter in placeholder reading order
+        (prompt_wrap_image, modeling_m2omni.py:695-715). Each stream's grid
+        positions start at (0, 0, 0); ``_modal_rel_positions`` re-bases per
+        placeholder RUN, so streams and runs must align 1:1 (the processor
+        separates runs with image_start/end tokens, as the reference
+        format does)."""
+        streams = data if isinstance(data, (tuple, list)) else (data,)
+        toks, poss = [], []
+        for img in streams:
+            if img.ndim == 4:
+                img = img[:, None]
+            t, p = self._vision_tokens(img, deterministic)
+            toks.append(t)
+            poss.append(p)
+        if len(toks) == 1:
+            return toks[0], poss[0]
+        return jnp.concatenate(toks, 1), jnp.concatenate(poss, 1)
+
     @staticmethod
     def _splice_embeds(text_embeds: jnp.ndarray, input_ids: jnp.ndarray,
                        token_id: int, modal_tokens: jnp.ndarray
@@ -325,7 +363,8 @@ class M2Omni(BaseModel):
         text_mask = batch.get("input_mask", jnp.ones_like(input_ids))
         B, Lt = input_ids.shape
 
-        if self.image_token_id is not None or self.audio_token_id is not None:
+        if self.image_token_id is not None or self.audio_token_id is not None \
+                or self.video_token_id is not None:
             return self._forward_spliced(batch, input_ids, text_mask,
                                          deterministic)
 
@@ -412,18 +451,34 @@ class M2Omni(BaseModel):
         run_start = jnp.zeros((B, L), bool)
         rel = jnp.zeros((B, L, 3), jnp.int32)
 
+        has_video = (self.video_token_id is not None
+                     and batch.get("video_data") is not None)
         if self.image_token_id is not None and \
                 batch.get("image_data") is not None:
-            img = batch["image_data"]
-            if img.ndim == 4:
-                img = img[:, None]
-            vtok, vpos = self._vision_tokens(img, deterministic)
+            vtok, vpos = self._encode_visual_streams(
+                batch["image_data"], deterministic)
             embeds = self._splice_embeds(
                 embeds, input_ids, self.image_token_id,
                 vtok.astype(embeds.dtype))
-            m = input_ids == self.image_token_id
+            # reference quirk: in a mixed image+video row, only VIDEO runs
+            # get 3D grid positions — image slots stay sequential text
+            # positions (get_rope_index counts image_nums only when
+            # video_grid_thw is None, modeling_m2omni.py:398-404)
+            if not has_video or self.mixed_vision_grid_positions:
+                m = input_ids == self.image_token_id
+                r, rs = self._modal_rel_positions(m, vpos)
+                modal_mask, run_start, rel = \
+                    modal_mask | m, run_start | rs, rel + r
+        if has_video:
+            vtok, vpos = self._encode_visual_streams(
+                batch["video_data"], deterministic)
+            embeds = self._splice_embeds(
+                embeds, input_ids, self.video_token_id,
+                vtok.astype(embeds.dtype))
+            m = input_ids == self.video_token_id
             r, rs = self._modal_rel_positions(m, vpos)
-            modal_mask, run_start, rel = modal_mask | m, run_start | rs, rel + r
+            modal_mask, run_start, rel = \
+                modal_mask | m, run_start | rs, rel + r
         if self.audio_token_id is not None and batch.get("audio") is not None:
             atok = self._audio_tokens(batch, deterministic)
             apos = jnp.repeat(
@@ -466,7 +521,8 @@ class M2Omni(BaseModel):
         position per the get_rope_index continuation convention)."""
         input_ids = batch["input_ids"]
         text_mask = batch.get("input_mask", jnp.ones_like(input_ids))
-        if self.image_token_id is not None or self.audio_token_id is not None:
+        if self.image_token_id is not None or self.audio_token_id is not None \
+                or self.video_token_id is not None:
             embeds, positions, _ = self._assemble_spliced(
                 batch, input_ids, True)
             full_mask = text_mask.astype(jnp.int32)
@@ -546,9 +602,15 @@ class M2Omni(BaseModel):
         lens_text = mask.sum(-1).astype(jnp.int32)
         tokens0 = jnp.concatenate(
             [ids * mask, jnp.zeros((B, max_new), jnp.int32)], axis=1)
-        fixed = {k: jnp.asarray(v) for k, v in batch.items()
+        fixed = {k: (tuple(jnp.asarray(x) for x in v)
+                     if isinstance(v, (tuple, list)) else jnp.asarray(v))
+                 for k, v in batch.items()
                  if k not in ("input_ids", "input_mask")}
         gamma = int(speculative) if num_beams == 1 and not do_sample else 0
+
+        def _shape_of(v):
+            return (tuple(tuple(x.shape) for x in v)
+                    if isinstance(v, tuple) else tuple(v.shape))
 
         # one stable jit per (module config, shapes, decode options):
         # memoized so per-request serving never re-traces, with variables
@@ -558,7 +620,7 @@ class M2Omni(BaseModel):
         mode = ("sample" if do_sample
                 else "beam" if num_beams > 1 else "greedy")
         key = (self, mode, B, Lp, max_new, eos_id, num_beams,
-               tuple((k, tuple(v.shape)) for k, v in sorted(fixed.items())),
+               tuple((k, _shape_of(v)) for k, v in sorted(fixed.items())),
                gamma, spec_ngram, do_sample, top_p, temperature)
         fn = _GEN_JIT_CACHE.get(key)
         if fn is None:

@@ -73,16 +73,14 @@ class PinkAdapter:
         self.max_prompt = max_prompt_len
         self.has_image = has_image
 
-        def _pf(variables, tokens, mask, image, reserve=0):
+        def _pf(variables, tokens, mask, extras, reserve=0):
             # reserve is unused: Pink's cache is always sized to the FULL
             # budget self.T regardless of the prompt chunk length, so a
             # chunk-0 prefill already leaves room for the remaining chunks
             from antmmf_tpu.models.pink import PinkModel
 
             live = make_live_vars(variables, self.dtype)
-            batch = {"input_ids": tokens, "input_mask": mask}
-            if image is not None:
-                batch["image_data"] = image
+            batch = {"input_ids": tokens, "input_mask": mask, **extras}
             lens = mask.sum(-1).astype(jnp.int32)
             cache = self.make_cache(1)
             logits, cache = self.module.apply(
@@ -90,9 +88,9 @@ class PinkAdapter:
             start = self.Lv + lens
             return logits, cache, start, start
 
-        self._pf_img = jax.jit(_pf, static_argnums=(4,))
-        self._pf_txt = jax.jit(lambda v, t, m, reserve=0: _pf(v, t, m, None),
-                               static_argnums=(3,))
+        # one program per extras STRUCTURE (image / text-only), retraced
+        # automatically — extras is a pytree argument
+        self._pf = jax.jit(_pf, static_argnums=(4,))
 
     def make_cache(self, batch: int):
         from antmmf_tpu.modules.llm import init_decoder_cache
@@ -102,14 +100,13 @@ class PinkAdapter:
                                   quantized=getattr(self.module, "kv_int8",
                                                     False))
 
-    def prefill1(self, tokens, mask, image, reserve: int = 0):
+    def prefill1(self, tokens, mask, extras, reserve: int = 0):
         """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1]).
-        ``reserve`` extra cache slots are requested beyond the prompt+decode
-        budget (chunked admission prefills chunk 0 here and appends the
-        remaining prompt chunks through ``extend``)."""
-        if image is not None:
-            return self._pf_img(self.variables, tokens, mask, image, reserve)
-        return self._pf_txt(self.variables, tokens, mask, reserve)
+        ``extras`` is a dict of batched modality arrays ({"image_data": ...}
+        or {} for text-only); ``reserve`` extra cache slots are requested
+        beyond the prompt+decode budget (chunked admission prefills chunk 0
+        here and appends the remaining prompt chunks through ``extend``)."""
+        return self._pf(self.variables, tokens, mask, extras, reserve)
 
     def decode(self, variables, token, rope, slot, cache):
         """Called from inside the engine's jitted ``_step`` — ``variables``
@@ -150,32 +147,28 @@ class M2OmniAdapter:
         self.dtype = jnp.dtype(getattr(module, "dtype_str", "bfloat16"))
         self.T: Optional[int] = None  # discovered from the first prefill
 
-        def _pf(variables, tokens, mask, image, reserve=0):
+        def _pf(variables, tokens, mask, extras, reserve=0):
             from antmmf_tpu.models.m2_omni import M2Omni
 
             live = make_live_vars(variables, self.dtype)
-            batch = {"input_ids": tokens, "input_mask": mask}
-            if image is not None:
-                batch["image_data"] = image
+            batch = {"input_ids": tokens, "input_mask": mask, **extras}
             return self.module.apply(
                 live(), batch, self.max_new + extra_slots + reserve,
                 method=M2Omni.prefill)
 
-        self._pf_img = jax.jit(_pf, static_argnums=(4,))
-        self._pf_txt = jax.jit(lambda v, t, m, reserve=0: _pf(v, t, m, None,
-                                                              reserve),
-                               static_argnums=(3,))
+        # one program per extras STRUCTURE (any mix of image_data /
+        # video_data / audio / multi-image tuples), retraced automatically
+        self._pf = jax.jit(_pf, static_argnums=(4,))
 
-    def prefill1(self, tokens, mask, image, reserve: int = 0):
-        """``reserve`` widens the discovered cache beyond prompt+decode —
-        chunked admission prefills chunk 0 and must leave room for the
-        remaining prompt chunks (M2Omni sizes T from the prompt it sees)."""
-        if image is not None:
-            logits, cache, lens_full, next_p = self._pf_img(
-                self.variables, tokens, mask, image, reserve)
-        else:
-            logits, cache, lens_full, next_p = self._pf_txt(
-                self.variables, tokens, mask, reserve)
+    def prefill1(self, tokens, mask, extras, reserve: int = 0):
+        """``extras``: dict of batched modality arrays — image_data (array
+        or tuple of arrays for multi-image requests), video_data, audio,
+        audio_mask. ``reserve`` widens the discovered cache beyond
+        prompt+decode — chunked admission prefills chunk 0 and must leave
+        room for the remaining prompt chunks (M2Omni sizes T from the
+        prompt it sees)."""
+        logits, cache, lens_full, next_p = self._pf(
+            self.variables, tokens, mask, extras, reserve)
         self.T = cache[0]["k"].shape[2]
         return logits, cache, lens_full, next_p
 
@@ -426,6 +419,38 @@ class ContinuousBatchingEngine:
         self._slot_held = [None] * self.S
         self._sessions = {}
 
+    @staticmethod
+    def _extras_of(data: Mapping[str, Any]) -> Dict[str, Any]:
+        """Batch a request's modality arrays into the [1]-row prefill
+        extras dict. Conventions per key: image_data [H, W, 3] (a 4-dim
+        array is taken as already batched, or as one [F, H, W, 3] stream if
+        you batch it yourself) or a tuple of arrays (multi-image request —
+        each spliced at its own placeholder run); video_data [F, H, W, 3];
+        audio [T, F]; audio_mask [T]."""
+        extras: Dict[str, Any] = {}
+        img = data.get("image_data")
+        if img is not None:
+            if isinstance(img, (tuple, list)):
+                extras["image_data"] = tuple(
+                    jnp.asarray(x)[None] if jnp.asarray(x).ndim == 3
+                    else jnp.asarray(x) for x in img)
+            else:
+                img = jnp.asarray(img)
+                extras["image_data"] = img[None] if img.ndim == 3 else img
+        vid = data.get("video_data")
+        if vid is not None:
+            vid = jnp.asarray(vid)
+            extras["video_data"] = vid[None] if vid.ndim == 4 else vid
+        aud = data.get("audio")
+        if aud is not None:
+            aud = jnp.asarray(aud)
+            extras["audio"] = aud[None] if aud.ndim == 2 else aud
+            am = data.get("audio_mask")
+            if am is not None:
+                am = jnp.asarray(am)
+                extras["audio_mask"] = am[None] if am.ndim == 1 else am
+        return extras
+
     def register_prefix(self, prefix_id, data: Mapping[str, Any]) -> None:
         """Prefill a SHARED prompt prefix once (system prompt, few-shot
         preamble, shared image) for reuse across requests:
@@ -440,12 +465,8 @@ class ContinuousBatchingEngine:
         mask = jnp.asarray(
             data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
             jnp.int32)[None]
-        img = data.get("image_data")
-        if img is not None:
-            img = jnp.asarray(img)
-            if img.ndim == 3:
-                img = img[None]
-        logits0, cache1, slot0, rope0 = self.ad.prefill1(tokens, mask, img)
+        logits0, cache1, slot0, rope0 = self.ad.prefill1(
+            tokens, mask, self._extras_of(data))
         self._ensure_state(cache1, logits0)
         self._prefixes[prefix_id] = (
             cache1, logits0, rope0, slot0,
@@ -535,13 +556,8 @@ class ContinuousBatchingEngine:
         mask = jnp.asarray(
             data.get("input_mask", np.ones(tokens.shape[1], np.int32)),
             jnp.int32)[None]
-        img = data.get("image_data")
-        if img is not None:
-            img = jnp.asarray(img)
-            if img.ndim == 3:
-                img = img[None]
         logits0, cache1, slot0, rope0 = self.ad.prefill1(
-            tokens, mask, img)
+            tokens, mask, self._extras_of(data))
         self._ensure_state(cache1, logits0)
         st = self._state
         st["cache"], st["last_logits"], st["rope"], st["spos"] = \
@@ -576,6 +592,7 @@ class ContinuousBatchingEngine:
         # inside chunk 0 — otherwise admit the whole prompt at once
         splice_ids = [t for t in (
             getattr(self.ad.module, "image_token_id", None),
+            getattr(self.ad.module, "video_token_id", None),
             getattr(self.ad.module, "audio_token_id", None)) if t is not None]
         if splice_ids and np.isin(ids[W:], splice_ids).any():
             self._admit_full(s, rid, data)
@@ -585,14 +602,10 @@ class ContinuousBatchingEngine:
             pad = W - c0.shape[0]
             c0 = np.concatenate([c0, np.zeros(pad, np.int32)])
             c0m = np.concatenate([c0m, np.zeros(pad, np.int32)])
-        img = data.get("image_data")
-        if img is not None:
-            img = jnp.asarray(img)
-            if img.ndim == 3:
-                img = img[None]
         reserve = max(0, getattr(self.ad, "max_prompt", W) - W)
         logits0, cache1, slot0, rope0 = self.ad.prefill1(
-            jnp.asarray(c0)[None], jnp.asarray(c0m)[None], img, reserve)
+            jnp.asarray(c0)[None], jnp.asarray(c0m)[None],
+            self._extras_of(data), reserve)
         self._ensure_state(cache1, logits0)
         st = self._state
         st["cache"], st["last_logits"], st["rope"], st["spos"] = \

@@ -132,7 +132,7 @@ def ref_composite():
     return ref
 
 
-def _our_model_and_params(ref):
+def _our_model_and_params(ref, **overrides):
     from test_sanm_parity import IN as SANM_IN, OUT as SANM_OUT
 
     from antmmf_tpu.models.m2_omni import LM_PRESETS, M2Omni
@@ -148,12 +148,14 @@ def _our_model_and_params(ref):
     SANM_PRESETS["sanm_full_parity"] = dict(
         input_size=SANM_IN, output_size=SANM_OUT, attention_heads=2,
         linear_units=32, num_blocks=3, kernel_size=5, sanm_shift=0)
-    model = M2Omni(lm_preset="omni_full_parity", visual_tower="qwen2",
-                   qwen2_preset="qwen2_vit_tiny_test", image_size=16,
-                   audio_tower="sanm", sanm_preset="sanm_full_parity",
-                   mlp_depths=2, audio_compress=3,
-                   image_token_id=IMG_PATCH, audio_token_id=AUD_PATCH,
-                   dtype_str="float32")
+    kw = dict(lm_preset="omni_full_parity", visual_tower="qwen2",
+              qwen2_preset="qwen2_vit_tiny_test", image_size=16,
+              audio_tower="sanm", sanm_preset="sanm_full_parity",
+              mlp_depths=2, audio_compress=3,
+              image_token_id=IMG_PATCH, audio_token_id=AUD_PATCH,
+              dtype_str="float32")
+    kw.update(overrides)
+    model = M2Omni(**kw)
     return model, params
 
 
@@ -257,3 +259,147 @@ def test_full_forward_loss_parity(ref_composite):
                        "labels": jnp.asarray(labels, jnp.int32)})
     got = float(out["losses"]["lm_loss"])
     assert abs(got - want) < 2e-3, (got, want)
+
+
+FRAME_PATCH, VID_START = 6, 7
+
+
+def _mixed_row(ref_composite):
+    """Build the 2-images + 1-video mixed row: per-modality patch streams
+    through OUR processor (byte-compatible with the reference's), the
+    spliced input_ids row, and the dense frames our towers consume."""
+    from antmmf_tpu.datasets.processors.m2omni_processing import (
+        M2OmniImageProcessor, frames_from_patches)
+
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    vid = rng.integers(0, 256, size=(4, 16, 16, 3), dtype=np.uint8)
+    proc = M2OmniImageProcessor(patch_size=4, merge_size=2)
+    pix1, g1 = proc._preprocess(img1, do_resize=False)   # (1, 4, 4)
+    pix2, g2 = proc._preprocess(img2, do_resize=False)   # (1, 6, 6)
+    pixv, gv = proc._preprocess(list(vid), do_resize=False)  # (2, 4, 4)
+    assert tuple(g1) == (1, 4, 4) and tuple(g2) == (1, 6, 6) \
+        and tuple(gv) == (2, 4, 4)
+    n1, n2, nv = 4, 9, 8  # merged token counts (t*h*w / merge^2)
+
+    row = ([10, 11, IMG_START] + [IMG_PATCH] * n1 + [IMG_END, 12, IMG_START]
+           + [IMG_PATCH] * n2 + [IMG_END, 13, VID_START] + [FRAME_PATCH] * nv
+           + [14, 15])
+    ids = np.asarray([row], np.int64)
+    mask = np.ones_like(ids)
+
+    frames1 = frames_from_patches(pix1, g1, patch_size=4)
+    frames2 = frames_from_patches(pix2, g2, patch_size=4)
+    framesv = frames_from_patches(pixv, gv, patch_size=4)
+    return {
+        "ids": ids, "mask": mask,
+        "pixel_values": np.concatenate([pix1, pix2], 0),
+        "image_grid_thw": np.stack([g1, g2]),
+        "pixel_values_videos": pixv, "video_grid_thw": np.asarray(gv)[None],
+        "image_data": (jnp.asarray(frames1[None], jnp.float32),
+                       jnp.asarray(frames2[None], jnp.float32)),
+        "video_data": jnp.asarray(framesv[None], jnp.float32),
+    }
+
+
+def test_mixed_row_rope_index_parity(ref_composite):
+    """get_rope_index on the 2-image + video + audio row: the reference
+    gives VIDEO runs 3D grids but silently degrades IMAGE runs to
+    sequential text positions when a video is present (image_nums is only
+    counted when video_grid_thw is None, modeling_m2omni.py:398-404) and
+    treats audio placeholders as plain text. Our default reproduces all of
+    it; mixed_vision_grid_positions=True restores image grids."""
+    m = _mixed_row(ref_composite)
+    # append an audio run (text positions in both implementations)
+    ids = np.concatenate(
+        [m["ids"], [[16] + [AUD_PATCH] * 3 + [17]]], axis=1)
+    mask = np.ones_like(ids)
+    want_pos, want_delta = ref_composite.get_rope_index(
+        torch.tensor(ids), torch.tensor(m["image_grid_thw"]),
+        torch.tensor(m["video_grid_thw"]), torch.tensor(mask))
+    want_pos = want_pos.numpy().transpose(1, 2, 0)  # [3,B,L] -> [B,L,3]
+
+    from test_sanm_parity import IN as SANM_IN
+
+    model, params = _our_model_and_params(
+        ref_composite, video_token_id=FRAME_PATCH)
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((1, 9, SANM_IN)).astype(np.float32)
+    batch = {"image_data": m["image_data"], "video_data": m["video_data"],
+             "audio": jnp.asarray(feats),
+             "audio_mask": jnp.ones((1, 9), jnp.int32)}
+    _, got_pos, got_next = model.apply(
+        {"params": params}, batch, jnp.asarray(ids, jnp.int32), True,
+        method=lambda mdl, b, i, d: mdl._assemble_spliced(b, i, d))
+    np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
+    # continuation base == mrope delta convention: max position + 1
+    assert int(np.asarray(got_next)[0]) == int(want_delta[0, 0]) + ids.shape[1]
+
+
+def test_mixed_row_full_forward_logits_parity(ref_composite):
+    """End-to-end logits on the 2-image + 1-video row: both prompt_wrap
+    splices (image, video) + the degraded-image/grid-video positions +
+    LLaMA-3D decoder. (Audio is excluded here: the reference's
+    prompt_wrap_audio scatters at image-token positions — a defect pinned
+    in this file's module docstring — so a full forward with audio cannot
+    agree.)"""
+    m = _mixed_row(ref_composite)
+    with torch.no_grad():
+        want = ref_composite(
+            input_ids=torch.tensor(m["ids"]),
+            attention_mask=torch.tensor(m["mask"]),
+            pixel_values=torch.tensor(m["pixel_values"], dtype=torch.float32),
+            image_grid_thw=torch.tensor(m["image_grid_thw"]),
+            pixel_values_videos=torch.tensor(m["pixel_values_videos"],
+                                             dtype=torch.float32),
+            video_grid_thw=torch.tensor(m["video_grid_thw"]),
+        ).logits.numpy()
+    # guard: the reference forward swallows get_rope_index errors
+    # (bare try/except) — make sure the 3D path actually ran
+    pos, _ = ref_composite.get_rope_index(
+        torch.tensor(m["ids"]), torch.tensor(m["image_grid_thw"]),
+        torch.tensor(m["video_grid_thw"]), torch.tensor(m["mask"]))
+    assert int(pos.max()) < m["ids"].shape[1] - 1  # grids compress positions
+
+    model, params = _our_model_and_params(
+        ref_composite, video_token_id=FRAME_PATCH)
+    batch = {"input_ids": jnp.asarray(m["ids"], jnp.int32),
+             "input_mask": jnp.asarray(m["mask"], jnp.int32),
+             "image_data": m["image_data"], "video_data": m["video_data"]}
+    got = np.asarray(model.apply({"params": params}, batch)["logits"],
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_mixed_row_audio_splice_intent(ref_composite):
+    """The audio splice places the reference's extract_audio_feature
+    embeddings at the AUDIO placeholder slots (the documented intent the
+    reference's prompt_wrap_audio misses by building its scatter mask from
+    image_token_id, modeling_m2omni.py:749-755)."""
+    from test_sanm_parity import IN as SANM_IN
+
+    m = _mixed_row(ref_composite)
+    ids = np.concatenate(
+        [m["ids"], [[16] + [AUD_PATCH] * 3 + [17]]], axis=1)
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((1, 9, SANM_IN)).astype(np.float32)
+    amask = np.ones((1, 9), np.int64)
+    with torch.no_grad():
+        want_audio = ref_composite.extract_audio_feature(
+            torch.tensor(feats), torch.tensor(amask), n_query=3,
+            audio_compress=3).numpy()
+
+    model, params = _our_model_and_params(
+        ref_composite, video_token_id=FRAME_PATCH)
+    batch = {"image_data": m["image_data"], "video_data": m["video_data"],
+             "audio": jnp.asarray(feats),
+             "audio_mask": jnp.asarray(amask, jnp.int32)}
+    embeds, _, _ = model.apply(
+        {"params": params}, batch, jnp.asarray(ids, jnp.int32), True,
+        method=lambda mdl, b, i, d: mdl._assemble_spliced(b, i, d))
+    slots = np.where(ids[0] == AUD_PATCH)[0]
+    got_audio = np.asarray(embeds)[0, slots]
+    np.testing.assert_allclose(got_audio, want_audio[0], atol=2e-4,
+                               rtol=2e-4)

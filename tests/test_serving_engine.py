@@ -481,3 +481,61 @@ class TestStopAndCancel:
         assert eng._done["queued"] == []
         assert len(eng._done["run"]) <= 2  # partial, freed at the boundary
         assert eng._cancelled == {"queued", "run"}
+
+
+class TestMixedModalityRequests:
+    def test_multi_image_plus_video_request(self):
+        """The engine serves a spliced request carrying TWO images (tuple
+        of streams, each at its own placeholder run) and a video — tokens
+        equal per-request model.generate on the same batch (the reference
+        serves one request at a time and cannot batch mixed-modality rows
+        at all)."""
+        model = M2Omni(lm_preset="omni_tiny_test",
+                       vit_preset="vit_tiny_test", image_size=32,
+                       image_token_id=3, video_token_id=6,
+                       audio_token_id=None, dtype_str="float32")
+        rng = jax.random.PRNGKey(0)
+        N = (32 // 16) ** 2  # tokens per image stream (and per video frame)
+
+        def mk(seed):
+            r = jax.random.PRNGKey(seed)
+            row = ([5] + [3] * N + [20] + [3] * N + [21] + [6] * N
+                   + list(np.asarray(jax.random.randint(r, (3,), 30, 900))))
+            ids = np.asarray(row, np.int32)
+            img1 = np.asarray(jax.random.normal(r, (32, 32, 3)), np.float32)
+            img2 = np.asarray(
+                jax.random.normal(jax.random.fold_in(r, 1), (32, 32, 3)),
+                np.float32)
+            vid = np.asarray(
+                jax.random.normal(jax.random.fold_in(r, 2), (1, 32, 32, 3)),
+                np.float32)
+            return {"input_ids": ids,
+                    "input_mask": np.ones_like(ids),
+                    "image_data": (img1, img2), "video_data": vid}
+
+        d0 = mk(0)
+        variables = model.init(rng, {
+            "input_ids": jnp.asarray(d0["input_ids"])[None],
+            "input_mask": jnp.asarray(d0["input_mask"])[None],
+            "image_data": tuple(jnp.asarray(x)[None]
+                                for x in d0["image_data"]),
+            "video_data": jnp.asarray(d0["video_data"])[None]})
+        reqs = [(f"r{i}", mk(100 + i)) for i in range(3)]
+
+        Lp = len(d0["input_ids"])
+        ad = M2OmniAdapter(model, variables, max_prompt_len=Lp,
+                           max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            batch = {"input_ids": jnp.asarray(data["input_ids"])[None],
+                     "input_mask": jnp.asarray(data["input_mask"])[None],
+                     "image_data": tuple(jnp.asarray(x)[None]
+                                         for x in data["image_data"]),
+                     "video_data": jnp.asarray(data["video_data"])[None]}
+            tokens, lens = model.generate(variables, batch, eos_id=EOS,
+                                          max_length=MAX_NEW)
+            tokens, lens = np.asarray(tokens), np.asarray(lens)
+            want = _truncate_at_eos(tokens[0, lens[0]: lens[0] + MAX_NEW])
+            assert result["outputs"][rid] == want, rid
