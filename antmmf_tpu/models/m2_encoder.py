@@ -64,6 +64,8 @@ class MultiwayBlock(nn.Module):
     with_vlffn: bool = False
     moe: bool = False
     moe_num_experts: int = 8
+    moe_capacity_factor: float = 1.25
+    moe_dispatch_mode: str = "scatter"
     layerscale_init: float = 0.0  # 0 disables LayerScale
     dropout: float = 0.0
     layer_norm_eps: float = 1e-5  # reference VLMo uses 1e-6
@@ -115,6 +117,8 @@ class MultiwayBlock(nn.Module):
             out, aux = MoELayer(
                 num_experts=self.moe_num_experts,
                 hidden_dim=int(C * self.mlp_ratio),
+                capacity_factor=self.moe_capacity_factor,
+                dispatch_mode=self.moe_dispatch_mode,
                 dtype=self.dtype, name="moe_ffn",
             )(h, deterministic=deterministic)
         elif modality == FUSION_EXPERT and not self.with_vlffn:
@@ -138,6 +142,8 @@ class MultiwayTransformer(nn.Module):
     mlp_ratio: float = 4.0
     moe_layers: Tuple[int, ...] = ()  # indices of blocks that use token-routed MoE
     moe_num_experts: int = 8
+    moe_capacity_factor: float = 1.25
+    moe_dispatch_mode: str = "scatter"
     num_ffn_experts: int = 2
     # fused (VL) streams use the dedicated VL expert from this layer on
     # (reference vlffn_start_layer_index, multiway_transformer.py:270-338);
@@ -163,6 +169,8 @@ class MultiwayTransformer(nn.Module):
                 with_vlffn=(i >= vl_start),
                 moe=(i in self.moe_layers),
                 moe_num_experts=self.moe_num_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_dispatch_mode=self.moe_dispatch_mode,
                 layerscale_init=self.layerscale_init, dropout=self.dropout,
                 layer_norm_eps=self.layer_norm_eps,
                 ffn_activation=self.ffn_activation,
@@ -188,6 +196,10 @@ class M2Encoder(BaseModel):
     embed_dim_out: int = 512
     moe_layers: Tuple[int, ...] = ()
     moe_num_experts: int = 8
+    # GShard train capacity (silently defaulted before round 4 — YAML
+    # moe_capacity_factor now actually reaches the router)
+    moe_capacity_factor: float = 1.25
+    moe_dispatch_mode: str = "scatter"
     aux_loss_weight: float = 0.01
     router_z_weight: float = 0.001
     use_chunked_loss: bool = False
@@ -221,6 +233,8 @@ class M2Encoder(BaseModel):
             embed_dim=self.width, num_layers=p["num_layers"],
             num_heads=p["num_heads"], moe_layers=self.moe_layers,
             moe_num_experts=self.moe_num_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_dispatch_mode=self.moe_dispatch_mode,
             num_ffn_experts=3 if self.with_itm else 2,
             vlffn_start_layer=self.vlffn_start_layer,
             layerscale_init=self.layerscale_init, dropout=self.dropout,

@@ -54,13 +54,14 @@ def main() -> None:
              "input_ids": host["caption_input_ids"],
              "input_mask": host["caption_input_mask"]}
 
-    def run(tag, moe):
+    def run(tag, moe, dispatch_mode="scatter"):
         config = {"model_attributes": {"m2_encoder": {
             "preset": preset, "image_size": S, "patch_size": 16,
             "vocab_size": 30522, "embed_dim_out": 64 if args.tiny else 512,
             "moe_layers": moe_layers if moe else [],
             "moe_num_experts": args.experts,
             "moe_capacity_factor": args.capacity_factor,
+            "moe_dispatch_mode": dispatch_mode,
             "dtype_str": "float32" if args.tiny else "bfloat16",
         }}}
         shell = build_model(config)
@@ -99,7 +100,9 @@ def main() -> None:
                         jax.device_get(scalars).items()}
         # routed tokens per step: text+image tokens through each moe layer
         tokens = B * ((S // 16) ** 2 + L)
-        row = {"exp": f"moe_{tag}", "params_m": round(n_params / 1e6, 1),
+        row = {"exp": f"moe_{tag}",
+               "dispatch": dispatch_mode if moe else None,
+               "params_m": round(n_params / 1e6, 1),
                "step_ms": round(dt * 1e3, 2),
                "samples_per_sec": round(B / dt, 1),
                "routed_tokens_per_sec": round(
@@ -114,9 +117,13 @@ def main() -> None:
                       "experts": args.experts,
                       "capacity_factor": args.capacity_factor}), flush=True)
     dt_dense = run("dense", False)
-    dt_moe = run(f"top2_e{args.experts}", True)
+    dt_sc = run(f"top2_e{args.experts}_scatter", True, "scatter")
+    dt_ei = run(f"top2_e{args.experts}_einsum", True, "einsum")
     print(json.dumps({"exp": "moe_overhead_vs_dense",
-                      "ratio": round(dt_moe / dt_dense, 3)}), flush=True)
+                      "scatter_ratio": round(dt_sc / dt_dense, 3),
+                      "einsum_ratio": round(dt_ei / dt_dense, 3),
+                      "scatter_speedup": round(dt_ei / dt_sc, 3)}),
+          flush=True)
 
 
 if __name__ == "__main__":

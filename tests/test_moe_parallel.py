@@ -66,6 +66,37 @@ def test_moe_identity_when_experts_learned_zero():
     assert out.shape == x.shape
 
 
+def test_moe_scatter_matches_einsum_dispatch():
+    """The scatter dispatch (O(T*k*D) index ops, the tutel-fused-dispatch
+    role) and the legacy one-hot einsum dispatch (O(T*E*C*D)) share the
+    routing math and must produce IDENTICAL outputs — top-1 and top-2,
+    including capacity drops."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 12))
+    for top_k in (1, 2):
+        kw = dict(num_experts=4, hidden_dim=24, top_k=top_k, dtype=F32,
+                  capacity_factor=1.0, second_expert_policy="best")
+        l_sc = MoELayer(dispatch_mode="scatter", **kw)
+        l_ei = MoELayer(dispatch_mode="einsum", **kw)
+        params = l_sc.init({"params": jax.random.PRNGKey(1)}, x, True)
+        o1, a1 = l_sc.apply(params, x, False)
+        o2, a2 = l_ei.apply(params, x, False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(a1["frac_tokens_dropped"]),
+                                   float(a2["frac_tokens_dropped"]),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(p, layer):
+            o, a = layer.apply(p, x, False)
+            return jnp.sum(o ** 2) + a["aux_loss"]
+
+        g1 = jax.grad(loss)(params, l_sc)
+        g2 = jax.grad(loss)(params, l_ei)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6), g1, g2)
+
+
 # ------------------------------------------------------- chunked contrastive
 def test_chunked_infonce_matches_dense():
     N, D = 24, 8
