@@ -140,6 +140,13 @@ def main() -> None:
         "llm_decode_L512_speedup_vs_reencode": 28.3,
         "llm_decode_L1024_tokens_per_sec": 198.6,
         "llm_decode_L512_int8_tokens_per_sec": 336.1,
+        # round 4: LLM-family TRAIN steps on the chip (bench_llm_train.py,
+        # omni_1b + ViT-B/16@224, LoRA PEFT, B=8 stream 708, remat off —
+        # BASELINE.md round-4 table)
+        "pink_train_stream_tokens_per_sec": 20385.2,
+        "pink_train_mfu_pct": 52.5,
+        "m2omni_lora_train_stream_tokens_per_sec": 18811.0,
+        "m2omni_lora_train_mfu_pct": 39.0,
         # round 3 serving engine (bench_serving_cb.py, 16 Pink omni_1b
         # requests, heterogeneous 8/16/32-token budgets, 8 slots, one chip;
         # same-run comparison): continuous batching with 8-token decode
