@@ -44,6 +44,25 @@ def make_weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def make_frozen_labels(params, patterns: Sequence[str]) -> Any:
+    """Label tree for optax.multi_transform: ``"frozen"`` where any regex
+    matches the parameter path (searched, like lr_multipliers), ``"train"``
+    elsewhere. Frozen leaves get ``optax.set_to_zero()`` — no update AND no
+    optimizer state (adam m/v, MultiSteps accumulators are never allocated),
+    the memory-true form of parameter-efficient finetuning. The reference
+    freezes via ``requires_grad_(False)``
+    (prj/Pink/pink/model/adapter.py mark_only_adapter_as_trainable), which
+    equally allocates no optimizer state in torch.
+    """
+    compiled = [re.compile(p) for p in patterns]
+
+    def decide(path, leaf) -> str:
+        p = _path_str(path)
+        return "frozen" if any(c.search(p) for c in compiled) else "train"
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def make_lr_multiplier_mask(params, rules: Sequence) -> Any:
     """Per-parameter lr multipliers from [[regex, mult], ...]; first match wins,
     default 1.0 (the config surface for encoder_lr_decay / img 0.1×lr)."""
@@ -272,4 +291,13 @@ def build_optimizer(
 
     if accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
+    frozen = list(cfg.get("frozen_params", []) or [])
+    if frozen:
+        # outermost so MultiSteps accumulators are ALSO skipped on frozen
+        # leaves — at 7B-class LoRA this is the difference between ~92 GB
+        # and ~0.1 GB of optimizer+accumulator state
+        labels = make_frozen_labels(params, frozen)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
     return tx, schedule

@@ -84,9 +84,11 @@ def main() -> None:
     import antmmf_tpu.models  # noqa: F401 — registry side-effects
     from antmmf_tpu.common.build import build_config
     from antmmf_tpu.models.base_model import build_model
+    from antmmf_tpu.optimizer.build import build_optimizer
     from antmmf_tpu.parallel.mesh import build_mesh
     from antmmf_tpu.parallel.partitioning import (
         infer_param_specs, relax_to_divisible, validate_specs)
+    from antmmf_tpu.trainers.base_trainer import _remat_policy
 
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -129,7 +131,13 @@ def main() -> None:
         batch_sh = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, PartitionSpec(data_axes)), abstract)
 
-        tx = optax.adamw(1e-5)
+        # the REAL optimizer (frozen_params / mu_dtype / MultiSteps are all
+        # memory-relevant) and the REAL remat policy — this must account the
+        # same step the trainer compiles (trainers/base_trainer.py)
+        tx, _sched = build_optimizer(
+            variables["params"],
+            dict(config.get("optimizer_attributes", {}) or {}), tp)
+        remat = _remat_policy(tp.get("remat_policy", "none"))
         opt_shape = jax.eval_shape(tx.init, variables["params"])
         # optimizer state inherits the param placements by path suffix
         opt_specs = infer_param_specs(opt_shape, rules)
@@ -145,6 +153,8 @@ def main() -> None:
                     deterministic=True)
                 return total
 
+            if remat is not None:
+                loss = jax.checkpoint(loss, policy=remat)
             l, grads = jax.value_and_grad(loss)(variables["params"])
             updates, opt_state = tx.update(grads, opt_state,
                                            variables["params"])
@@ -160,6 +170,10 @@ def main() -> None:
         row = {
             "config": path, "mesh": sizes, "devices": n_dev,
             "global_batch": B, "params_b": round(n_params / 1e9, 2),
+            "remat_policy": str(tp.get("remat_policy", "none")),
+            "model_remat": bool(mc.get("remat", False)),
+            "frozen_params": bool((config.get("optimizer_attributes") or {}
+                                   ).get("frozen_params")),
             "compile_s": round(time.time() - t0, 1),
         }
         if mem is not None:

@@ -107,6 +107,26 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
         model_key = "m2_omni"
         is_trainable = lambda k: any(  # noqa: E731
             t in k for t in ("lora", "vision_proj", "audio_proj"))
+    elif leg.startswith("longvideo"):
+        # SURVEY §5 long-context obligation: a dense-sampled video spliced
+        # into the causal decoder (8k–16k vision tokens) — the regime the
+        # reference cannot reach (it sparse-samples to <=few hundred visual
+        # tokens); the Pallas causal flash kernel auto-selects past the
+        # 3k·3k crossover (modules/attention.select_core). Leg name
+        # "longvideo:<frames>" picks the frame count (default 48 -> 9408
+        # vision tokens at ViT-B/16@224; 80 -> 15680).
+        frames = int(leg.split(":", 1)[1]) if ":" in leg else (
+            48 if on_tpu else 2)
+        attrs = {
+            "lm_preset": "omni_1b" if on_tpu else "omni_tiny_test",
+            "vit_preset": "vit_base_patch16" if on_tpu else "vit_tiny_test",
+            "image_size": size, "llm_lora_rank": 8, "llm_lora_targets": "all",
+            "video_token_id": 3, "remat": remat,
+            "dtype_str": "bfloat16" if on_tpu else "float32",
+        }
+        model_key = "m2_omni"
+        is_trainable = lambda k: any(  # noqa: E731
+            t in k for t in ("lora", "vision_proj", "audio_proj"))
     else:
         raise ValueError(leg)
 
@@ -114,26 +134,47 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
     vocab = LM_PRESETS[attrs["lm_preset"]]["vocab_size"]
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(4, vocab, (batch, text_len))
-    labels = ids.copy()
-    labels[:, : text_len // 2] = -1  # prompt tokens unsupervised
-    host_batch = {
-        "image_data": rng.standard_normal(
-            (batch, size, size, 3)).astype(np.float32),
-        "input_ids": ids.astype(np.int32),
-        "input_mask": np.ones((batch, text_len), np.int32),
-        "labels": labels.astype(np.int32),
-    }
+    if leg.startswith("longvideo"):
+        # [video placeholders][supervised text]: the spliced interleaved
+        # forward (3D-RoPE grid positions over the video run)
+        n_per_frame = (size // 16) ** 2
+        n_vis = frames * n_per_frame
+        tids = rng.integers(4, vocab, (batch, text_len))
+        ids = np.concatenate(
+            [np.full((batch, n_vis), attrs["video_token_id"]), tids], axis=1)
+        labels = np.concatenate(
+            [np.full((batch, n_vis), -1), tids], axis=1)
+        host_batch = {
+            "video_data": rng.standard_normal(
+                (batch, frames, size, size, 3)).astype(np.float32),
+            "input_ids": ids.astype(np.int32),
+            "input_mask": np.ones_like(ids, np.int32),
+            "labels": labels.astype(np.int32),
+        }
+    else:
+        ids = rng.integers(4, vocab, (batch, text_len))
+        labels = ids.copy()
+        labels[:, : text_len // 2] = -1  # prompt tokens unsupervised
+        host_batch = {
+            "image_data": rng.standard_normal(
+                (batch, size, size, 3)).astype(np.float32),
+            "input_ids": ids.astype(np.int32),
+            "input_mask": np.ones((batch, text_len), np.int32),
+            "labels": labels.astype(np.int32),
+        }
 
     # Init at B=1/Lt=8 — param shapes are batch-independent and the full-
     # batch init forward would double peak HBM (and take minutes if
     # re-routed to the 1-core host CPU).
     tiny = {
-        "image_data": host_batch["image_data"][:1],
         "input_ids": host_batch["input_ids"][:1, :8],
         "input_mask": host_batch["input_mask"][:1, :8],
         "labels": host_batch["labels"][:1, :8],
     }
+    if "video_data" in host_batch:
+        tiny["video_data"] = host_batch["video_data"][:1, :1]
+    else:
+        tiny["image_data"] = host_batch["image_data"][:1]
     variables = shell.init(jax.random.PRNGKey(0), tiny)
     params = variables["params"]
     train_flat, frozen_flat = partition_params(params, is_trainable)
@@ -150,9 +191,13 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
     tx = optax.adamw(2e-5, weight_decay=0.0)
     opt_state = tx.init(train_flat)
 
-    n_vis = shell.module.num_vision_tokens(host_batch) if leg == "pink" \
-        else (size // 16) ** 2
-    stream_len = n_vis + text_len
+    if leg.startswith("longvideo"):
+        # spliced layout: vision tokens live INSIDE input_ids
+        stream_len = host_batch["input_ids"].shape[1]
+    else:
+        n_vis = shell.module.num_vision_tokens(host_batch) if leg == "pink" \
+            else (size // 16) ** 2
+        stream_len = n_vis + text_len
 
     def train_step(train_flat, opt_state, frozen_flat, batch, key):
         def loss_of(tf_):

@@ -88,6 +88,18 @@ def main() -> None:
             return state, l, scalars
 
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        # XLA-counted step FLOPs: MoE at top-2/capacity-1.25 does ~2.5x the
+        # MLP FLOPs of the dense leg in each converted layer (dispatched
+        # buffer = E*C = 2.5*T slots) — the flop-normalized ratio below
+        # separates "paying for extra compute" from "paying for dispatch"
+        flops = None
+        try:
+            cost = step.lower(state, jb).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
         for _ in range(3):
             state, l, scalars = step(state, jb)
         float(l)
@@ -107,23 +119,33 @@ def main() -> None:
                "samples_per_sec": round(B / dt, 1),
                "routed_tokens_per_sec": round(
                    tokens * len(moe_layers) / dt, 0) if moe else 0}
+        if flops:
+            row["step_tflops"] = round(flops / 1e12, 4)
         fd = host_scalars.get("metrics/frac_tokens_dropped")
         if fd is not None:
             row["frac_tokens_dropped"] = round(fd, 4)
         print(json.dumps(row), flush=True)
-        return dt
+        return dt, flops
 
     print(json.dumps({"backend": __import__("jax").default_backend(),
                       "experts": args.experts,
                       "capacity_factor": args.capacity_factor}), flush=True)
-    dt_dense = run("dense", False)
-    dt_sc = run(f"top2_e{args.experts}_scatter", True, "scatter")
-    dt_ei = run(f"top2_e{args.experts}_einsum", True, "einsum")
-    print(json.dumps({"exp": "moe_overhead_vs_dense",
-                      "scatter_ratio": round(dt_sc / dt_dense, 3),
-                      "einsum_ratio": round(dt_ei / dt_dense, 3),
-                      "scatter_speedup": round(dt_ei / dt_sc, 3)}),
-          flush=True)
+    dt_dense, fl_dense = run("dense", False)
+    dt_sc, fl_sc = run(f"top2_e{args.experts}_scatter", True, "scatter")
+    dt_ei, fl_ei = run(f"top2_e{args.experts}_einsum", True, "einsum")
+    row = {"exp": "moe_overhead_vs_dense",
+           "scatter_ratio": round(dt_sc / dt_dense, 3),
+           "einsum_ratio": round(dt_ei / dt_dense, 3),
+           "scatter_speedup": round(dt_ei / dt_sc, 3)}
+    if fl_dense and fl_sc:
+        # time-ratio / flop-ratio: 1.0 == every extra ms is paid-for FLOPs
+        # (dispatch itself is free); >1 == dispatch/memory overhead beyond
+        # the extra expert compute
+        flop_ratio = fl_sc / fl_dense
+        row["scatter_flop_ratio"] = round(flop_ratio, 3)
+        row["scatter_overhead_beyond_flops"] = round(
+            (dt_sc / dt_dense) / flop_ratio, 3)
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

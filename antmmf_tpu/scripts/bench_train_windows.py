@@ -110,12 +110,17 @@ def main() -> None:
 
     train_step, state0, host_batch, batch, sharding, wsharding = build(on_tpu)
 
+    # every leg DONATES its state into the jit — each must start from a
+    # fresh device copy or the next leg reads deleted buffers
+    def clone(tree):
+        return jax.tree_util.tree_map(lambda a: a.copy(), tree)
+
     results = {}
 
     # ---- leg: per-step jit, pipelined (control; == bench.py) and synced
     step = jax.jit(train_step, donate_argnums=(0,))
     device_batch = jax.device_put(host_batch, sharding)
-    state = state0
+    state = clone(state0)
     for _ in range(warm):
         state, loss = step(state, device_batch)
     float(loss)
@@ -149,7 +154,7 @@ def main() -> None:
         window = jax.jit(train_window, donate_argnums=(0,))
         stacked_host = {f: np.stack([v] * K) for f, v in host_batch.items()}
         device_stack = jax.device_put(stacked_host, wsharding)
-        state = state0
+        state = clone(state0)
         for _ in range(warm):
             state, losses = window(state, device_stack)
         float(losses[-1])

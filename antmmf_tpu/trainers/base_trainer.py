@@ -49,6 +49,30 @@ from antmmf_tpu.utils.logger import Logger
 from antmmf_tpu.utils.timer import Timer
 
 
+def _remat_policy(name: str):
+    """Map training_parameters.remat_policy to a jax.checkpoint policy.
+
+    ``none`` disables remat; other names resolve against
+    ``jax.checkpoint_policies`` (dots_saveable, everything_saveable,
+    nothing_saveable, dots_with_no_batch_dims_saveable, ...) with the
+    base.yml alias ``checkpoint_dots_with_no_batch_dims`` accepted.
+    """
+    name = str(name or "none")
+    if name in ("none", "", "null"):
+        return None
+    aliases = {
+        "checkpoint_dots": "dots_saveable",
+        "checkpoint_dots_with_no_batch_dims":
+            "dots_with_no_batch_dims_saveable",
+    }
+    name = aliases.get(name, name)
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None:
+        raise ValueError(
+            f"unknown training_parameters.remat_policy: {name!r}")
+    return policy
+
+
 @registry.register_trainer("base_trainer")
 class BaseTrainer:
     def __init__(self, config: Mapping):
@@ -221,6 +245,7 @@ class BaseTrainer:
         shell = self.shell
         tx = self.tx
         moco_m = self._moco_m if hasattr(self, "_moco_m") else 0.0
+        remat = _remat_policy(self.tp.get("remat_policy", "none"))
 
         def train_step(state: TrainState, batch: Mapping[str, jnp.ndarray]):
             step_rng = jax.random.fold_in(state.rng, state.step)
@@ -252,6 +277,14 @@ class BaseTrainer:
                 )
                 updated = output.get("_updated_collections", {})
                 return loss, (scalars, updated)
+
+            if remat is not None:
+                # training_parameters.remat_policy: rematerialize the forward
+                # under the declared XLA policy (dots_saveable keeps only
+                # matmul outputs — the AMP-era activation-memory knob the
+                # reference lacks; reference trades memory via fp16 AMP only,
+                # base_trainer.py:575-607)
+                loss_of = jax.checkpoint(loss_of, policy=remat)
 
             (loss, (scalars, updated)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(state.params)

@@ -197,3 +197,54 @@ def test_model_optimizer_grouping_hook():
     assert float(mask["base"]["img_encoder"]["k"]) == 0.1
     assert float(mask["base"]["text_encoder"]["k"]) == 0.1
     assert float(mask["logit_scale"]) == 1.0
+
+
+def test_frozen_params_no_state_no_update():
+    """optimizer_attributes.frozen_params: frozen subtrees get zero updates
+    and allocate NO optimizer state (reference freezes via requires_grad_,
+    prj/Pink/pink/model/adapter.py mark_only_adapter_as_trainable)."""
+    params = {"tower": {"kernel": jnp.ones((4, 4))},
+              "lora": {"lora_a": jnp.ones((4, 2)),
+                       "lora_b": jnp.zeros((2, 4))}}
+    tx, _ = build_optimizer(
+        params,
+        {"type": "adam_w", "params": {"lr": 0.1, "weight_decay": 0.1},
+         "frozen_params": ["tower.*"]},
+        {})
+    state = tx.init(params)
+    # no m/v allocated under the frozen tower
+    leaves = jax.tree_util.tree_leaves(state)
+    n_tower_like = sum(1 for l in leaves
+                       if hasattr(l, "shape") and l.shape == (4, 4))
+    assert n_tower_like == 0
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    # frozen: exactly zero update (weight decay must NOT leak onto the
+    # frozen tower — stop_gradient alone would still decay it under adamw)
+    np.testing.assert_array_equal(np.asarray(updates["tower"]["kernel"]), 0.0)
+    assert float(jnp.abs(updates["lora"]["lora_a"]).sum()) > 0.0
+
+
+def test_frozen_params_with_accumulation():
+    """frozen_params composes with MultiSteps: no accumulators on frozen
+    leaves, trainable trajectory identical to an unfrozen-path run where the
+    frozen grads happen to be zero."""
+    params = {"tower": {"kernel": jnp.ones((4, 4))},
+              "head": {"kernel": jnp.ones((4, 4))}}
+    tx, _ = build_optimizer(
+        params,
+        {"type": "adam_w", "params": {"lr": 0.1},
+         "frozen_params": [r"tower/.*"]},
+        {"gradient_accumulation_steps": 2})
+    state = tx.init(params)
+    leaves_with_shape = [l for l in jax.tree_util.tree_leaves(state)
+                         if hasattr(l, "shape") and l.shape == (4, 4)]
+    # adam m+v + MultiSteps accumulator on head ONLY = 3 tensors
+    assert len(leaves_with_shape) == 3
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    p = params
+    for _ in range(2):
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+    np.testing.assert_array_equal(np.asarray(p["tower"]["kernel"]), 1.0)
+    assert not np.allclose(np.asarray(p["head"]["kernel"]), 1.0)
