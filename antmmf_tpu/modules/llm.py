@@ -98,6 +98,28 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
+def rope_cos_sin(
+    positions: jnp.ndarray,  # int[B, L]
+    head_dim: int,
+    theta: float = 10000.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) tables [B, 1, L, D] f32 for 1D rotary positions. Computed
+    ONCE per forward at the DecoderLM level and shared by every layer's q/k
+    — per-layer recomputation is pure VPU transcendental work (44 redundant
+    cos/sin evaluations on a 22-layer model, recomputed again in the remat
+    backward), measurable against MFU on the 3D path."""
+    inv = rope_frequencies(head_dim, theta)  # [D/2]
+    freqs = positions[:, :, None].astype(jnp.float32) * inv  # [B, L, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope_cs(x: jnp.ndarray, cos: jnp.ndarray,
+                  sin: jnp.ndarray) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+
 def apply_rope(
     x: jnp.ndarray,  # [B, H, L, D]
     positions: jnp.ndarray,  # int[B, L] or float
@@ -106,13 +128,8 @@ def apply_rope(
     """Rotary embedding in the LLaMA/HF rotate-half convention (channel j
     pairs with j+D/2) — exact weight compatibility with reference
     checkpoints (modeling_llama_3d.py:191-240)."""
-    D = x.shape[-1]
-    inv = rope_frequencies(D, theta)  # [D/2]
-    freqs = positions[:, :, None].astype(jnp.float32) * inv  # [B, L, D/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
-    cos, sin = jnp.cos(emb), jnp.sin(emb)
-    xf = x.astype(jnp.float32)
-    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+    cos, sin = rope_cos_sin(positions, x.shape[-1], theta)
+    return apply_rope_cs(x, cos, sin)
 
 
 def mrope_sections(half: int) -> tuple:
@@ -120,6 +137,29 @@ def mrope_sections(half: int) -> tuple:
     (16/24/24 of 64): h = w = round(3·half/8), t = the remainder."""
     hw = max(1, round(3 * half / 8))
     return (half - 2 * hw, hw, hw)
+
+
+def rope_cos_sin_3d(
+    positions: jnp.ndarray,  # int[B, L, 3]
+    head_dim: int,
+    theta: float = 10000.0,
+    sections: Optional[tuple] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cos, sin) tables [B, 1, L, D] f32 for 3D mrope positions (see
+    apply_rope_3d); hoisted per-forward like rope_cos_sin."""
+    half = head_dim // 2
+    sections = tuple(sections) if sections else mrope_sections(half)
+    assert sum(sections) == half, (sections, half)
+    inv = rope_frequencies(head_dim, theta)  # [half]
+    # per-axis angles [3, B, L, half]
+    fa = jnp.stack([positions[..., a][:, :, None].astype(jnp.float32) * inv
+                    for a in range(3)])
+    axis_idx = np.concatenate([np.full(s, i % 3) for i, s in
+                               enumerate(sections)])  # [half], static
+    onehot = jax.nn.one_hot(axis_idx, 3, dtype=jnp.float32).T  # [3, half]
+    freqs = (fa * onehot[:, None, None, :]).sum(axis=0)  # [B, L, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
+    return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rope_3d(
@@ -134,22 +174,8 @@ def apply_rope_3d(
     split into ``sections`` bands whose angles come from the temporal /
     height / width position streams respectively (band i ← axis i mod 3);
     rotate-half application as in 1D."""
-    D = x.shape[-1]
-    half = D // 2
-    sections = tuple(sections) if sections else mrope_sections(half)
-    assert sum(sections) == half, (sections, half)
-    inv = rope_frequencies(D, theta)  # [half]
-    # per-axis angles [3, B, L, half]
-    fa = jnp.stack([positions[..., a][:, :, None].astype(jnp.float32) * inv
-                    for a in range(3)])
-    axis_idx = np.concatenate([np.full(s, i % 3) for i, s in
-                               enumerate(sections)])  # [half], static
-    onehot = jax.nn.one_hot(axis_idx, 3, dtype=jnp.float32).T  # [3, half]
-    freqs = (fa * onehot[:, None, None, :]).sum(axis=0)  # [B, L, half]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None]  # [B, 1, L, D]
-    cos, sin = jnp.cos(emb), jnp.sin(emb)
-    xf = x.astype(jnp.float32)
-    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+    cos, sin = rope_cos_sin_3d(positions, x.shape[-1], theta, sections)
+    return apply_rope_cs(x, cos, sin)
 
 
 class GQAttention(nn.Module):
@@ -186,6 +212,7 @@ class GQAttention(nn.Module):
         deterministic: bool = True,
         cache: Optional[Dict[str, jnp.ndarray]] = None,  # {"k","v"} [B,kvh,T,d]
         decode_pos: Optional[jnp.ndarray] = None,  # int[B] decode slot
+        rope_cs: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         B, L, C = x.shape
         n_kv = self.num_kv_heads or self.num_heads
@@ -218,9 +245,13 @@ class GQAttention(nn.Module):
         k = heads(maybe_lora(dense(kvf, "k_proj")(x), x, kvf, "k"), n_kv)
         v = heads(maybe_lora(dense(kvf, "v_proj")(x), x, kvf, "v"), n_kv)
 
-        rope = apply_rope_3d if self.rope_3d else apply_rope
-        q = rope(q, positions, self.rope_theta)
-        k = rope(k, positions, self.rope_theta)
+        if rope_cs is None:  # standalone use; DecoderLM hoists the tables
+            rope_cs = (rope_cos_sin_3d(positions, head_dim, self.rope_theta)
+                       if self.rope_3d
+                       else rope_cos_sin(positions, head_dim,
+                                         self.rope_theta))
+        q = apply_rope_cs(q, *rope_cs)
+        k = apply_rope_cs(k, *rope_cs)
 
         new_cache = None
         k_scale_row = v_scale_row = None  # int8-cache scale rows [B, H, 1, T]
@@ -429,7 +460,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, bias=None, deterministic: bool = True,
-                 cache=None, decode_pos=None):
+                 cache=None, decode_pos=None, rope_cs=None):
         h = RMSNorm(dtype=self.dtype, name="input_norm")(x)
         if self.adapter_dim:
             h = SerialAdapter(hidden_dim=self.adapter_dim,
@@ -442,7 +473,8 @@ class DecoderLayer(nn.Module):
             lora_freeze_base=self.lora_freeze_base,
             lora_targets=self.lora_targets, dtype=self.dtype,
             name="attention")(h, positions, bias, deterministic,
-                              cache=cache, decode_pos=decode_pos)
+                              cache=cache, decode_pos=decode_pos,
+                              rope_cs=rope_cs)
         new_cache = None
         if cache is not None:
             attn_out, new_cache = attn_out
@@ -515,6 +547,14 @@ class DecoderLM(nn.Module):
                 bias = bias + pad
         x = embeds
         new_cache = [] if cache is not None else None
+        # rope cos/sin hoisted: ONE transcendental evaluation per forward
+        # shared by all layers' q/k (and saved across the remat boundary —
+        # under nn.remat a per-layer table would be recomputed 2x per layer
+        # in the backward as well)
+        head_dim = embeds.shape[-1] // self.num_heads
+        rope_cs = (rope_cos_sin_3d(positions, head_dim, self.rope_theta)
+                   if self.rope_3d
+                   else rope_cos_sin(positions, head_dim, self.rope_theta))
         # deterministic (index 4; 0 = the module) is the only non-array arg
         # on the cache-free path
         layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
@@ -533,10 +573,12 @@ class DecoderLM(nn.Module):
             )
             if cache is not None:
                 x, lc = layer(x, positions, bias, deterministic,
-                              cache=cache[i], decode_pos=decode_pos)
+                              cache=cache[i], decode_pos=decode_pos,
+                              rope_cs=rope_cs)
                 new_cache.append(lc)
             else:
-                x = layer(x, positions, bias, deterministic)
+                x = layer(x, positions, bias, deterministic,
+                          rope_cs=rope_cs)
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
         if cache is not None:
             return x, new_cache

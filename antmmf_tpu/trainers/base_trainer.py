@@ -320,11 +320,14 @@ class BaseTrainer:
 
         # Multi-step dispatch windows: scan K stacked batches inside ONE jit
         # so the host dispatches once per window (the training analog of the
-        # serving engine's decode windows — per-step Python dispatch is the
-        # reference's loop structure, base_trainer.py:545-675, and costs
-        # ~30% on a remote-attached chip: BASELINE.md round-2 "fully synced
-        # per step"). Numerics are exactly K sequential steps: per-step rngs
-        # fold state.step, and MoCo queues/batch stats thread functionally.
+        # serving engine's decode windows). MEASURED (BASELINE.md round-4
+        # windows table): pipelined per-step dispatch already hides relay
+        # latency (393 vs 391 clips/s at K=4 — within noise); the ~30%
+        # penalty exists only when each step host-syncs (284 clips/s), so
+        # windows pay off exactly when per-step readback is forced (per-step
+        # logging/metrics). Numerics are exactly K sequential steps:
+        # per-step rngs fold state.step, and MoCo queues/batch stats thread
+        # functionally.
         self.steps_per_dispatch = max(
             1, int(self.tp.get("steps_per_dispatch", 1)))
         if self.steps_per_dispatch > 1:

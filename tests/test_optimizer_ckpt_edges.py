@@ -248,3 +248,35 @@ def test_frozen_params_with_accumulation():
         p = optax.apply_updates(p, updates)
     np.testing.assert_array_equal(np.asarray(p["tower"]["kernel"]), 1.0)
     assert not np.allclose(np.asarray(p["head"]["kernel"]), 1.0)
+
+
+def test_frozen_params_checkpoint_roundtrip(tmp_path):
+    """MaskedNode optimizer state (frozen_params) survives Orbax
+    save/restore and the restored state can keep training — the
+    preemption/resume path for the 7B LoRA configs."""
+    from antmmf_tpu.common.configuration import convert_to_config
+
+    params = {"tower": {"kernel": jnp.ones((4, 4))},
+              "head": {"kernel": jnp.ones((4, 4))}}
+    tx, _ = build_optimizer(
+        params, {"type": "adam_w", "params": {"lr": 0.1},
+                 "frozen_params": ["tower/.*"]}, {})
+    state = TrainState.create({"params": params}, tx, jax.random.PRNGKey(0))
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = state.apply_gradients(grads, tx)
+
+    cfg = convert_to_config(
+        {"training_parameters": {"save_dir": str(tmp_path)}})
+    ck = Checkpoint(cfg)
+    path = ck.save(state, iteration=1)
+    restored, ok = ck.restore_state(state, path)
+    assert ok
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]))
+    after = restored.apply_gradients(grads, tx)
+    # frozen subtree still pinned, trainable subtree still moving
+    np.testing.assert_array_equal(
+        np.asarray(after.params["tower"]["kernel"]), 1.0)
+    assert not np.allclose(np.asarray(after.params["head"]["kernel"]),
+                           np.asarray(restored.params["head"]["kernel"]))
