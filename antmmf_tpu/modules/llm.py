@@ -201,6 +201,10 @@ class GQAttention(nn.Module):
     lora_freeze_base: bool = True
     lora_targets: Tuple[str, ...] = ("q", "v")
     use_pallas: bool = True
+    # decoder self-attention: apply causal masking INSIDE this module (bias
+    # is then key-padding only) — a fused iota comparison or the flash
+    # kernel's block skipping, never a materialized [L, L] mask
+    causal: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -332,17 +336,29 @@ class GQAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
+        if self.causal and decode_pos is None:
+            # causality applied HERE via a fused iota comparison, so no
+            # caller ever materializes (or constant-folds) an [L, L] mask —
+            # at 16k vision tokens that tensor is 1 GB of f32 and broke the
+            # long-video compile. ``bias`` is key-padding only [B, 1, 1, L].
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, L), 2)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, L), 3)
+            causal_bias = jnp.where(rows >= cols, 0.0, -1e30)
+        else:
+            causal_bias = None
+
         use_flash = (
             self.use_pallas
             and jax.default_backend() in ("tpu", "axon")
             and L * L >= 3072 * 3072
             and head_dim in (64, 128)
+            and (self.causal or bias is None or bias.shape[2] == 1)
         )
         if use_flash:
             from antmmf_tpu.ops.pallas.flash_attention import flash_attention
 
-            # DecoderLM's bias = causal + key padding; the kernel applies the
-            # causal part itself, so pass only the key-padding row
+            # the kernel applies causality itself (block-skipped lower
+            # triangle); pass only the key-padding row
             kv_bias = bias[:, 0, -1, :] if bias is not None else None
             out = flash_attention(q, k, v, bias=kv_bias, causal=True)
         elif grouped:
@@ -369,6 +385,8 @@ class GQAttention(nn.Module):
             logits = logits * (head_dim ** -0.5)
             if bias is not None:
                 logits = logits + bias
+            if causal_bias is not None:
+                logits = logits + causal_bias
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(
                 self.dtype)
             if v_scale_row is not None:  # fold value scales into probs
@@ -456,6 +474,9 @@ class DecoderLayer(nn.Module):
     adapter_dim: int = 0
     adapter_mlp: bool = False
     adapter_non_linear: bool = False
+    # causal masking applied inside GQAttention (never a caller-side [L, L]
+    # mask); True for decoder LMs
+    causal: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -471,7 +492,8 @@ class DecoderLayer(nn.Module):
             rope_theta=self.rope_theta, rope_3d=self.rope_3d,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             lora_freeze_base=self.lora_freeze_base,
-            lora_targets=self.lora_targets, dtype=self.dtype,
+            lora_targets=self.lora_targets, causal=self.causal,
+            dtype=self.dtype,
             name="attention")(h, positions, bias, deterministic,
                               cache=cache, decode_pos=decode_pos,
                               rope_cs=rope_cs)
@@ -538,13 +560,14 @@ class DecoderLM(nn.Module):
         if cache is not None and decode_pos is not None:
             bias = None  # attention builds the cache-validity bias itself
         else:
-            causal = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0, -1e30)[
-                None, None].astype(jnp.float32)
-            bias = causal
+            # key-padding only [B, 1, 1, L]; causality is applied inside
+            # GQAttention (fused iota comparison / the flash kernel's block
+            # skipping, via the layers' causal=True field) — an explicit
+            # [L, L] mask here is 1 GB of f32 at 16k-token video streams
+            bias = None
             if attention_mask is not None:
-                pad = jnp.where(attention_mask[:, None, None, :] > 0,
-                                0.0, -1e30)
-                bias = bias + pad
+                bias = jnp.where(attention_mask[:, None, None, :] > 0,
+                                 0.0, -1e30).astype(jnp.float32)
         x = embeds
         new_cache = [] if cache is not None else None
         # rope cos/sin hoisted: ONE transcendental evaluation per forward
@@ -569,7 +592,7 @@ class DecoderLM(nn.Module):
                 lora_targets=self.lora_targets, lora_mlp=self.lora_mlp,
                 adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
                 adapter_non_linear=self.adapter_non_linear,
-                dtype=self.dtype, name=f"layer_{i}",
+                causal=True, dtype=self.dtype, name=f"layer_{i}",
             )
             if cache is not None:
                 x, lc = layer(x, positions, bias, deterministic,

@@ -273,7 +273,7 @@ def main() -> None:
             res = run_leg(leg.strip(), batch, text_len, bool(args.remat),
                           bool(args.frozen_bf16), steps, warmup, on_tpu)
         except Exception as e:  # record OOM / compile failures per leg
-            res = {"leg": leg, "error": f"{type(e).__name__}: {e}"[:400]}
+            res = {"leg": leg, "error": f"{type(e).__name__}: {e}"[:2500]}
         gc.collect()  # drop the previous leg's device arrays before the next
         print(json.dumps(res), flush=True)
 
