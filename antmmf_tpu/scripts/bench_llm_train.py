@@ -107,6 +107,29 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
         model_key = "m2_omni"
         is_trainable = lambda k: any(  # noqa: E731
             t in k for t in ("lora", "vision_proj", "audio_proj"))
+    elif leg.startswith("qlora"):
+        # QLoRA-class capacity leg: a 7B-CLASS decoder finetunes on ONE
+        # 16 GB chip — the frozen base exists only int4-packed (QuantDense
+        # consumes the packed siblings; inside the remat'd layers the
+        # unpack is transient and recomputed in backward), LoRA adapters
+        # train in fp32. Weights are synthesized directly in quantized form
+        # from eval_shape (a 30 GB fp32 init cannot exist on-chip) —
+        # throughput/memory are real, loss values are noise. The reference
+        # finetunes this model class on A100-80GB nodes
+        # (prj/Pink/scripts/stage2.sh).
+        preset = leg.split(":", 1)[1] if ":" in leg else (
+            "omni_7b" if on_tpu else "omni_tiny_test")
+        attrs = {
+            "lm_preset": preset,
+            "vit_preset": "vit_base_patch16" if on_tpu else "vit_tiny_test",
+            "image_size": size, "lora_rank": 8, "lora_decoder": True,
+            "lora_freeze_base": True, "remat": True,
+            "dtype_str": "bfloat16" if on_tpu else "float32",
+        }
+        model_key = "pink"
+        is_trainable = lambda k: any(  # noqa: E731
+            t in k for t in ("lora", "adapter", "vision_proj",
+                             "output_adapter"))
     elif leg.startswith("longvideo"):
         # SURVEY §5 long-context obligation: a dense-sampled video spliced
         # into the causal decoder (8k–16k vision tokens) — the regime the
@@ -175,18 +198,48 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
         tiny["video_data"] = host_batch["video_data"][:1, :1]
     else:
         tiny["image_data"] = host_batch["image_data"][:1]
-    variables = shell.init(jax.random.PRNGKey(0), tiny)
-    params = variables["params"]
-    train_flat, frozen_flat = partition_params(params, is_trainable)
-    del variables, params
+    qlora = leg.startswith("qlora")
+    if qlora:
+        # no full-precision tree EVER exists: shapes from eval_shape, the
+        # frozen subtree synthesized directly int4-packed, trainable leaves
+        # host-initialized with their flax schemes
+        from flax import traverse_util
+
+        from antmmf_tpu.predictors.quantization import synth_quantized_like
+
+        shapes = jax.eval_shape(
+            lambda r, b: shell.init(r, b), jax.random.PRNGKey(0), tiny)
+        train_shapes, frozen_shapes = partition_params(
+            shapes["params"], is_trainable)
+        synth = synth_quantized_like(
+            traverse_util.unflatten_dict(frozen_shapes, sep="/"),
+            # tiny CPU smoke must still exercise the packed-consumption path
+            min_size=4096 if on_tpu else 64)
+        frozen_flat = traverse_util.flatten_dict(synth, sep="/")
+        hrng = np.random.default_rng(0)
+        train_flat = {
+            k: (np.zeros(s.shape, np.float32) if k.endswith("lora_b")
+                else (hrng.standard_normal(s.shape) * 0.02
+                      ).astype(np.float32))
+            for k, s in train_shapes.items()}
+        n_train = count(train_flat)
+        n_frozen = count({k: v for k, v in frozen_flat.items()})
+    else:
+        variables = shell.init(jax.random.PRNGKey(0), tiny)
+        params = variables["params"]
+        train_flat, frozen_flat = partition_params(params, is_trainable)
+        del variables, params
+        n_train, n_frozen = count(train_flat), count(frozen_flat)
     if frozen_bf16:
         # bf16 residency for the frozen base (every matmul already computes
         # in bf16 via flax dtype casts); drop the f32 originals immediately
-        # so peak device memory is 1.5x the base, not 2x+
+        # so peak device memory is 1.5x the base, not 2x+. int4 records'
+        # group scales stay f32 (tiny; bf16 scales cost real quality)
         frozen_flat = {k: (v.astype(jnp.bfloat16)
-                           if v.dtype == jnp.float32 else v)
+                           if (hasattr(v, "dtype")
+                               and v.dtype == jnp.float32
+                               and not k.endswith("scale")) else v)
                        for k, v in frozen_flat.items()}
-    n_train, n_frozen = count(train_flat), count(frozen_flat)
 
     tx = optax.adamw(2e-5, weight_decay=0.0)
     opt_state = tx.init(train_flat)
@@ -199,10 +252,19 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
             else (size // 16) ** 2
         stream_len = n_vis + text_len
 
+    if qlora:
+        from antmmf_tpu.predictors.quantization import make_live_vars
+
     def train_step(train_flat, opt_state, frozen_flat, batch, key):
         def loss_of(tf_):
             merged = merge_params(tf_, frozen_flat)
-            out = shell.apply({"params": merged}, batch, deterministic=False,
+            vars_ = {"params": merged}
+            if qlora:
+                # packed records route into QuantDense siblings; everything
+                # else dequantizes transiently INSIDE the remat'd layers
+                # (recomputed in backward — never num_layers live copies)
+                vars_ = make_live_vars(vars_, jnp.bfloat16)(False)
+            out = shell.apply(vars_, batch, deterministic=False,
                               rngs={"dropout": key})
             return out["losses"]["lm_loss"]
 
@@ -228,8 +290,11 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
 
     fl = flops_of(step, train_flat, opt_state, frozen_flat, dev_batch, key)
     achieved = fl / dt / 1e12
+    frozen_gb = sum(v.nbytes
+                    for v in jax.tree_util.tree_leaves(frozen_flat)) / 1e9
     return {
         "leg": leg, "remat": remat, "frozen_bf16": frozen_bf16,
+        "frozen_resident_gb": round(frozen_gb, 2),
         "batch": batch, "text_len": text_len, "stream_len": stream_len,
         "params_frozen_m": round(n_frozen / 1e6, 1),
         "params_trainable_m": round(n_train / 1e6, 2),
