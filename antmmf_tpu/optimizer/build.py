@@ -107,8 +107,12 @@ def build_lr_schedule(tp: Mapping[str, Any], base_lr: float):
     steps = [int(s) for s in (tp.get("lr_steps", []) or [])]
     ratio = float(tp.get("lr_ratio", 0.1))
     decay = str(tp.get("lr_decay", "step"))
-    horizon = int(tp.get("lr_decay_iterations",
-                         tp.get("max_iterations", 0)) or 0)
+    raw_horizon = tp.get("lr_decay_iterations",
+                         tp.get("max_iterations", 0)) or 0
+    # base.yml's max_iterations default is .inf (train-until-stopped):
+    # an unbounded horizon only matters to the cosine/linear decays, which
+    # degenerate to constant-lr — encode as 0 ("no horizon")
+    horizon = 0 if raw_horizon in (float("inf"),) else int(raw_horizon)
     min_ratio = float(tp.get("min_lr_ratio", 0.0))
     if decay not in ("step", "cosine", "linear"):
         raise ValueError(f"Unknown lr_decay {decay!r}")
