@@ -336,16 +336,17 @@ class GQAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=1)
             v = jnp.repeat(v, rep, axis=1)
 
-        if self.causal and decode_pos is None:
+        def causal_bias_or_none():
             # causality applied HERE via a fused iota comparison, so no
             # caller ever materializes (or constant-folds) an [L, L] mask —
-            # at 16k vision tokens that tensor is 1 GB of f32 and broke the
-            # long-video compile. ``bias`` is key-padding only [B, 1, 1, L].
+            # at 16k vision tokens that tensor is 1 GB of f32. Only built
+            # on the XLA core path (the flash kernel masks block-wise);
+            # ``bias`` is key-padding only [B, 1, 1, L].
+            if not (self.causal and decode_pos is None):
+                return None
             rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, L), 2)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L, L), 3)
-            causal_bias = jnp.where(rows >= cols, 0.0, -1e30)
-        else:
-            causal_bias = None
+            return jnp.where(rows >= cols, 0.0, -1e30)
 
         use_flash = (
             self.use_pallas
@@ -385,6 +386,7 @@ class GQAttention(nn.Module):
             logits = logits * (head_dim ** -0.5)
             if bias is not None:
                 logits = logits + bias
+            causal_bias = causal_bias_or_none()
             if causal_bias is not None:
                 logits = logits + causal_bias
             probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(

@@ -198,6 +198,275 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
+
+# ---------------------------------------------------------------------------
+# Resident-KV kernels (the pre-round-4 form): the FULL K/V (fwd/dq) or
+# Q/do (dk/dv) stream is staged in VMEM once per batch-head and reused across
+# every block of the other operand — zero re-DMA, full fori-loop skipping of
+# masked blocks. MEASURED 1.74x faster than the 3-D grid form at L=8192
+# (43.9 vs 76.2 ms, BASELINE.md round-4 flash table) but capped by VMEM:
+# compiles at 8192, crashes the compiler at 9664. The public entry points
+# select resident kernels up to _RESIDENT_MAX_L and the length-independent
+# grid kernels beyond.
+# ---------------------------------------------------------------------------
+
+_RESIDENT_MAX_L = 8192
+
+def _fwd_kernel_resident(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
+                block_k, causal):
+    q = q_ref[0]  # [BQ, D] — input dtype (bf16 on TPU: full-rate MXU)
+    Lk = k_ref.shape[1]
+    BQ = q.shape[0]
+    num_kb = Lk // block_k
+    qi = pl.program_id(1)
+    if causal:
+        # only k blocks intersecting the lower triangle of this q block
+        num_kb = jnp.minimum(num_kb,
+                             (qi * BQ + BQ + block_k - 1) // block_k)
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK] fp32
+        s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            rows = qi * BQ + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 0)
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ,), jnp.float32)
+    acc0 = jnp.zeros((BQ, q_ref.shape[2]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[:, None]
+
+
+def _dq_kernel_resident(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *, scale, block_k, causal):
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, 0]
+    delta = delta_ref[0][:, 0]
+    Lk = k_ref.shape[1]
+    BQ = q.shape[0]
+    num_kb = Lk // block_k
+    qi = pl.program_id(1)
+    if causal:
+        num_kb = jnp.minimum(num_kb,
+                             (qi * BQ + BQ + block_k - 1) // block_k)
+
+    def body(j, dq):
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            rows = qi * BQ + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 0)
+            cols = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (BQ, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, None]) * scale).astype(kb.dtype)
+        return dq + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_kb, body,
+                           jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel_resident(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, block_q, causal):
+    kb = k_ref[0]  # [BK, D]
+    vb = v_ref[0]
+    bias = bias_ref[0, 0]  # [BK]
+    Lq = q_ref.shape[1]
+    BK = kb.shape[0]
+    num_qb = Lq // block_q
+    ki = pl.program_id(1)
+    start_qb = (ki * BK) // block_q if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), 0]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), 0]
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias[None, :]
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, BK), 0)
+            cols = ki * BK + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, BK), 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])  # [BQ, BK] fp32
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, None]) * scale).astype(q.dtype)  # [BQ, BK]
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((kb.shape[0], kb.shape[1]), jnp.float32)
+    dv0 = jnp.zeros((vb.shape[0], vb.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(start_qb, num_qb, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+
+
+def _flash_fwd_resident(q, k, v, bias, scale, block_q, block_k, interpret, causal):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    Lq_p = Lq + ((-Lq) % block_q)
+    Lk_p = Lk + ((-Lk) % block_k)
+    qp = _pad_to(q, 2, block_q).reshape(B * H, Lq_p, D)
+    kp = _pad_to(k, 2, block_k).reshape(B * H, Lk_p, D)
+    vp = _pad_to(v, 2, block_k).reshape(B * H, Lk_p, D)
+    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)[:, None, :]  # [B, 1, Lk_p]
+
+    grid = (B * H, Lq_p // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_resident, scale=scale, block_k=block_k,
+                          causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_p), lambda bh, qi, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Lq_p, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p)
+    lse = lse[..., 0]
+    out = out.reshape(B, H, Lq_p, D)[:, :, :Lq]
+    lse = lse.reshape(B, H, Lq_p)[:, :, :Lq]
+    return out, lse
+
+
+def _flash_bwd_resident(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret,
+               causal):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    Lq_p = Lq + ((-Lq) % block_q)
+    Lk_p = Lk + ((-Lk) % block_k)
+    qp = _pad_to(q, 2, block_q).reshape(B * H, Lq_p, D)
+    kp = _pad_to(k, 2, block_k).reshape(B * H, Lk_p, D)
+    vp = _pad_to(v, 2, block_k).reshape(B * H, Lk_p, D)
+    dop = _pad_to(g, 2, block_q).reshape(B * H, Lq_p, D)
+    outp = _pad_to(out, 2, block_q).reshape(B * H, Lq_p, D)
+    # padded query rows: lse=0, delta=0, do=0 → p rows contribute 0 in dkv
+    lsep = _pad_to(lse, 2, block_q, value=0.0).reshape(B * H, Lq_p, 1)
+    bias_p = _pad_to(bias.astype(jnp.float32), 1, block_k, value=NEG_INF)[:, None, :]
+    delta = jnp.sum(dop.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_resident, scale=scale, block_k=block_k,
+                          causal=causal),
+        grid=(B * H, Lq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lk_p, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lk_p), lambda bh, qi, H=H: (bh // H, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq_p, D), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, dop, lsep, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_resident, scale=scale, block_q=block_q,
+                          causal=causal),
+        grid=(B * H, Lk_p // block_k),
+        in_specs=[
+            pl.BlockSpec((1, Lq_p, D), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda bh, ki, H=H: (bh // H, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq_p, D), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq_p, 1), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq_p, 1), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lk_p, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Lk_p, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, dop, lsep, delta)
+
+    dq = dq.reshape(B, H, Lq_p, D)[:, :, :Lq]
+    dk = dk.reshape(B, H, Lk_p, D)[:, :, :Lk]
+    dv = dv.reshape(B, H, Lk_p, D)[:, :, :Lk]
+    return dq, dk, dv
+
+
+
+
 def _k_index_maps(H: int, block_q: int, block_k: int, causal: bool):
     """(k/v, bias) index maps for (bh, qi, ki) grids. Under causal masking a
     dead block's index CLAMPS to the q block's last live k block, so Mosaic
@@ -219,6 +488,15 @@ def _k_index_maps(H: int, block_q: int, block_k: int, causal: bool):
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
+    Lq, Lk = q.shape[2], k.shape[2]
+    if max(Lq, Lk) <= _RESIDENT_MAX_L:
+        return _flash_fwd_resident(q, k, v, bias, scale, block_q, block_k,
+                                   interpret, causal)
+    return _flash_fwd_grid(q, k, v, bias, scale, block_q, block_k,
+                           interpret, causal)
+
+
+def _flash_fwd_grid(q, k, v, bias, scale, block_q, block_k, interpret, causal):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     Lq_p = Lq + ((-Lq) % block_q)
@@ -269,6 +547,16 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
 
 def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret,
                causal):
+    Lq, Lk = q.shape[2], k.shape[2]
+    if max(Lq, Lk) <= _RESIDENT_MAX_L:
+        return _flash_bwd_resident(q, k, v, bias, out, lse, g, scale,
+                                   block_q, block_k, interpret, causal)
+    return _flash_bwd_grid(q, k, v, bias, out, lse, g, scale, block_q,
+                           block_k, interpret, causal)
+
+
+def _flash_bwd_grid(q, k, v, bias, out, lse, g, scale, block_q, block_k,
+                    interpret, causal):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     Lq_p = Lq + ((-Lq) % block_q)

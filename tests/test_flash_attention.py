@@ -132,3 +132,38 @@ def test_small_attention_matches_xla():
                                        atol=2e-4)
     finally:
         pl.pallas_call = orig
+
+
+def test_grid_kernels_match_resident(monkeypatch):
+    """The long-sequence 3-D grid kernels (selected past _RESIDENT_MAX_L,
+    where the resident-KV form exceeds VMEM) must agree with the resident
+    form — forward AND gradients, causal and not."""
+    import antmmf_tpu.ops.pallas.flash_attention as fa
+
+    B, H, L, D = 1, 2, 192, 32
+    q, k, v = _rand((B, H, L, D), 3), _rand((B, H, L, D), 4), \
+        _rand((B, H, L, D), 5)
+    mask = jnp.ones((B, L)).at[:, L - 9:].set(0)
+
+    def run(causal):
+        def loss(q, k, v):
+            return fa.flash_attention(
+                q, k, v, bias=_kv_bias(mask), interpret=True,
+                block_q=64, block_k=64, causal=causal).sum()
+
+        out = fa.flash_attention(q, k, v, bias=_kv_bias(mask),
+                                 interpret=True, block_q=64, block_k=64,
+                                 causal=causal)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return out, grads
+
+    for causal in (False, True):
+        monkeypatch.setattr(fa, "_RESIDENT_MAX_L", 8192)
+        ref_out, ref_grads = run(causal)
+        monkeypatch.setattr(fa, "_RESIDENT_MAX_L", 64)  # force grid kernels
+        out, grads = run(causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   rtol=2e-5, atol=2e-5)
+        for g, rg in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(rg),
+                                       rtol=2e-4, atol=2e-4)
