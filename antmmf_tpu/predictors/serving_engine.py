@@ -613,14 +613,27 @@ class ContinuousBatchingEngine:
                             st["spos"], cache1, logits0, rope0, slot0, s)
         self._set_controls(s, rid, data)
         self._slot_start[s] = (rope0, slot0)
-        rest = ids[W:]
-        if rest.shape[0]:
-            chunks = [rest[i:i + W] for i in range(0, rest.shape[0], W)]
+        if n_valid > W:
+            # every chunk is EXACTLY W wide; the final chunk starts at
+            # n_valid - W and OVERLAPS the previous one — overlapped slots
+            # are rewritten with identical keys/values (same tokens, same
+            # positions), which is harmless, whereas a right-PADDED final
+            # chunk would need a W-wide cache write past the last slot and
+            # XLA's dynamic_update_slice CLAMPS the start index: the write
+            # lands at T - W and silently overwrites good history (measured:
+            # prompts at max_prompt_len corrupted slots T-W.. and flipped
+            # the first generated token)
+            starts = list(range(W, n_valid - W + 1, W))
+            if not starts or starts[-1] + W < n_valid:
+                starts.append(n_valid - W)
             self._slot_pending[s] = {
-                "rid": rid, "chunks": chunks,
-                # continuation point after chunk 0's valid tokens
-                "rope": int(np.asarray(rope0).reshape(-1)[0]),
-                "slot": int(np.asarray(slot0).reshape(-1)[0]),
+                "rid": rid,
+                "chunks": [(ids[st:st + W], st) for st in starts],
+                # continuation bases after chunk 0's W valid tokens; a chunk
+                # at text index st sits at base + (st - W)
+                "rope0": int(np.asarray(rope0).reshape(-1)[0]),
+                "slot0": int(np.asarray(slot0).reshape(-1)[0]),
+                "W0": W,
             }
             self._slot_req[s] = None  # not decodable until the prompt is in
 
@@ -642,25 +655,25 @@ class ContinuousBatchingEngine:
                 continue
             W = self.chunk
             st = self._state
+            last_end = None
             while pend["chunks"] and quota > 0:
-                chunk = pend["chunks"].pop(0)
-                n = chunk.shape[0]
-                tokens = np.zeros(W, np.int32)
-                tokens[:n] = chunk
-                mask = np.zeros(W, np.int32)
-                mask[:n] = 1
+                tokens, tstart = pend["chunks"].pop(0)
+                off = tstart - pend["W0"]
+                mask = np.ones(W, np.int32)  # chunks are exactly W valid
                 st["cache"], st["last_logits"], st["rope"], st["spos"] = \
                     self._extend_jit(
                         st["cache"], st["last_logits"], st["rope"],
                         st["spos"], jnp.asarray(tokens), jnp.asarray(mask),
-                        jnp.int32(pend["rope"]), jnp.int32(pend["slot"]),
+                        jnp.int32(pend["rope0"] + off),
+                        jnp.int32(pend["slot0"] + off),
                         jnp.int32(s), self.ad.variables)
-                pend["rope"] += n
-                pend["slot"] += n
+                last_end = tstart + W
                 quota -= 1
             if not pend["chunks"]:
+                off = last_end - pend["W0"]
                 self._slot_req[s] = pend["rid"]
-                self._slot_start[s] = (pend["rope"], pend["slot"])
+                self._slot_start[s] = (pend["rope0"] + off,
+                                       pend["slot0"] + off)
                 self._slot_pending[s] = None
 
     def _finish_cancelled(self, s: int, rid) -> None:

@@ -331,6 +331,37 @@ class TestChunkedPrefill:
             assert result["outputs"][rid] == want, (chunk, rid)
         assert result["ttft_p50"] > 0 and result["tpot_p50"] >= 0
 
+    def test_full_length_prompt_chunk_wider_than_headroom(self, pink_setup):
+        """Regression: a prompt at max_prompt_len whose FINAL chunk would be
+        right-padded to W forces a W-wide cache write past the last slot;
+        XLA's dynamic_update_slice CLAMPS the start and overwrites good
+        history (measured on-chip: first generated token flips). The engine
+        now overlaps the final chunk instead — tokens must equal
+        whole-prompt admission at the exact boundary."""
+        model, variables, _ = pink_setup
+        LPF, W, NEW = 12, 8, 2
+        rng = np.random.default_rng(9)
+        reqs = []
+        for i in range(3):
+            n = LPF if i != 1 else 5  # mix full-length and short
+            ids = np.zeros((LPF,), np.int32)
+            ids[:n] = rng.integers(5, 40, (n,))
+            reqs.append((f"b{i}", {
+                "input_ids": ids,
+                "input_mask": (np.arange(LPF) < n).astype(np.int32),
+                "image_data": rng.standard_normal((32, 32, 3)
+                                                  ).astype(np.float32)}))
+        ad = PinkAdapter(model, variables, max_prompt_len=LPF,
+                         max_new_tokens=NEW, has_image=True)
+        whole = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=NEW,
+                                         eos_id=EOS).run(reqs)
+        ad2 = PinkAdapter(model, variables, max_prompt_len=LPF,
+                          max_new_tokens=NEW, has_image=True)
+        chunked = ContinuousBatchingEngine(
+            ad2, slots=2, max_new_tokens=NEW, eos_id=EOS,
+            prefill_chunk=W).run(reqs)
+        assert chunked["outputs"] == whole["outputs"]
+
     def test_decode_proceeds_while_prefilling(self, pink_setup):
         """A decoding slot advances during another request's chunked
         prefill: after one step() with a long prompt still pending, the
