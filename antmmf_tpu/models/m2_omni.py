@@ -160,13 +160,17 @@ class M2Omni(BaseModel):
             # F.normalize (extract_image_feature, :652-660)
             self.vision_tower = build_qwen2_vit(
                 self.qwen2_preset, image_size=self.image_size,
-                lora_rank=self.vit_lora_rank, dtype=dtype)
+                lora_rank=self.vit_lora_rank, remat=self.remat, dtype=dtype)
             self.vision_proj = [nn.Dense(self.hidden, dtype=dtype,
                                          param_dtype=jnp.float32)
                                 for _ in range(self.mlp_depths)]
         elif self.visual_tower == "vit":
+            # model-level remat covers the tower too: at dense video
+            # sampling the frames fold into the tower batch (48+ frames)
+            # and the un-remat'd per-layer attention probs alone are
+            # ~0.9 GB/layer f32 — the long-video OOM
             self.vision_tower = VisionTransformer(
-                image_size=self.image_size, dtype=dtype,
+                image_size=self.image_size, dtype=dtype, remat=self.remat,
                 **dict(VIT_PRESETS[self.vit_preset]))
             self.vision_proj = nn.Dense(self.hidden, dtype=dtype,
                                         param_dtype=jnp.float32)
@@ -436,6 +440,50 @@ class M2Omni(BaseModel):
                 False).sum() / denom},
         }
 
+    def _lm_loss_chunked(self, hidden: jnp.ndarray, labels: jnp.ndarray,
+                         chunk: int = 2048) -> Dict[str, Any]:
+        """Numerically == ``_lm_loss(lm_head(hidden), labels)`` but the
+        [B, L, V] logits tensor never exists: the shifted stream is folded
+        into ``chunk``-token slices and ``lax.map`` computes per-slice
+        (masked nll sum, correct count, valid count); the mapped backward
+        recomputes per-slice logits, so fwd+bwd peak is O(B·chunk·V)."""
+        # the lm_head param must exist under init before we read it raw
+        _ = self.lm_head(hidden[:, :1])
+        w = self.lm_head.get_variable("params", "kernel")  # [C, V]
+        B, L, C = hidden.shape
+        h = hidden[:, :-1]
+        y = labels[:, 1:]
+        pad = (-h.shape[1]) % chunk
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad)), constant_values=-1)
+        n = h.shape[1] // chunk
+        h = h.reshape(B, n, chunk, C).transpose(1, 0, 2, 3)  # [n, B, W, C]
+        y = y.reshape(B, n, chunk).transpose(1, 0, 2)
+
+        @jax.checkpoint
+        def slice_stats(args):
+            # rematerialized: lax.map's backward otherwise SAVES each
+            # slice's [B, chunk, V] logits as scan residuals — ~6 GB at
+            # 9.9k tokens, defeating the point of chunking
+            hc, yc = args
+            logits = (hc.astype(self.lm_head.dtype)
+                      @ w.astype(self.lm_head.dtype)).astype(jnp.float32)
+            valid = yc >= 0
+            safe = jnp.where(valid, yc, 0)
+            logp = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+            hit = jnp.argmax(logits, -1) == safe
+            return (jnp.where(valid, nll, 0.0).sum(),
+                    jnp.where(valid, hit, False).sum(),
+                    valid.sum())
+
+        nll_s, hit_s, cnt_s = jax.lax.map(slice_stats, (h, y))
+        denom = jnp.maximum(cnt_s.sum(), 1)
+        return {
+            "losses": {"lm_loss": nll_s.sum() / denom},
+            "metrics": {"lm_acc": hit_s.sum() / denom},
+        }
+
     def _assemble_spliced(self, batch: Mapping[str, Any],
                           input_ids: jnp.ndarray,
                           deterministic: bool):
@@ -502,8 +550,22 @@ class M2Omni(BaseModel):
         hidden = self.decoder(embeds, positions,
                               text_mask.astype(jnp.int32),
                               deterministic=deterministic)
+        labels = batch.get("labels")
+        L, V = hidden.shape[1], self.vocab_size
+        if labels is not None and (L - 1) * V > 2 ** 28:
+            # long-stream training (dense-sampled video): full [B, L, V] f32
+            # logits are a multi-GB single buffer — 6 GB at 9.9k tokens ×
+            # 152k vocab, which crashes the TPU compiler outright (bisected:
+            # scripts/bench_longctx_bisect.py, 'decoder_loss' leg) and would
+            # dominate HBM even if it compiled. Compute the LM loss over
+            # fixed-width sequence chunks instead; logits are never
+            # materialized beyond [B, chunk, V] (fwd AND bwd — lax.map's
+            # backward is mapped too).
+            out = {"hidden": hidden}
+            out.update(self._lm_loss_chunked(hidden, labels))
+            return out
         logits = self.lm_head(hidden).astype(jnp.float32)
-        out: Dict[str, Any] = {"logits": logits, "hidden": hidden}
+        out = {"logits": logits, "hidden": hidden}
         out.update(self._lm_loss(logits, batch.get("labels")))
         return out
 

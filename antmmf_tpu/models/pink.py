@@ -106,7 +106,7 @@ class PinkModel(BaseModel):
                 f"{self.visual_tower!r}")
         if self.visual_tower == "eva":
             self.vision_tower = EvaVisionTransformer(
-                image_size=self.image_size, dtype=dtype,
+                image_size=self.image_size, dtype=dtype, remat=self.remat,
                 **dict(EVA_PRESETS[self.eva_preset]))
         else:
             vit_kwargs = dict(VIT_PRESETS[self.vit_preset])
@@ -119,7 +119,7 @@ class PinkModel(BaseModel):
             vit_kwargs["num_layers"] += self.clip_select_layer + 1
             self.vision_tower = VisionTransformer(
                 image_size=self.image_size, dtype=dtype, final_norm=False,
-                **vit_kwargs)
+                remat=self.remat, **vit_kwargs)
         if self.adapter_style == "pink" or self.lora_rank <= 0:
             # reference mm_projector: a plain Linear (pink.py:145); no
             # output adapter in the reference forward. lora_rank=0 means

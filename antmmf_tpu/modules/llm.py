@@ -584,6 +584,7 @@ class DecoderLM(nn.Module):
         # on the cache-free path
         layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
                      if self.remat and cache is None else DecoderLayer)
+        from antmmf_tpu.parallel.partitioning import shard_batch_dim
         for i in range(self.num_layers):
             layer = layer_cls(
                 num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
@@ -602,7 +603,10 @@ class DecoderLM(nn.Module):
                               rope_cs=rope_cs)
                 new_cache.append(lc)
             else:
-                x = layer(x, positions, bias, deterministic,
+                # keep the remat-saved layer boundary SHARDED over the data
+                # axes (without the hint GSPMD's involuntary reshards around
+                # fsdp kernels leave it replicated per device)
+                x = layer(shard_batch_dim(x), positions, bias, deterministic,
                           rope_cs=rope_cs)
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
         if cache is not None:

@@ -41,6 +41,9 @@ class EvaVisionTransformer(nn.Module):
     dropout: float = 0.0
     layer_norm_eps: float = 1e-6
     use_pallas: bool = True
+    # rematerialize blocks (the long-video / big-batch memory knob: frames
+    # fold into the tower batch and per-layer attention probs dominate)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -65,14 +68,16 @@ class EvaVisionTransformer(nn.Module):
         x = x + pos.astype(x.dtype)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        layer_cls = (nn.remat(TransformerLayer, static_argnums=(4,))
+                     if self.remat else TransformerLayer)
         for i in range(self.num_layers):
-            x = TransformerLayer(
+            x = layer_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 dropout=self.dropout, activation="gelu_exact",
                 norm_style="pre", layer_norm_eps=self.layer_norm_eps,
                 use_pallas=self.use_pallas, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, None, None, deterministic)
         return x
 
 

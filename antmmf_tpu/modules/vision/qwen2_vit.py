@@ -145,6 +145,10 @@ class Qwen2VisionTransformer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_freeze_base: bool = True
+    # rematerialize each block (dense video sampling folds frames into the
+    # block batch; un-remat'd per-layer attention probs are the long-video
+    # OOM)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -190,8 +194,10 @@ class Qwen2VisionTransformer(nn.Module):
         freqs = vision_rope_freqs(hpos, wpos, head_dim)
 
         x = x.reshape(B * t, h * w, self.embed_dim)
+        block_cls = (nn.remat(Qwen2VisionBlock, static_argnums=(3,))
+                     if self.remat else Qwen2VisionBlock)
         for i in range(self.depth):
-            x = Qwen2VisionBlock(
+            x = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                 lora_freeze_base=self.lora_freeze_base,

@@ -25,6 +25,7 @@ import re
 from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 Rules = Sequence[Tuple[str, Optional[Sequence[Union[str, Sequence[str], None]]]]]
@@ -139,3 +140,30 @@ def validate_specs(params: Any, specs: Any, mesh: Mesh) -> List[str]:
                     f"by mesh axes {axes} (size {size})"
                 )
     return problems
+
+
+def shard_batch_dim(x: Any) -> Any:
+    """Constrain dim 0 (batch) over whichever data-parallel mesh axes exist
+    in the ambient mesh (``data``/``fsdp``), replicating the rest.
+
+    The annotation that keeps REMAT-SAVED activations stored sharded:
+    without it, GSPMD's involuntary reshards around fsdp-sharded kernels
+    leave each layer's saved boundary tensor REPLICATED per device — at 7B
+    scale that measured as ~50-65 GB/device of temp in the AOT accounting
+    (BASELINE.md round-4 AOT table). No-ops outside a mesh context and on
+    meshes without those axes; numerics are unchanged (sharding hint only).
+    """
+    try:
+        env = jax.sharding.get_abstract_mesh()
+        axes = tuple(a for a in ("data", "fsdp")
+                     if env is not None and a in (env.axis_names or ())
+                     and env.shape[a] > 1)
+    except Exception:
+        return x
+    if not axes or getattr(x, "ndim", 0) < 1:
+        return x
+    if x.shape[0] % int(np.prod([env.shape[a] for a in axes])):
+        return x
+    spec = PartitionSpec(axes if len(axes) > 1 else axes[0],
+                         *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)

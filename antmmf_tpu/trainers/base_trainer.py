@@ -314,9 +314,22 @@ class BaseTrainer:
             return scalars, keep
 
         donate = bool(self.tp.get("donate_state", True))
-        self._train_step = jax.jit(
-            train_step, donate_argnums=(0,) if donate else ())
-        self._eval_step = jax.jit(eval_step)
+
+        def _in_mesh(fn, mesh=self.mesh):
+            # trace/dispatch inside the mesh context so bare-PartitionSpec
+            # activation annotations bind (shard_batch_dim keeps remat-saved
+            # layer boundaries SHARDED; without the context they silently
+            # no-op and GSPMD stores them replicated — AOT measured
+            # ~50-65 GB/device of temp at 7B scale)
+            def wrapped(*a, **k):
+                with mesh:
+                    return fn(*a, **k)
+
+            return wrapped
+
+        self._train_step = _in_mesh(jax.jit(
+            train_step, donate_argnums=(0,) if donate else ()))
+        self._eval_step = _in_mesh(jax.jit(eval_step))
 
         # Multi-step dispatch windows: scan K stacked batches inside ONE jit
         # so the host dispatches once per window (the training analog of the
@@ -334,8 +347,8 @@ class BaseTrainer:
             def train_window(state: TrainState, stacked):
                 return jax.lax.scan(train_step, state, stacked)
 
-            self._train_window = jax.jit(
-                train_window, donate_argnums=(0,) if donate else ())
+            self._train_window = _in_mesh(jax.jit(
+                train_window, donate_argnums=(0,) if donate else ()))
 
     # ==================================================================== train
     def train(self) -> None:
