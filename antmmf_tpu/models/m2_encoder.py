@@ -154,16 +154,26 @@ class MultiwayTransformer(nn.Module):
     layer_norm_eps: float = 1e-5
     ffn_activation: str = "gelu"
     use_pallas: bool = True
+    # rematerialize each block (pod-scale pretraining batches don't fit
+    # otherwise); saved block boundaries stay sharded via shard_batch_dim
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, modality: int, bias=None, deterministic: bool = True,
                  text_len: int = 0):
+        from antmmf_tpu.parallel.partitioning import shard_batch_dim
+
         vl_start = self.vlffn_start_layer if self.vlffn_start_layer >= 0 \
             else max(0, self.num_layers - max(1, self.num_layers // 6))
         aux_total: Dict[str, jnp.ndarray] = {}
+        # modality / deterministic / text_len are static python args
+        block_cls = (nn.remat(MultiwayBlock, static_argnums=(2, 4, 5))
+                     if self.remat else MultiwayBlock)
         for i in range(self.num_layers):
-            x, aux = MultiwayBlock(
+            if self.remat:
+                x = shard_batch_dim(x)
+            x, aux = block_cls(
                 num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 num_ffn_experts=self.num_ffn_experts,
                 with_vlffn=(i >= vl_start),
@@ -217,6 +227,8 @@ class M2Encoder(BaseModel):
     layer_norm_eps: float = 1e-5
     ffn_activation: str = "gelu"
     use_pallas: bool = True
+    # block-level remat for pod-scale batches (see MultiwayTransformer)
+    remat: bool = False
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -240,7 +252,7 @@ class M2Encoder(BaseModel):
             layerscale_init=self.layerscale_init, dropout=self.dropout,
             layer_norm_eps=self.layer_norm_eps,
             ffn_activation=self.ffn_activation,
-            use_pallas=self.use_pallas, dtype=dtype)
+            use_pallas=self.use_pallas, remat=self.remat, dtype=dtype)
         self.image_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         self.text_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         if self.with_itm:
