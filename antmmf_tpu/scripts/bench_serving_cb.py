@@ -64,6 +64,10 @@ def main() -> None:
                         "Poisson test")
     p.add_argument("--cpu", action="store_true",
                    help="smoke run on host CPU (tiny preset recommended)")
+    p.add_argument("--dtype", default="bfloat16",
+                   help="model compute dtype; float32 pins the chunked-vs-"
+                        "whole admission token check exactly (bf16 near-ties "
+                        "on random-init weights can flip greedy tokens)")
     args = p.parse_args()
 
     if args.cpu:
@@ -75,7 +79,7 @@ def main() -> None:
 
     model = PinkModel(lm_preset=args.preset, vit_preset=args.vit_preset,
                       image_size=args.image_size, lora_rank=0,
-                      dtype_str="bfloat16")
+                      dtype_str=args.dtype)
     rng = jax.random.PRNGKey(0)
     Lp = args.prompt_len
     init_batch = {"input_ids": jnp.zeros((1, Lp), jnp.int32),
@@ -249,9 +253,27 @@ def main() -> None:
                 "ttft_p99_s": round(res["ttft_p99"], 3),
                 "tpot_p50_s": round(res["tpot_p50"], 4),
                 "tpot_p99_s": round(res["tpot_p99"], 4)}), flush=True)
-        same = outs["whole"] == outs["chunked"]
+        # per-request agreement, not a bare boolean: on bf16 TPU the
+        # overlapped final chunk recomputes identical tokens in a different
+        # matmul grouping, so cache entries differ in the last ulp and a
+        # greedy NEAR-TIE on random-init weights can flip downstream tokens
+        # (same phenomenon as the kv_int8 note, BASELINE round 3). Exact
+        # equality is pinned in f32 (tests/test_serving_engine.py chunk
+        # tests, and --dtype float32 on chip).
+        n_match, first_div = 0, {}
+        for rid in outs["whole"]:
+            a, b = outs["whole"][rid], outs["chunked"].get(rid)
+            if a == b:
+                n_match += 1
+            else:
+                div = next((i for i, (x, y) in enumerate(zip(a, b or []))
+                            if x != y), min(len(a), len(b or [])))
+                first_div[rid] = div
         print(json.dumps({"metric": "serving_poisson_tokens_equal",
-                          "equal": bool(same)}), flush=True)
+                          "equal": bool(n_match == len(outs["whole"])),
+                          "requests_matching": n_match,
+                          "requests": len(outs["whole"]),
+                          "first_divergence_idx": first_div}), flush=True)
 
     # -- static batches of S: every group decodes to its longest budget ----
     groups = [reqs[i:i + args.slots]
