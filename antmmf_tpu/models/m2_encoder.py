@@ -135,6 +135,66 @@ class MultiwayBlock(nn.Module):
         return x + out, aux
 
 
+def multiway_runs(num_layers: int, moe_layers, vl_start: int):
+    """Group consecutive blocks into maximal runs of identical static config
+    ``(with_vlffn, moe)`` — the scan segmentation: each run of length > 1
+    folds into one ``nn.scan`` body (params stacked under
+    ``blocks_{start}_{end}`` with a leading run-length dim), singletons stay
+    plain named blocks. Returns ``[(start, length, with_vlffn, moe), ...]``."""
+    moe_set = set(moe_layers or ())
+    runs = []
+    i = 0
+    while i < num_layers:
+        key = (i >= vl_start, i in moe_set)
+        j = i
+        while j < num_layers and (j >= vl_start, j in moe_set) == key:
+            j += 1
+        runs.append((i, j - i) + key)
+        i = j
+    return runs
+
+
+def stack_multiway_blocks(encoder_params, num_layers: int, moe_layers,
+                          vl_start: int):
+    """Convert per-block MultiwayTransformer params (``block_0..block_{N-1}``)
+    into the ``scan_layers`` layout: runs of identical blocks (see
+    ``multiway_runs``) become stacked ``blocks_{start}_{end}`` subtrees with
+    a leading run-length dim; singleton runs keep their ``block_i`` name.
+    Use after importing per-block external checkpoints (``convert_checkpoint
+    --arch m2_encoder / vlmo_multiway``) when the target sets
+    ``scan_layers: true``."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    out = {k: v for k, v in encoder_params.items()
+           if not (k.startswith("block_") and k.split("_")[1].isdigit())}
+    for start, n, _, _ in multiway_runs(num_layers, moe_layers, vl_start):
+        if n == 1:
+            out[f"block_{start}"] = encoder_params[f"block_{start}"]
+            continue
+        per = [encoder_params[f"block_{i}"] for i in range(start, start + n)]
+        out[f"blocks_{start}_{start + n - 1}"] = _jax.tree_util.tree_map(
+            lambda *leaves: _jnp.stack(leaves, axis=0), *per)
+    return out
+
+
+class _ScanMultiwayBody(MultiwayBlock):
+    """MultiwayBlock in scan calling convention: carry → (carry, aux) with
+    the static call args (modality / deterministic / text_len) moved onto
+    module attributes so the body stays remat-able under nn.scan without
+    static_argnums plumbing."""
+
+    modality: int = 0
+    text_len: int = 0
+    deterministic: bool = True
+
+    def __call__(self, carry, bias=None):
+        from antmmf_tpu.parallel.partitioning import shard_batch_dim
+
+        return super().__call__(shard_batch_dim(carry), self.modality, bias,
+                                self.deterministic, self.text_len)
+
+
 class MultiwayTransformer(nn.Module):
     embed_dim: int
     num_layers: int
@@ -157,6 +217,14 @@ class MultiwayTransformer(nn.Module):
     # rematerialize each block (pod-scale pretraining batches don't fit
     # otherwise); saved block boundaries stay sharded via shard_batch_dim
     remat: bool = False
+    # fold runs of identical blocks into nn.scan bodies (see multiway_runs):
+    # per-device temp becomes O(one block) of gathered fsdp weights/grads
+    # instead of O(whole stack) — a python loop lets XLA hoist every
+    # all-gather and keep all grads live (the 10B AOT evidence, BASELINE
+    # round 4). Params move under blocks_{start}_{end} with a leading
+    # run-length dim; stack imported per-block checkpoints with
+    # ``stack_multiway_blocks``.
+    scan_layers: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -167,6 +235,45 @@ class MultiwayTransformer(nn.Module):
         vl_start = self.vlffn_start_layer if self.vlffn_start_layer >= 0 \
             else max(0, self.num_layers - max(1, self.num_layers // 6))
         aux_total: Dict[str, jnp.ndarray] = {}
+        common = dict(
+            num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            num_ffn_experts=self.num_ffn_experts,
+            moe_num_experts=self.moe_num_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_dispatch_mode=self.moe_dispatch_mode,
+            layerscale_init=self.layerscale_init, dropout=self.dropout,
+            layer_norm_eps=self.layer_norm_eps,
+            ffn_activation=self.ffn_activation,
+            use_pallas=self.use_pallas, dtype=self.dtype)
+        if self.scan_layers:
+            for start, n, vlffn, moe in multiway_runs(
+                    self.num_layers, self.moe_layers, vl_start):
+                if n == 1:
+                    x, aux = MultiwayBlock(
+                        with_vlffn=vlffn, moe=moe, name=f"block_{start}",
+                        **common,
+                    )(shard_batch_dim(x), modality, bias, deterministic,
+                      text_len)
+                    for k, v in aux.items():
+                        aux_total[k] = aux_total.get(k, 0.0) + v
+                    continue
+                body_cls = (nn.remat(_ScanMultiwayBody, prevent_cse=False)
+                            if self.remat else _ScanMultiwayBody)
+                scanned = nn.scan(
+                    body_cls,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast,),
+                    length=n,
+                )(with_vlffn=vlffn, moe=moe, modality=modality,
+                  text_len=text_len, deterministic=deterministic,
+                  name=f"blocks_{start}_{start + n - 1}", **common)
+                x, aux = scanned(x, bias)
+                for k, v in aux.items():
+                    aux_total[k] = aux_total.get(k, 0.0) + jnp.sum(v)
+            x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                          name="final_norm")(x)
+            return x, aux_total
         # modality / deterministic / text_len are static python args
         block_cls = (nn.remat(MultiwayBlock, static_argnums=(2, 4, 5))
                      if self.remat else MultiwayBlock)
@@ -174,17 +281,8 @@ class MultiwayTransformer(nn.Module):
             if self.remat:
                 x = shard_batch_dim(x)
             x, aux = block_cls(
-                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                num_ffn_experts=self.num_ffn_experts,
-                with_vlffn=(i >= vl_start),
-                moe=(i in self.moe_layers),
-                moe_num_experts=self.moe_num_experts,
-                moe_capacity_factor=self.moe_capacity_factor,
-                moe_dispatch_mode=self.moe_dispatch_mode,
-                layerscale_init=self.layerscale_init, dropout=self.dropout,
-                layer_norm_eps=self.layer_norm_eps,
-                ffn_activation=self.ffn_activation,
-                use_pallas=self.use_pallas, dtype=self.dtype, name=f"block_{i}",
+                with_vlffn=(i >= vl_start), moe=(i in self.moe_layers),
+                name=f"block_{i}", **common,
             )(x, modality, bias, deterministic, text_len)
             for k, v in aux.items():
                 aux_total[k] = aux_total.get(k, 0.0) + v
@@ -229,6 +327,8 @@ class M2Encoder(BaseModel):
     use_pallas: bool = True
     # block-level remat for pod-scale batches (see MultiwayTransformer)
     remat: bool = False
+    # scan runs of identical blocks (see MultiwayTransformer.scan_layers)
+    scan_layers: bool = False
     dtype_str: str = "bfloat16"
 
     def setup(self) -> None:
@@ -252,7 +352,7 @@ class M2Encoder(BaseModel):
             layerscale_init=self.layerscale_init, dropout=self.dropout,
             layer_norm_eps=self.layer_norm_eps,
             ffn_activation=self.ffn_activation,
-            use_pallas=self.use_pallas, remat=self.remat, dtype=dtype)
+            use_pallas=self.use_pallas, remat=self.remat, scan_layers=self.scan_layers, dtype=dtype)
         self.image_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         self.text_proj = nn.Dense(self.embed_dim_out, use_bias=False, dtype=dtype)
         if self.with_itm:

@@ -127,6 +127,12 @@ class M2Omni(BaseModel):
     # modules/llm.DecoderLM.remat) — the memory knob for 1B-class LoRA
     # finetuning on a 16 GB chip; no effect on the cached decode paths
     remat: bool = False
+    # fold decoder layers into one nn.scan body (see
+    # modules/llm.DecoderLM.scan_layers) — the production-scale
+    # memory/compile structure; params live under decoder/layers/
+    # with a leading [num_layers] dim (stack imported per-layer
+    # checkpoints with modules.llm.stack_decoder_layers)
+    scan_layers: bool = False
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -150,7 +156,7 @@ class M2Omni(BaseModel):
             num_kv_heads=p["num_kv_heads"], rope_3d=True,
             lora_rank=self.llm_lora_rank,
             lora_targets=("q", "k", "v", "o") if all_tgt else ("q", "v"),
-            lora_mlp=all_tgt, remat=self.remat, dtype=dtype)
+            lora_mlp=all_tgt, remat=self.remat, scan_layers=self.scan_layers, dtype=dtype)
         if self.visual_tower == "qwen2":
             from antmmf_tpu.modules.vision.qwen2_vit import build_qwen2_vit
 

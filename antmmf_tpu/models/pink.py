@@ -67,6 +67,12 @@ class PinkModel(BaseModel):
     # modules/llm.DecoderLM.remat) — required to fit 1B-class instruction
     # tuning on a 16 GB chip; no effect on the cached decode paths
     remat: bool = False
+    # fold decoder layers into one nn.scan body (see
+    # modules/llm.DecoderLM.scan_layers) — the production-scale
+    # memory/compile structure; params live under decoder/layers/
+    # with a leading [num_layers] dim (stack imported per-layer
+    # checkpoints with modules.llm.stack_decoder_layers)
+    scan_layers: bool = False
     # int8 KV cache for serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
     # the bf16 cache (quantization), gate per deployment
@@ -99,7 +105,7 @@ class PinkModel(BaseModel):
             adapter_dim=self.adapter_dim if pink_style else 0,
             adapter_mlp=self.adapter_mlp,
             adapter_non_linear=self.adapter_non_linear,
-            remat=self.remat, dtype=dtype)
+            remat=self.remat, scan_layers=self.scan_layers, dtype=dtype)
         if self.visual_tower not in ("vit", "eva"):
             raise ValueError(
                 f"visual_tower must be 'vit' or 'eva', got "

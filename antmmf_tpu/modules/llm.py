@@ -11,7 +11,7 @@ split across head-dim thirds (the published 3D-RoPE scheme).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -44,7 +44,8 @@ Dtype = Any
 def init_decoder_cache(
     num_layers: int, batch: int, num_kv_heads: int, max_len: int,
     head_dim: int, dtype: Dtype = jnp.bfloat16, quantized: bool = False,
-) -> List[Dict[str, jnp.ndarray]]:
+    stacked: bool = False,
+) -> Union[List[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]]:
     """Zeroed per-layer KV cache pytree for ``DecoderLM`` decode.
 
     ``quantized=True`` stores k/v as int8 with one fp32 max-abs scale per
@@ -52,15 +53,24 @@ def init_decoder_cache(
     decode bottleneck at long context / many serving slots) and doubles the
     max context per HBM byte. Attention dequantizes by folding the scales
     into the logits/probs rows, so the only full-size cache op is the
-    int8→bf16 cast XLA fuses into the dot."""
+    int8→bf16 cast XLA fuses into the dot.
+
+    ``stacked=True`` (the ``scan_layers`` layout) returns ONE dict whose
+    arrays carry a leading ``[num_layers]`` dim — ``nn.scan`` slices a
+    layer's cache per iteration and restacks the updates."""
     shape = (batch, num_kv_heads, max_len, head_dim)
     if quantized:
         sshape = shape[:-1] + (1,)
-        return [{"k": jnp.zeros(shape, jnp.int8),
-                 "k_scale": jnp.zeros(sshape, jnp.float32),
-                 "v": jnp.zeros(shape, jnp.int8),
-                 "v_scale": jnp.zeros(sshape, jnp.float32)}
-                for _ in range(num_layers)]
+        one = lambda s=(): {  # noqa: E731
+            "k": jnp.zeros(s + shape, jnp.int8),
+            "k_scale": jnp.zeros(s + sshape, jnp.float32),
+            "v": jnp.zeros(s + shape, jnp.int8),
+            "v_scale": jnp.zeros(s + sshape, jnp.float32)}
+        return (one((num_layers,)) if stacked
+                else [one() for _ in range(num_layers)])
+    if stacked:
+        sh = (num_layers,) + shape
+        return {"k": jnp.zeros(sh, dtype), "v": jnp.zeros(sh, dtype)}
     return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(num_layers)]
 
@@ -518,6 +528,29 @@ class DecoderLayer(nn.Module):
         return out
 
 
+class _ScanDecoderBody(DecoderLayer):
+    """DecoderLayer in scan calling convention: ``(carry, cache_slice)`` →
+    ``(carry, new_cache_slice)`` with everything else broadcast. The cache
+    slice rides the scan's xs/ys axis (one layer per iteration); on the
+    cache-free training forward it is None and the ys leg is empty.
+    ``deterministic`` is a module ATTRIBUTE (not a call arg) so the body
+    stays remat-able without static_argnums plumbing through nn.scan's
+    broadcast tracing."""
+
+    deterministic: bool = True
+
+    def __call__(self, carry, cache=None, positions=None, bias=None,
+                 decode_pos=None, rope_cs=None):
+        from antmmf_tpu.parallel.partitioning import shard_batch_dim
+
+        out = super().__call__(
+            shard_batch_dim(carry), positions, bias, self.deterministic,
+            cache=cache, decode_pos=decode_pos, rope_cs=rope_cs)
+        if cache is not None:
+            return out  # (x, layer_cache) — scan restacks the ys leg
+        return out, None
+
+
 class DecoderLM(nn.Module):
     """Causal decoder over embedded inputs (token embedding handled by the
     caller so multimodal prefixes can be spliced in)."""
@@ -542,6 +575,17 @@ class DecoderLM(nn.Module):
     # that lets 1B-class training fit a 16 GB chip (attention logits alone
     # are [B, H, L, L] f32 per layer when L is below the flash crossover)
     remat: bool = False
+    # fold the layer stack into ONE nn.scan body (params carry a leading
+    # [num_layers] dim under "layers/"; the KV cache is the stacked dict of
+    # init_decoder_cache(stacked=True)). This is the production-scale
+    # memory/compile structure: combined with ``remat`` the backward
+    # re-gathers ONE layer's fsdp-sharded weights at a time and
+    # reduce-scatters its grads before the next, so per-device temp is
+    # O(one layer) instead of O(whole model) — a python loop lets XLA hoist
+    # every all-gather and keep all grads live (AOT-measured 65 GB/device
+    # for the 7B configs, BASELINE round 4). Keep OFF when importing
+    # per-layer external checkpoints (stack with ``stack_decoder_layers``).
+    scan_layers: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -580,23 +624,42 @@ class DecoderLM(nn.Module):
         rope_cs = (rope_cos_sin_3d(positions, head_dim, self.rope_theta)
                    if self.rope_3d
                    else rope_cos_sin(positions, head_dim, self.rope_theta))
+        common = dict(
+            num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
+            mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
+            rope_3d=self.rope_3d, lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_freeze_base=self.lora_freeze_base,
+            lora_targets=self.lora_targets, lora_mlp=self.lora_mlp,
+            adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
+            adapter_non_linear=self.adapter_non_linear,
+            causal=True, dtype=self.dtype)
+        if self.scan_layers:
+            # remat only the training forward — prefill/decode keep their
+            # activations (no backward exists); prevent_cse is safe under
+            # scan (iterations are already isolated)
+            body_cls = (nn.remat(_ScanDecoderBody, prevent_cse=False)
+                        if self.remat and cache is None else _ScanDecoderBody)
+            scanned = nn.scan(
+                body_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0 if cache is not None else nn.broadcast,
+                         nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast),
+                length=self.num_layers,
+            )(deterministic=deterministic, name="layers", **common)
+            x, new_cache = scanned(x, cache, positions, bias,
+                                   decode_pos, rope_cs)
+            x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
+            return (x, new_cache) if cache is not None else x
         # deterministic (index 4; 0 = the module) is the only non-array arg
         # on the cache-free path
         layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
                      if self.remat and cache is None else DecoderLayer)
         from antmmf_tpu.parallel.partitioning import shard_batch_dim
         for i in range(self.num_layers):
-            layer = layer_cls(
-                num_heads=self.num_heads, num_kv_heads=self.num_kv_heads,
-                mlp_ratio=self.mlp_ratio, rope_theta=self.rope_theta,
-                rope_3d=self.rope_3d, lora_rank=self.lora_rank,
-                lora_alpha=self.lora_alpha,
-                lora_freeze_base=self.lora_freeze_base,
-                lora_targets=self.lora_targets, lora_mlp=self.lora_mlp,
-                adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
-                adapter_non_linear=self.adapter_non_linear,
-                causal=True, dtype=self.dtype, name=f"layer_{i}",
-            )
+            layer = layer_cls(name=f"layer_{i}", **common)
             if cache is not None:
                 x, lc = layer(x, positions, bias, deterministic,
                               cache=cache[i], decode_pos=decode_pos,
@@ -615,9 +678,44 @@ class DecoderLM(nn.Module):
 
     def make_cache(self, batch: int, max_len: int, hidden: int,
                    dtype: Dtype = None, quantized: bool = False,
-                   ) -> List[Dict[str, jnp.ndarray]]:
+                   ) -> Union[List[Dict[str, jnp.ndarray]],
+                              Dict[str, jnp.ndarray]]:
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = hidden // self.num_heads
         return init_decoder_cache(self.num_layers, batch, n_kv, max_len,
                                   head_dim, dtype or self.dtype,
-                                  quantized=quantized)
+                                  quantized=quantized,
+                                  stacked=self.scan_layers)
+
+
+def stack_decoder_layers(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a per-layer DecoderLM param dict (``layer_0..layer_{N-1}`` +
+    ``final_norm``) into the ``scan_layers`` layout (ONE ``layers`` subtree
+    whose leaves carry a leading ``[N]`` dim). Use after importing external
+    per-layer checkpoints (``convert_checkpoint``) when the target config
+    sets ``scan_layers: true``; ``unstack_decoder_layers`` is the inverse."""
+    idx = sorted(int(k.split("_")[1]) for k in decoder_params
+                 if k.startswith("layer_") and k.split("_")[1].isdigit())
+    if not idx:
+        return dict(decoder_params)
+    per_layer = [decoder_params[f"layer_{i}"] for i in idx]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0), *per_layer)
+    out = {k: v for k, v in decoder_params.items()
+           if not (k.startswith("layer_") and k.split("_")[1].isdigit())}
+    out["layers"] = stacked
+    return out
+
+
+def unstack_decoder_layers(decoder_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of ``stack_decoder_layers``: split the stacked ``layers``
+    subtree back into per-layer ``layer_i`` names (loop layout)."""
+    if "layers" not in decoder_params:
+        return dict(decoder_params)
+    stacked = decoder_params["layers"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out = {k: v for k, v in decoder_params.items() if k != "layers"}
+    for i in range(n):
+        out[f"layer_{i}"] = jax.tree_util.tree_map(
+            lambda leaf, i=i: leaf[i], stacked)
+    return out

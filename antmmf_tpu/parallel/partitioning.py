@@ -33,6 +33,12 @@ Rules = Sequence[Tuple[str, Optional[Sequence[Union[str, Sequence[str], None]]]]
 # Sensible defaults: FSDP-shard every large matmul kernel over `fsdp`, replicate
 # biases/scales. With fsdp=1 these all collapse to full replication.
 DEFAULT_RULES: Rules = (
+    # scan_layers layouts (nn.scan over the layer stack, params under a
+    # "layers/" subtree) carry a leading [num_layers] dim: shard the FIRST
+    # FEATURE dim over fsdp, never the layer dim (a layer-dim shard would
+    # turn every scan iteration's parameter slice into a cross-device
+    # gather of a 1/fsdp-resident slab)
+    (r"(.*/)?layers/.*(kernel|embedding)$", (None, "fsdp", None)),
     (r".*(kernel|embedding)$", ("fsdp", None)),
     (r".*", None),
 )
