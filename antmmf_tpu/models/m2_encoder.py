@@ -178,6 +178,43 @@ def stack_multiway_blocks(encoder_params, num_layers: int, moe_layers,
     return out
 
 
+def stack_multiway_blocks_auto(encoder_params):
+    """``stack_multiway_blocks`` without the model config: the run
+    segmentation is inferred from each block's param STRUCTURE (vlffn adds
+    the expert-2 ffn/norm params, moe swaps the ffn for ``moe_ffn``), which
+    determines ``(with_vlffn, moe)`` exactly — consecutive ``block_i`` with
+    identical leaf paths+shapes fold into one stacked run. Used by
+    ``convert_checkpoint --scan_layers`` where only the checkpoint exists."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    idx = sorted(int(k.split("_")[1]) for k in encoder_params
+                 if k.startswith("block_") and k.split("_")[1].isdigit())
+
+    def sig(tree):
+        return tuple(sorted(
+            (_jax.tree_util.keystr(p), tuple(v.shape))
+            for p, v in _jax.tree_util.tree_flatten_with_path(tree)[0]))
+
+    out = {k: v for k, v in encoder_params.items()
+           if not (k.startswith("block_") and k.split("_")[1].isdigit())}
+    i = 0
+    while i < len(idx):
+        j = i
+        s = sig(encoder_params[f"block_{idx[i]}"])
+        while (j + 1 < len(idx) and idx[j + 1] == idx[j] + 1
+               and sig(encoder_params[f"block_{idx[j + 1]}"]) == s):
+            j += 1
+        if j == i:
+            out[f"block_{idx[i]}"] = encoder_params[f"block_{idx[i]}"]
+        else:
+            per = [encoder_params[f"block_{k}"] for k in idx[i:j + 1]]
+            out[f"blocks_{idx[i]}_{idx[j]}"] = _jax.tree_util.tree_map(
+                lambda *leaves: _jnp.stack(leaves, axis=0), *per)
+        i = j + 1
+    return out
+
+
 class _ScanMultiwayBody(MultiwayBlock):
     """MultiwayBlock in scan calling convention: carry → (carry, aux) with
     the static call args (modality / deterministic / text_len) moved onto

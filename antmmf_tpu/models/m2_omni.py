@@ -26,6 +26,7 @@ from antmmf_tpu.common.registry import registry
 from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.modules.llm import DecoderLM, RMSNorm
 from antmmf_tpu.modules.qdense import QuantDense
+from antmmf_tpu.parallel.partitioning import shard_vocab_dim
 from antmmf_tpu.modules.transformers.base import TransformerEncoder
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
 
@@ -383,7 +384,8 @@ class M2Omni(BaseModel):
         hidden = self.decoder(embeds, positions, mask,
                               deterministic=deterministic)
         text_hidden = hidden[:, -Lt:]
-        logits = self.lm_head(text_hidden).astype(jnp.float32)  # [B, Lt, V]
+        logits = shard_vocab_dim(
+            self.lm_head(text_hidden)).astype(jnp.float32)  # [B, Lt, V]
 
         out: Dict[str, Any] = {"logits": logits, "hidden": text_hidden}
         out.update(self._lm_loss(logits, batch.get("labels")))
@@ -417,7 +419,9 @@ class M2Omni(BaseModel):
             seg_masks.append(jnp.ones((B, La), jnp.int32))
             pos_offset = pos_offset + La
 
-        ttok = self.token_embed(input_ids)
+        # feature-sharded reshard point: routes the embedding cotangent
+        # through the [V, H/fsdp]-local form (see shard_vocab_dim)
+        ttok = shard_vocab_dim(self.token_embed(input_ids))
         tpos = pos_offset[:, None] + jnp.arange(Lt)[None]
         segments.append(ttok)
         seg_positions.append(jnp.repeat(tpos[..., None], 3, axis=-1))
@@ -472,8 +476,9 @@ class M2Omni(BaseModel):
             # slice's [B, chunk, V] logits as scan residuals — ~6 GB at
             # 9.9k tokens, defeating the point of chunking
             hc, yc = args
-            logits = (hc.astype(self.lm_head.dtype)
-                      @ w.astype(self.lm_head.dtype)).astype(jnp.float32)
+            logits = shard_vocab_dim(
+                hc.astype(self.lm_head.dtype)
+                @ w.astype(self.lm_head.dtype)).astype(jnp.float32)
             valid = yc >= 0
             safe = jnp.where(valid, yc, 0)
             logp = jax.nn.log_softmax(logits, -1)
@@ -500,7 +505,7 @@ class M2Omni(BaseModel):
         with positions per the reference get_rope_index convention — each
         placeholder run restarts its (t, h, w) grid at the run's base."""
         B, L = input_ids.shape
-        embeds = self.token_embed(input_ids)
+        embeds = shard_vocab_dim(self.token_embed(input_ids))
         modal_mask = jnp.zeros((B, L), bool)
         run_start = jnp.zeros((B, L), bool)
         rel = jnp.zeros((B, L, 3), jnp.int32)
@@ -570,7 +575,7 @@ class M2Omni(BaseModel):
             out = {"hidden": hidden}
             out.update(self._lm_loss_chunked(hidden, labels))
             return out
-        logits = self.lm_head(hidden).astype(jnp.float32)
+        logits = shard_vocab_dim(self.lm_head(hidden)).astype(jnp.float32)
         out = {"logits": logits, "hidden": hidden}
         out.update(self._lm_loss(logits, batch.get("labels")))
         return out

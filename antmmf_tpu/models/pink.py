@@ -22,6 +22,7 @@ from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.models.m2_omni import LM_PRESETS
 from antmmf_tpu.modules.llm import DecoderLM
 from antmmf_tpu.modules.lora import LoRADense
+from antmmf_tpu.parallel.partitioning import shard_vocab_dim
 from antmmf_tpu.modules.qdense import QuantDense
 from antmmf_tpu.modules.vision.eva_vit import EVA_PRESETS, EvaVisionTransformer
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
@@ -162,7 +163,9 @@ class PinkModel(BaseModel):
             vtok = self.vision_proj(seq[:, 1:])
             segments.append(vtok)
             masks.append(jnp.ones(vtok.shape[:2], jnp.int32))
-        segments.append(self.token_embed(input_ids))
+        # feature-sharded reshard point: routes the embedding cotangent
+        # through the [V, H/fsdp]-local form (see shard_vocab_dim)
+        segments.append(shard_vocab_dim(self.token_embed(input_ids)))
         masks.append(mask.astype(jnp.int32))
         embeds = jnp.concatenate(segments, axis=1)
         full_mask = jnp.concatenate(masks, axis=1)
@@ -188,7 +191,8 @@ class PinkModel(BaseModel):
         if self.output_adapter is not None:
             hidden = hidden + self.output_adapter(hidden)
         text_hidden = hidden[:, -Lt:]
-        logits = self.lm_head(text_hidden).astype(jnp.float32)
+        logits = shard_vocab_dim(
+            self.lm_head(text_hidden)).astype(jnp.float32)
 
         out: Dict[str, Any] = {"logits": logits}
         labels = batch.get("labels")

@@ -187,69 +187,143 @@ class MoELayer(nn.Module):
     def __call__(
         self, x: jnp.ndarray, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """x [B, L, D] → (out [B, L, D], aux dict)."""
+        """x [B, L, D] → (out [B, L, D], aux dict).
+
+        SPMD grouping: when the ambient mesh shards the batch (data/fsdp
+        axes of total size G dividing B), tokens are split into G groups
+        aligned with the batch shards and routing (softmax/argmax/CUMSUM
+        queue positions/capacity) runs PER GROUP — entirely device-local,
+        with per-group capacity ``factor·T_g·k/E`` (the GShard/tutel
+        convention: reference xmoe groups per rank too). The only
+        cross-device movement is the [G, E, C, D] → [E, G·C, D] layout
+        change, which GSPMD lowers to the ICI all-to-all. Routing a GLOBAL
+        [T, E] tensor instead makes every cumsum a cross-device dependency
+        and the dispatch buffers un-partitionable — AOT-measured TB-scale
+        replicated temps on the 10B config (BASELINE.md round 4)."""
         B, L, D = x.shape
         E = self.num_experts
         T = B * L
-        tokens = x.reshape(T, D)
+        G, dp_spec = _token_groups(B)
+        Tg = T // G
+        tokens = x.reshape(G, Tg, D)
+        if G > 1:
+            tokens = jax.lax.with_sharding_constraint(
+                tokens, jax.sharding.PartitionSpec(dp_spec, None, None))
         router = nn.Dense(self.num_experts, use_bias=False, dtype=jnp.float32,
                           param_dtype=self.param_dtype, name="router")
-        logits = router(tokens.astype(jnp.float32))
+        logits = router(tokens.astype(jnp.float32))  # [G, Tg, E]
         factor = self.eval_capacity_factor if deterministic else self.capacity_factor
-        capacity = max(1, int(factor * T * self.top_k / self.num_experts))
+        capacity = max(1, int(factor * Tg * self.top_k / self.num_experts))
 
         if self.top_k == 1:
-            experts, pos, gates, keep, aux = _top1_route(logits, capacity)
+            experts, pos, gates, keep, aux = jax.vmap(
+                lambda lg: _top1_route(lg, capacity))(logits)
         else:
             rng = (self.make_rng("dropout")
                    if not deterministic and self.has_rng("dropout") else None)
-            experts, pos, gates, keep, aux = _top2_route(
-                logits, capacity, self.second_expert_policy, rng)
-        k = experts.shape[1]
+            if rng is not None and self.second_expert_policy == "sampling":
+                experts, pos, gates, keep, aux = jax.vmap(
+                    lambda lg, r: _top2_route(
+                        lg, capacity, self.second_expert_policy, r))(
+                    logits, jax.random.split(rng, G))
+            else:
+                experts, pos, gates, keep, aux = jax.vmap(
+                    lambda lg: _top2_route(
+                        lg, capacity, self.second_expert_policy, None))(
+                    logits)
+        aux = {k: jnp.mean(v) for k, v in aux.items()}
+        k = experts.shape[-1]
 
         expert_mlp = ExpertMlp(
             num_experts=self.num_experts, hidden_dim=self.hidden_dim,
             dtype=self.dtype, param_dtype=self.param_dtype, name="experts")
 
+        has_expert_axis = _mesh_has_expert_axis()
+        ex_spec = (MESH_AXIS_EXPERT if has_expert_axis else None)
+
         if self.dispatch_mode == "scatter":
             # flat slot id per (token, k); dropped entries point one past
             # the buffer and fall out via scatter mode="drop"
             slot = jnp.where(keep, experts * capacity + pos,
-                             E * capacity).reshape(-1)  # [T*k]
-            src = jnp.broadcast_to(tokens.astype(self.dtype)[:, None],
-                                   (T, k, D)).reshape(T * k, D)
-            dispatched = jnp.zeros((E * capacity, D), self.dtype).at[
-                slot].set(src, mode="drop", unique_indices=True)
-            dispatched = dispatched.reshape(E, capacity, D)
-            if _mesh_has_expert_axis():
+                             E * capacity).reshape(G, Tg * k)
+            src = jnp.broadcast_to(
+                tokens.astype(self.dtype)[:, :, None],
+                (G, Tg, k, D)).reshape(G, Tg * k, D)
+            dispatched = jax.vmap(
+                lambda s, v: jnp.zeros((E * capacity, D), self.dtype).at[
+                    s].set(v, mode="drop", unique_indices=True))(slot, src)
+            dispatched = dispatched.reshape(G, E, capacity, D)
+            if G > 1:
                 dispatched = jax.lax.with_sharding_constraint(
-                    dispatched,
-                    jax.sharding.PartitionSpec(MESH_AXIS_EXPERT, None, None))
-            expert_out = expert_mlp(dispatched).reshape(E * capacity, D)
+                    dispatched, jax.sharding.PartitionSpec(
+                        dp_spec, ex_spec, None, None))
+            # group-major → expert-major: THE all-to-all
+            ex_in = dispatched.transpose(1, 0, 2, 3).reshape(
+                E, G * capacity, D)
+            if G > 1 or has_expert_axis:
+                ex_in = jax.lax.with_sharding_constraint(
+                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
+            expert_out = expert_mlp(ex_in)  # [E, G*C, D]
+            back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
+            back = back.reshape(G, E * capacity, D)
+            if G > 1:
+                back = jax.lax.with_sharding_constraint(
+                    back, jax.sharding.PartitionSpec(dp_spec, None, None))
             # gather each (token, k) slot's output back and weight by gate
-            picked = expert_out[jnp.clip(slot, 0, E * capacity - 1)]
-            w = (gates * keep).astype(self.dtype).reshape(T * k, 1)
-            out = (picked * w).reshape(T, k, D).sum(axis=1)
+            picked = jax.vmap(
+                lambda eo, s: eo[jnp.clip(s, 0, E * capacity - 1)])(
+                back, slot)  # [G, Tg*k, D]
+            w = (gates * keep).astype(self.dtype).reshape(G, Tg * k, 1)
+            out = (picked * w).reshape(G, Tg, k, D).sum(axis=2)
         else:
-            dispatch, combine = _dense_from_route(experts, pos, gates, keep,
-                                                  E, capacity)
-            # [T, E, C] × [T, D] → [E, C, D]; constrain to the expert axis
-            # so GSPMD lowers the redistribution to an ICI all-to-all
-            dispatched = jnp.einsum("tec,td->ecd", dispatch.astype(self.dtype),
-                                    tokens.astype(self.dtype))
-            dispatched = jax.lax.with_sharding_constraint(
-                dispatched,
-                jax.sharding.PartitionSpec(MESH_AXIS_EXPERT, None, None)
-            ) if _mesh_has_expert_axis() else dispatched
-            expert_out = expert_mlp(dispatched)
-            out = jnp.einsum("tec,ecd->td", combine.astype(self.dtype),
-                             expert_out)
+            dispatch, combine = jax.vmap(
+                lambda e, p, g, kp: _dense_from_route(e, p, g, kp, E,
+                                                      capacity))(
+                experts, pos, gates, keep)
+            # [G, Tg, E, C] × [G, Tg, D] → [G, E, C, D]; the expert-major
+            # constraint makes GSPMD lower the redistribution to all-to-all
+            dispatched = jnp.einsum(
+                "gtec,gtd->gecd", dispatch.astype(self.dtype),
+                tokens.astype(self.dtype))
+            ex_in = dispatched.transpose(1, 0, 2, 3).reshape(
+                E, G * capacity, D)
+            if G > 1 or has_expert_axis:
+                ex_in = jax.lax.with_sharding_constraint(
+                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
+            expert_out = expert_mlp(ex_in)
+            back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
+            if G > 1:
+                back = jax.lax.with_sharding_constraint(
+                    back, jax.sharding.PartitionSpec(dp_spec, None, None,
+                                                     None))
+            out = jnp.einsum("gtec,gecd->gtd", combine.astype(self.dtype),
+                             back)
         return out.reshape(B, L, D), aux
 
 
+def _token_groups(batch: int) -> Tuple[int, Any]:
+    """(G, dp_axes_spec): how many device-aligned token groups the ambient
+    mesh implies. G = product of >1 data/fsdp axis sizes when that divides
+    the batch; 1 (ungrouped — the single-device / test path) otherwise."""
+    from antmmf_tpu.parallel.partitioning import ambient_mesh
+
+    env = ambient_mesh()
+    if env is None:
+        return 1, None
+    axes = tuple(a for a in ("data", "fsdp")
+                 if a in (env.axis_names or ()) and env.shape[a] > 1)
+    if not axes:
+        return 1, None
+    g = 1
+    for a in axes:
+        g *= int(env.shape[a])
+    if g <= 1 or batch % g:
+        return 1, None
+    return g, (axes if len(axes) > 1 else axes[0])
+
+
 def _mesh_has_expert_axis() -> bool:
-    try:
-        env = jax.sharding.get_abstract_mesh()
-        return env is not None and MESH_AXIS_EXPERT in (env.axis_names or ())
-    except Exception:
-        return False
+    from antmmf_tpu.parallel.partitioning import ambient_mesh
+
+    env = ambient_mesh()
+    return env is not None and MESH_AXIS_EXPERT in (env.axis_names or ())

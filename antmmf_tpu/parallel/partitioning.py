@@ -39,6 +39,17 @@ DEFAULT_RULES: Rules = (
     # turn every scan iteration's parameter slice into a cross-device
     # gather of a 1/fsdp-resident slab)
     (r"(.*/)?layers/.*(kernel|embedding)$", (None, "fsdp", None)),
+    # same for stacked multiway runs (params under "blocks_{s}_{e}/")
+    (r"(.*/)?blocks_\d+_\d+/.*(kernel|embedding)$", (None, "fsdp", None)),
+    # LLM vocab matrices: shard the EMBED dim of the token table (vocab-dim
+    # sharding makes XLA materialize the full fp32 [V, H] grad before the
+    # reduce-scatter) and the VOCAB dim of lm_head (contraction-dim sharding
+    # makes XLA all-gather the full fp32 [H, V] kernel per device — cheaper
+    # for it than all-reducing [T, V] logits; vocab-parallel keeps logits
+    # vocab-sharded through the softmax reductions). AOT top-tensor
+    # evidence: BASELINE.md round-4 m2_omni_7b breakdown.
+    (r".*token_embed/embedding$", (None, "fsdp")),
+    (r".*lm_head/kernel$", (None, "fsdp")),
     (r".*(kernel|embedding)$", ("fsdp", None)),
     (r".*", None),
 )
@@ -148,6 +159,68 @@ def validate_specs(params: Any, specs: Any, mesh: Mesh) -> List[str]:
     return problems
 
 
+def ambient_mesh():
+    """The mesh active for the CURRENT TRACE, or None.
+
+    ``jax.sharding.get_abstract_mesh()`` only reflects
+    ``jax.sharding.use_mesh`` / ``use_abstract_mesh`` scopes — under the
+    classic ``with mesh:`` context manager (what the trainer and every
+    harness here use) it returns an EMPTY mesh even while tracing a jit
+    whose shardings live on that mesh. Fall back to the context manager's
+    thread-local physical mesh so in-model sharding hints
+    (``shard_batch_dim`` / ``shard_vocab_dim`` / the MoE expert-axis
+    constraint) fire in both activation styles."""
+    try:
+        env = jax.sharding.get_abstract_mesh()
+        if env is not None and getattr(env, "axis_names", None):
+            return env
+    except Exception:
+        pass
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+            m = pxla.thread_resources.env.physical_mesh
+        if m is not None and getattr(m, "axis_names", None) and not m.empty:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def shard_vocab_dim(x: Any) -> Any:
+    """Constrain the LAST dim over ``fsdp`` (dim 0 over ``data`` when it
+    divides) — the Megatron vocab-parallel layout for LM logits and
+    embedding-lookup outputs.
+
+    Paired with the `(None, "fsdp")` param rules for ``token_embed`` /
+    ``lm_head``, this is what keeps the vocab matrices out of the temp
+    accounting: without it GSPMD all-gathers the full fp32 [H, V] lm_head
+    per device (cheaper for it than all-reducing [T, V] logits) and
+    materializes the full fp32 [V, H] embedding grad before its
+    reduce-scatter — AOT-measured ~22 GB/device of vocab-sized temps on the
+    7B config (BASELINE.md round-4 breakdown). Constraining the logits (and
+    the lookup output, before re-sharding it to the batch layout) makes the
+    head matmul local over the vocab shard and routes the embedding
+    cotangent through the feature-sharded form. No-ops outside a mesh
+    context, on meshes without a >1 ``fsdp`` axis, and on non-divisible
+    shapes; numerics are unchanged (sharding hint only)."""
+    env = ambient_mesh()
+    names = (env.axis_names or ()) if env is not None else ()
+    fsdp_ok = "fsdp" in names and env.shape["fsdp"] > 1
+    if not fsdp_ok or getattr(x, "ndim", 0) < 2:
+        return x
+    if x.shape[-1] % env.shape["fsdp"]:
+        return x
+    data_ok = ("data" in names and env.shape["data"] > 1
+               and x.shape[0] % env.shape["data"] == 0)
+    spec = PartitionSpec("data" if data_ok else None,
+                         *([None] * (x.ndim - 2)), "fsdp")
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def shard_batch_dim(x: Any) -> Any:
     """Constrain dim 0 (batch) over whichever data-parallel mesh axes exist
     in the ambient mesh (``data``/``fsdp``), replicating the rest.
@@ -159,13 +232,10 @@ def shard_batch_dim(x: Any) -> Any:
     (BASELINE.md round-4 AOT table). No-ops outside a mesh context and on
     meshes without those axes; numerics are unchanged (sharding hint only).
     """
-    try:
-        env = jax.sharding.get_abstract_mesh()
-        axes = tuple(a for a in ("data", "fsdp")
-                     if env is not None and a in (env.axis_names or ())
-                     and env.shape[a] > 1)
-    except Exception:
-        return x
+    env = ambient_mesh()
+    axes = tuple(a for a in ("data", "fsdp")
+                 if env is not None and a in (env.axis_names or ())
+                 and env.shape[a] > 1)
     if not axes or getattr(x, "ndim", 0) < 1:
         return x
     if x.shape[0] % int(np.prod([env.shape[a] for a in axes])):

@@ -46,6 +46,12 @@ def main() -> None:
         "projects/pink/configs/pink_7b.yml,"
         "projects/m2_encoder/configs/m2_encoder_10b_moe.yml"))
     ap.add_argument("--batch_override", type=int, default=0)
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="dotted config overrides, e.g. "
+                         "model_attributes.m2_omni.scan_layers false")
+    ap.add_argument("--top_tensors", type=int, default=0,
+                    help="also report the N largest tensors in the "
+                         "optimized per-device HLO (slow text parse)")
     args, _ = ap.parse_known_args()
 
     # figure out the max device count we need, then re-exec with the env
@@ -57,7 +63,7 @@ def main() -> None:
 
         n = 1
         for p in paths:
-            cfg = build_config(p)
+            cfg = build_config(p, opts=list(args.opts) or None)
             sizes = _mesh_sizes(dict(cfg.get("training_parameters", {}) or {}))
             total = 1
             for s in sizes.values():
@@ -72,7 +78,9 @@ def main() -> None:
         os.execve(sys.executable,
                   [sys.executable, "-m", "antmmf_tpu.scripts.aot_memory",
                    "--configs", args.configs,
-                   "--batch_override", str(args.batch_override)], env)
+                   "--batch_override", str(args.batch_override),
+                   "--top_tensors", str(args.top_tensors),
+                   "--opts", *args.opts], env)
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # the axon plugin must not win
@@ -97,7 +105,7 @@ def main() -> None:
 
     for path in paths:
         t0 = time.time()
-        config = build_config(path)
+        config = build_config(path, opts=list(args.opts) or None)
         attrs = dict(config.get("model_attributes", {}) or {})
         model_name = list(attrs)[0]
         mc = dict(attrs[model_name])
@@ -148,9 +156,13 @@ def main() -> None:
 
         def train_step(variables, opt_state, batch):
             def loss(params):
+                # the REAL train step: deterministic=False (dropout rngs,
+                # train-time MoE capacity factor — eval capacity is 2.0 vs
+                # train 1.25, a 1.6x dispatch-buffer difference)
                 total, _ = shell.loss_fn(
                     {**variables, "params": params}, batch,
-                    deterministic=True)
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                    deterministic=False)
                 return total
 
             if remat is not None:
@@ -190,7 +202,49 @@ def main() -> None:
                 "per_device_peak_gb": round(peak / 1e9, 2),
                 "fits_16gb_hbm": bool(peak < 16e9),
             })
+        if args.top_tensors:
+            row["top_tensors"] = _largest_tensors(compiled,
+                                                  args.top_tensors)
         print(json.dumps(row), flush=True)
+
+
+def _largest_tensors(compiled, n: int):
+    """The N largest per-device tensors in the optimized HLO, with the op
+    that produces them — points at what dominates ``temp`` when a config
+    measures over budget (shapes in the optimized module are already the
+    per-device local shapes after SPMD partitioning)."""
+    import re
+
+    dt_bytes = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2, "f16": 2,
+                "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1}
+    best = []
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    for line in compiled.as_text().splitlines():
+        line = line.strip()
+        if "=" not in line or line.startswith(("ROOT", "//")):
+            pass
+        head = line.split("=", 1)
+        if len(head) != 2:
+            continue
+        m = shape_re.match(head[1].strip())
+        if not m or m.group(1) not in dt_bytes:
+            continue
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        size = dt_bytes[m.group(1)]
+        for d in dims:
+            size *= d
+        if size < 64 << 20:  # ignore < 64 MB
+            continue
+        op = head[1].strip()
+        op = op[:op.index("(")] if "(" in op else op
+        meta = ""
+        mm = re.search(r'op_name="([^"]+)"', line)
+        if mm:
+            meta = mm.group(1)[-110:]
+        best.append((size, f"{head[0].strip()[:60]} = {op[:90]}", meta))
+    best.sort(key=lambda t: -t[0])
+    return [{"gb": round(s / 1e9, 2), "op": o, "src": m}
+            for s, o, m in best[:n]]
 
 
 if __name__ == "__main__":

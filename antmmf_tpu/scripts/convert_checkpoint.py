@@ -34,9 +34,38 @@ ARCHS = ("bert", "clip_vit", "hf_clip_vision", "pvt_v2",
          "m2_encoder")
 
 
+def _to_scan_layout(params: dict, arch: str) -> dict:
+    """Re-layout imported per-layer params for a target config that sets
+    ``scan_layers: true``: every DecoderLM subtree (a dict key named
+    ``decoder`` holding ``layer_0.. + final_norm``) stacks via
+    ``stack_decoder_layers``; a ``vlmo_multiway`` block stack folds via
+    structure-inferred run segmentation. Vision towers (eva/qwen2 also name
+    their blocks ``layer_i``) are left alone — only the subtrees the scan
+    models actually read in stacked form are converted."""
+    from antmmf_tpu.models.m2_encoder import stack_multiway_blocks_auto
+    from antmmf_tpu.modules.llm import stack_decoder_layers
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            v = walk(v)
+            if (k == "decoder" and isinstance(v, dict) and "layer_0" in v
+                    and "final_norm" in v):
+                v = stack_decoder_layers(v)
+            out[k] = v
+        return out
+
+    params = walk(params)
+    if arch == "vlmo_multiway" and "block_0" in params:
+        params = stack_multiway_blocks_auto(params)
+    return params
+
+
 def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
             vit_layers: int = 12, pvt_preset: str = "pvt_v2_b0",
-            config: str | None = None) -> dict:
+            config: str | None = None, scan_layers: bool = False) -> dict:
     from antmmf_tpu.utils import torch_import as ti
 
     sd = ti.load_torch_state_dict(torch_ckpt)
@@ -104,6 +133,9 @@ def convert(torch_ckpt: str, arch: str, out: str, bert_layers: int = 12,
     import jax
     import orbax.checkpoint as ocp
 
+    if scan_layers:
+        params = _to_scan_layout(params, arch)
+
     leaves = jax.tree_util.tree_leaves(params)
     nbytes = sum(np.asarray(x).nbytes for x in leaves)
 
@@ -131,11 +163,15 @@ def main() -> None:
     p.add_argument("--pvt_preset", default="pvt_v2_b0")
     p.add_argument("--config", default=None,
                    help="experiment yaml copied to <out>/config.yaml")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="emit the nn.scan stacked-layer layout (targets "
+                        "with model_attributes.<m>.scan_layers: true)")
     args = p.parse_args()
     print(json.dumps(convert(
         args.torch_ckpt, args.arch, args.out,
         bert_layers=args.bert_layers, vit_layers=args.vit_layers,
-        pvt_preset=args.pvt_preset, config=args.config)))
+        pvt_preset=args.pvt_preset, config=args.config,
+        scan_layers=args.scan_layers)))
 
 
 if __name__ == "__main__":

@@ -144,6 +144,29 @@ class TestScanLayersEquivalence:
                [(jax.tree_util.keystr(p), v.shape) for p, v in flat_b]
 
 
+class TestConvertScanLayout:
+    def test_decoder_subtrees_stack_towers_untouched(self):
+        # a pink-like tree: the decoder stacks, the vision tower (which
+        # also names its blocks layer_i) must be left alone
+        from antmmf_tpu.scripts.convert_checkpoint import _to_scan_layout
+
+        loop, scan = _models()
+        x, pos = _inputs()
+        dec = loop.init(jax.random.PRNGKey(1), x, pos)["params"]
+        tower = {"layer_0": {"kernel": jnp.ones((4, 4))},
+                 "layer_1": {"kernel": jnp.ones((4, 4))}}
+        tree = {"decoder": dec, "visual_tower": tower,
+                "lm_head": {"kernel": jnp.ones((H, 7))}}
+        out = _to_scan_layout(tree, "pink")
+        assert "layers" in out["decoder"] and "layer_0" not in out["decoder"]
+        assert set(out["visual_tower"]) == {"layer_0", "layer_1"}
+        # the stacked tree drives the scan model to the loop's numerics
+        yl = loop.apply({"params": dec}, x, pos)
+        ys = scan.apply({"params": out["decoder"]}, x, pos)
+        np.testing.assert_allclose(np.asarray(yl), np.asarray(ys),
+                                   rtol=2e-5, atol=2e-5)
+
+
 class TestScanLayersSharding:
     def test_default_rule_skips_layer_dim(self):
         _, scan = _models()

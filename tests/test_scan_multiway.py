@@ -11,7 +11,7 @@ import numpy as np
 
 from antmmf_tpu.models.m2_encoder import (
     FUSION_EXPERT, LANGUAGE_EXPERT, VISION_EXPERT, MultiwayTransformer,
-    multiway_runs, stack_multiway_blocks)
+    multiway_runs, stack_multiway_blocks, stack_multiway_blocks_auto)
 
 NL, C, NH, B, L = 5, 32, 2, 2, 6
 MOE = (2,)
@@ -102,6 +102,50 @@ def test_grads_match_loop_with_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_auto_stack_matches_config_stack():
+    # convert_checkpoint --scan_layers has only the param tree: the
+    # structure-inferred segmentation must equal the config-driven one
+    import flax.core
+
+    loop, _ = _models()
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, C), jnp.float32)
+    vp = {}
+    for m, tl in ((VISION_EXPERT, 0), (LANGUAGE_EXPERT, 0),
+                  (FUSION_EXPERT, 2)):
+        vp = _deep_merge(vp, flax.core.unfreeze(
+            loop.init(jax.random.PRNGKey(1), x, m, text_len=tl)["params"]))
+    want = _stack(vp)
+    got = stack_multiway_blocks_auto(vp)
+    fa = jax.tree_util.tree_flatten_with_path(want)[0]
+    fb = jax.tree_util.tree_flatten_with_path(got)[0]
+    assert [(jax.tree_util.keystr(p), v.shape) for p, v in fa] == \
+           [(jax.tree_util.keystr(p), v.shape) for p, v in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_blocks_default_sharding_skips_run_dim():
+    from jax.sharding import PartitionSpec
+
+    from antmmf_tpu.parallel.partitioning import (
+        DEFAULT_RULES, infer_param_specs)
+
+    _, scan = _models()
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, C), jnp.float32)
+    vs = jax.eval_shape(lambda r: scan.init(r, x, VISION_EXPERT),
+                        jax.random.PRNGKey(1))
+    specs = infer_param_specs(vs["params"], DEFAULT_RULES)
+    flat = jax.tree_util.tree_flatten_with_path(
+        specs, is_leaf=lambda s: isinstance(s, PartitionSpec))[0]
+    seen = 0
+    for path, spec in flat:
+        ps = jax.tree_util.keystr(path)
+        if "blocks_0_1" in ps and ps.endswith("kernel']"):
+            assert spec == PartitionSpec(None, "fsdp", None), (ps, spec)
+            seen += 1
+    assert seen >= 4  # q/k/v/out at least
 
 
 def test_scan_init_shapes_match_stacked_loop():
