@@ -377,7 +377,8 @@ class PinkModel(BaseModel):
             return init_decoder_cache(
                 preset["num_layers"], B, n_kv, T,
                 preset["hidden"] // preset["num_heads"],
-                jnp.dtype(self.dtype_str), quantized=self.kv_int8)
+                jnp.dtype(self.dtype_str), quantized=self.kv_int8,
+                stacked=self.scan_layers)
 
         def run(variables, tokens0, mask, img=None, rng=None):
             # weight-only int8 serving: variables prepared by

@@ -80,7 +80,15 @@ def spec_for(path_string: str, ndim: int, rules: Rules) -> PartitionSpec:
                 # keep the trailing dims' entries
                 spec = spec[-ndim:] if ndim else []
             while len(spec) < ndim:
-                spec.append(None)
+                # rule shorter than tensor rank: rules describe the TRAILING
+                # dims (same right-alignment as the truncation above), so a
+                # 2-D kernel rule applied to an nn.scan-stacked [L, in, out]
+                # kernel shards `in`, never the layer dim. Before this, a
+                # config's custom 2-D rules silently replicated every
+                # scanned parameter (relax_to_divisible dropped the
+                # layer-dim shard) — AOT-measured 79 GB/device of state on
+                # the 10B MoE config (BASELINE.md round 4).
+                spec.insert(0, None)
             # lists inside the spec mean "shard this dim over multiple axes"
             spec = [tuple(s) if isinstance(s, list) else s for s in spec]
             return PartitionSpec(*spec)

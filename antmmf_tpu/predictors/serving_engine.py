@@ -98,7 +98,9 @@ class PinkAdapter:
         return init_decoder_cache(self.num_layers, batch, self.n_kv, self.T,
                                   self.head_dim, self.dtype,
                                   quantized=getattr(self.module, "kv_int8",
-                                                    False))
+                                                    False),
+                                  stacked=getattr(self.module, "scan_layers",
+                                                  False))
 
     def prefill1(self, tokens, mask, extras, reserve: int = 0):
         """[1, Lp] prompt -> (logits0 [1, V], cache1, slot0 [1], rope0 [1]).
@@ -169,7 +171,9 @@ class M2OmniAdapter:
         prompt it sees)."""
         logits, cache, lens_full, next_p = self._pf(
             self.variables, tokens, mask, extras, reserve)
-        self.T = cache[0]["k"].shape[2]
+        # first leaf is "k": [..., T, head_dim] in both the list layout
+        # ([B, H, T, D]) and the scan_layers stacked one ([L, B, H, T, D])
+        self.T = jax.tree_util.tree_leaves(cache)[0].shape[-2]
         return logits, cache, lens_full, next_p
 
     def decode(self, variables, token, rope, slot, cache):
@@ -274,12 +278,19 @@ class ContinuousBatchingEngine:
 
         from functools import partial
 
+        # slot-row axis in cache leaves: 0 in the per-layer list layout
+        # ([B, H, T, D] leaves); 1 under scan_layers (ONE stacked dict,
+        # [L, B, H, T, D] leaves — the layer dim leads)
+        RA = 1 if getattr(adapter.module, "scan_layers", False) else 0
+        self._row_axis = RA
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def _admit(cache, last_logits, rope, spos, cache1, logits0, rope0,
                    slot0, slot_idx):
             cache = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
-                    big, one[0], slot_idx, 0), cache, cache1)
+                    big, jax.lax.index_in_dim(one, 0, RA, keepdims=False),
+                    slot_idx, RA), cache, cache1)
             last_logits = last_logits.at[slot_idx].set(logits0[0])
             rope = rope.at[slot_idx].set(rope0[0])
             spos = spos.at[slot_idx].set(slot0[0])
@@ -295,14 +306,16 @@ class ContinuousBatchingEngine:
             # (a batch-wide chunk write could clamp into their live history
             # at the T boundary)
             cache1 = jax.tree_util.tree_map(
-                lambda big: jax.lax.dynamic_slice_in_dim(big, slot_idx, 1, 0),
+                lambda big: jax.lax.dynamic_slice_in_dim(big, slot_idx, 1,
+                                                         RA),
                 cache)
             lg, cache1, new_rope, new_slot = self.ad.extend(
                 variables, tokens1[None], mask1[None], rope_at[None],
                 slot_at[None], cache1)
             cache = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
-                    big, one[0], slot_idx, 0), cache, cache1)
+                    big, jax.lax.index_in_dim(one, 0, RA, keepdims=False),
+                    slot_idx, RA), cache, cache1)
             last_logits = last_logits.at[slot_idx].set(lg[0])
             rope = rope.at[slot_idx].set(new_rope[0])
             spos = spos.at[slot_idx].set(new_slot[0])
@@ -314,7 +327,7 @@ class ContinuousBatchingEngine:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def _step(cache, last_logits, rope, spos, active, variables):
-            T = cache[0]["k"].shape[2]
+            T = jax.tree_util.tree_leaves(cache)[0].shape[-2]
 
             def body(i, carry):
                 toks, last_logits, cache, rope, spos = carry
@@ -347,7 +360,7 @@ class ContinuousBatchingEngine:
             function of (seed, the request's own progress), so sampled
             tokens never depend on which other requests happen to be
             co-scheduled in the pool."""
-            T = cache[0]["k"].shape[2]
+            T = jax.tree_util.tree_leaves(cache)[0].shape[-2]
 
             def body(i, carry):
                 toks, last_logits, cache, rope, spos = carry
@@ -385,9 +398,11 @@ class ContinuousBatchingEngine:
     def _ensure_state(self, cache1, logits0):
         if self._state is not None:
             return
-        S = self.S
+        S, ra = self.S, self._row_axis
         pooled = jax.tree_util.tree_map(
-            lambda one: jnp.zeros((S,) + one.shape[1:], one.dtype), cache1)
+            lambda one: jnp.zeros(
+                one.shape[:ra] + (S,) + one.shape[ra + 1:], one.dtype),
+            cache1)
         V = logits0.shape[-1]
         self._state = {
             "cache": pooled,

@@ -2,21 +2,29 @@
 
 For each scale YAML (m2_omni_7b, pink_7b, m2_encoder_10b_moe) this lowers
 and FULLY COMPILES the real training step (loss + grad + AdamW update,
-donated state) at the config's DECLARED mesh — materialized as virtual CPU
-devices — and records ``compiled.memory_analysis()`` per-device bytes, so
-"fits the declared mesh" is a measured statement instead of an assumption
-(VERDICT r3 weak #4). SPMD compilation is per-PROGRAM: the per-device
-memory accounting is identical to what the same lowering produces on a real
-v5e slice of that shape (16 GB HBM/chip).
+donated state) at the config's DECLARED mesh and records
+``compiled.memory_analysis()`` per-device bytes, so "fits the declared
+mesh" is a measured statement instead of an assumption (VERDICT r3 weak
+#4).
+
+Two backends:
+  --backend tpu (default): compile against an ABSTRACT v5e topology
+    (``jax.experimental.topologies.get_topology_desc("v5e:4x8")`` etc.) —
+    no chips of that slice shape needed, and the buffer assignment is the
+    REAL v5e one (bf16 buffers stay 2 bytes, TPU fusion applies).
+  --backend cpu: the older virtual-CPU-device path. Only an UPPER BOUND:
+    XLA:CPU's float normalization stores most bf16 temporaries as f32 and
+    fuses far less — measured ~2-3x over the TPU accounting for the same
+    program. Use when the topology API is unavailable.
 
 Reference scale anchor: 8-GPU-node training, prj/base_vtp/README.md:66-79.
 
-Usage (env must be set BEFORE jax initializes, handled below):
+Usage:
   python -m antmmf_tpu.scripts.aot_memory [--configs a.yml,b.yml]
-      [--batch_override N]
+      [--batch_override N] [--backend tpu|cpu]
 
-One JSON line per config. ~10-25 min per compile on the 1-core box; run in
-the background and ideally not concurrently with chip timing benches.
+One JSON line per config. Run in the background and ideally not
+concurrently with chip timing benches.
 """
 
 from __future__ import annotations
@@ -26,6 +34,13 @@ import json
 import os
 import sys
 import time
+
+
+# chip counts of the real v5e slice shapes (ICI torus dims)
+_V5E_TOPOLOGIES = {
+    1: "v5e:1x1", 4: "v5e:2x2", 8: "v5e:2x4", 16: "v5e:4x4",
+    32: "v5e:4x8", 64: "v5e:8x8", 128: "v5e:8x16", 256: "v5e:16x16",
+}
 
 
 def _mesh_sizes(tp) -> dict:
@@ -52,12 +67,17 @@ def main() -> None:
     ap.add_argument("--top_tensors", type=int, default=0,
                     help="also report the N largest tensors in the "
                          "optimized per-device HLO (slow text parse)")
+    ap.add_argument("--backend", default="tpu", choices=["tpu", "cpu"],
+                    help="tpu: abstract v5e topology (real buffer "
+                         "assignment); cpu: virtual host devices (upper "
+                         "bound — bf16 temps stored f32)")
     args, _ = ap.parse_known_args()
 
     # figure out the max device count we need, then re-exec with the env
-    # set (jax reads XLA_FLAGS at backend init)
+    # set (jax reads XLA_FLAGS at backend init) — CPU backend only; the
+    # TPU path compiles against an abstract topology and needs no devices
     paths = [p.strip() for p in args.configs.split(",")]
-    if os.environ.get("_AOT_MEM_CHILD") != "1":
+    if args.backend == "cpu" and os.environ.get("_AOT_MEM_CHILD") != "1":
         # parse meshes without jax
         from antmmf_tpu.common.build import build_config
 
@@ -78,12 +98,14 @@ def main() -> None:
         os.execve(sys.executable,
                   [sys.executable, "-m", "antmmf_tpu.scripts.aot_memory",
                    "--configs", args.configs,
+                   "--backend", "cpu",
                    "--batch_override", str(args.batch_override),
                    "--top_tensors", str(args.top_tensors),
                    "--opts", *args.opts], env)
 
     import jax
-    jax.config.update("jax_platforms", "cpu")  # the axon plugin must not win
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon plugin must not win
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -125,7 +147,19 @@ def main() -> None:
         n_params = sum(int(np.prod(x.shape))
                        for x in jax.tree_util.tree_leaves(variables))
 
-        mesh = build_mesh(sizes, devices=jax.devices()[:n_dev])
+        if args.backend == "tpu":
+            topo_name = _V5E_TOPOLOGIES.get(n_dev)
+            if topo_name is None:
+                raise SystemExit(
+                    f"no v5e slice with {n_dev} chips; valid: "
+                    f"{sorted(_V5E_TOPOLOGIES)}")
+            from jax.experimental import topologies
+            topo_devices = list(
+                topologies.get_topology_desc(topo_name).devices)
+            mesh = build_mesh(sizes, devices=topo_devices)
+        else:
+            topo_name = f"cpu:{n_dev}"
+            mesh = build_mesh(sizes, devices=jax.devices()[:n_dev])
         rules = tp.get("param_sharding_rules")
         if rules is not None:
             rules = [tuple(r) for r in rules]
@@ -181,6 +215,7 @@ def main() -> None:
         mem = compiled.memory_analysis()
         row = {
             "config": path, "mesh": sizes, "devices": n_dev,
+            "backend": args.backend, "topology": topo_name,
             "global_batch": B, "params_b": round(n_params / 1e9, 2),
             "remat_policy": str(tp.get("remat_policy", "none")),
             "model_remat": bool(mc.get("remat", False)),

@@ -133,6 +133,14 @@ def test_spec_inference_rules():
 def test_spec_for_rank_mismatch():
     # bias (rank 1) matching a rank-2 rule keeps trailing entries
     assert spec_for("x/kernel", 1, [(r".*kernel", ("fsdp", None))]) == P(None)
+    # rules are right-aligned: a 2-D kernel rule on an nn.scan-stacked
+    # [L, in, out] kernel shards `in`, never the leading layer dim
+    assert spec_for("blocks_0_6/mlp/kernel", 3,
+                    [(r".*kernel", ("fsdp", None))]) == P(None, "fsdp", None)
+    # 3-D expert rule on a scanned 4-D [L, E, in, out] expert tensor
+    assert spec_for("blocks_0_6/experts/w1", 4,
+                    [(r".*experts/w1", ("expert", "fsdp", None))]) == \
+        P(None, "expert", "fsdp", None)
 
 
 def test_build_hybrid_dcn_mesh():

@@ -570,3 +570,44 @@ class TestMixedModalityRequests:
             tokens, lens = np.asarray(tokens), np.asarray(lens)
             want = _truncate_at_eos(tokens[0, lens[0]: lens[0] + MAX_NEW])
             assert result["outputs"][rid] == want, rid
+
+
+class TestScanLayersEngine:
+    """scan_layers models carry ONE stacked KV-cache dict ([L, B, H, T, D]
+    leaves, slot-row axis 1 instead of 0): the engine's admit/extend row
+    scatters and T discovery must follow the layout (pink_7b.yml /
+    m2_omni_7b.yml set scan_layers: true for production serving)."""
+
+    def test_matches_sequential_generate(self):
+        model = PinkModel(lm_preset="omni_tiny_test",
+                          vit_preset="vit_tiny_test", image_size=32,
+                          lora_rank=2, scan_layers=True,
+                          dtype_str="float32")
+        rng = jax.random.PRNGKey(0)
+        init_batch = {
+            "input_ids": jnp.zeros((1, LP), jnp.int32),
+            "input_mask": jnp.ones((1, LP), jnp.int32),
+            "image_data": jax.random.normal(rng, (1, 32, 32, 3)),
+        }
+        variables = model.init(rng, init_batch)
+        reqs = []
+        for i in range(3):
+            r = jax.random.PRNGKey(300 + i)
+            n = 3 + i % 3
+            ids = np.zeros((LP,), np.int32)
+            ids[:n] = np.asarray(jax.random.randint(r, (n,), 5, 40), np.int32)
+            mask = (np.arange(LP) < n).astype(np.int32)
+            img = np.asarray(jax.random.normal(r, (32, 32, 3)), np.float32)
+            reqs.append((f"sc{i}", {"input_ids": ids, "input_mask": mask,
+                                    "image_data": img}))
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        # stacked cache leaves: [L, 1, H, T, D]
+        leaf = jax.tree_util.tree_leaves(ad.make_cache(1))[0]
+        assert leaf.ndim == 5 and leaf.shape[1] == 1
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        result = eng.run(reqs)
+        for rid, data in reqs:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
