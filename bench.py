@@ -173,7 +173,25 @@ def main() -> None:
         # tokens/s at acceptance a is (1+4a)/7.03ms — exact greedy tokens
         "llm_decode_speculative_a08_tokens_per_sec": 597.7,
         "llm_decode_speculative_ceiling_tokens_per_sec": 711.5,
-        "source": "BASELINE.md round-2/3 measurements",
+        # round 4b: QLoRA capacity leg — 6.6 B-param decoder finetunes on
+        # ONE 16 GB chip (int4-packed frozen base + fp32 LoRA, remat);
+        # long-video train step (F frames x 200 vision tokens + 256 text,
+        # causal 3-D-grid flash, B=1) — BASELINE.md round-4 tables
+        "qlora_7b_one_chip_tokens_per_sec": 2984.0,
+        "qlora_7b_one_chip_mfu_pct": 50.5,
+        "longvideo_48f_9664tok_tokens_per_sec": 2751.0,
+        "longvideo_64f_12800tok_tokens_per_sec": 2175.0,
+        # round 4: Poisson mixed-length serving load (bench_serving_cb
+        # --poisson, 1.5 rps, 1B-class): whole-prompt admission wins at
+        # this scale (TTFT p50/p99 below); chunked stays the 7B/4k+ tool
+        "serving_poisson_tokens_per_sec": 36.1,
+        "serving_poisson_ttft_p50_s": 0.145,
+        "serving_poisson_ttft_p99_s": 0.163,
+        "serving_poisson_tpot_p99_ms": 12.7,
+        # round 4: MoE scatter dispatch — step-time ratio vs dense beyond
+        # the paid-for expert FLOPs (bench_moe.py rework table)
+        "moe_dispatch_overhead_beyond_flops_x": 1.10,
+        "source": "BASELINE.md round-2/3/4 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):
         from antmmf_tpu.scripts.bench_r2_experiments import (
