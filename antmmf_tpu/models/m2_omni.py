@@ -134,6 +134,11 @@ class M2Omni(BaseModel):
     # with a leading [num_layers] dim (stack imported per-layer
     # checkpoints with modules.llm.stack_decoder_layers)
     scan_layers: bool = False
+    # sequence parallelism for the decoder's training forward over the mesh
+    # `seq` axis: "none" | "ring" | "ulysses" (see modules/llm.DecoderLM).
+    # The long-video escape hatch — >16k-token multi-frame streams shard
+    # their sequence over ICI instead of OOMing one chip
+    sequence_parallel: str = "none"
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -157,7 +162,8 @@ class M2Omni(BaseModel):
             num_kv_heads=p["num_kv_heads"], rope_3d=True,
             lora_rank=self.llm_lora_rank,
             lora_targets=("q", "k", "v", "o") if all_tgt else ("q", "v"),
-            lora_mlp=all_tgt, remat=self.remat, scan_layers=self.scan_layers, dtype=dtype)
+            lora_mlp=all_tgt, remat=self.remat, scan_layers=self.scan_layers,
+            sequence_parallel=self.sequence_parallel, dtype=dtype)
         if self.visual_tower == "qwen2":
             from antmmf_tpu.modules.vision.qwen2_vit import build_qwen2_vit
 
@@ -345,7 +351,54 @@ class M2Omni(BaseModel):
         rel int[B, L, 3] relative positions within each run (0 elsewhere).
         Returns (positions int[B, L, 3], next_base int[B] — the base after
         the final slot, i.e. the continuation position for incremental
-        decoding, matching ``mrope_position_deltas``)."""
+        decoding, matching ``mrope_position_deltas``).
+
+        CLOSED FORM, no serial scan: the reference recurrence is a per-slot
+        base increment (+1 at text slots, +run_max+1 at run-END slots) whose
+        prefix sum gives every base; the only run-global quantity (the run's
+        max grid coordinate, read at its end slot) comes from a
+        reset-at-run-start cummax built as ``cummax(value + run_id·K) -
+        run_id·K`` (run_id is nondecreasing, so adding K per run makes
+        earlier runs strictly smaller — an O(log L) segmented max with no
+        scatter). The former ``lax.scan`` over L (kept below as
+        ``get_rope_index_scan``, the equivalence oracle) serialized 16k
+        tiny VPU steps per forward on long-video streams."""
+        B, L = modal_mask.shape
+        is_m = modal_mask
+        rel = rel.astype(jnp.int32)
+        curmax = jnp.max(rel, axis=-1)  # [B, L]
+        rid = jnp.cumsum(run_start.astype(jnp.int32), axis=1)  # run ids ≥ 1
+        # run end: last slot of a run (next slot starts a new run / is text)
+        nxt_start = jnp.concatenate(
+            [run_start[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+        nxt_mask = jnp.concatenate(
+            [is_m[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+        run_end = is_m & (nxt_start | ~nxt_mask)
+        # reset-cummax: K bounds grid coords (h, w ≤ 1k; t ≤ frames); rid·K
+        # stays well inside int32 for L ≤ 32k
+        K = jnp.int32(1 << 16)
+        shifted = jnp.where(is_m, curmax, -1) + rid * K
+        run_cummax = jax.lax.cummax(shifted, axis=1) - rid * K
+        inc = jnp.where(is_m, 0, 1) + \
+            jnp.where(run_end, run_cummax + 1, 0)
+        after = jnp.cumsum(inc, axis=1)
+        base_excl = after - inc  # base BEFORE each slot
+        # run base per slot = base_excl at its run start (cummax-gather)
+        idx = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        start_idx = jax.lax.cummax(jnp.where(run_start, idx, -1), axis=1)
+        run_base = jnp.take_along_axis(
+            base_excl, jnp.clip(start_idx, 0), axis=1)
+        pos = jnp.where(is_m[..., None], run_base[..., None] + rel,
+                        base_excl[..., None])
+        return pos, after[:, -1]
+
+    @staticmethod
+    def get_rope_index_scan(modal_mask: jnp.ndarray, run_start: jnp.ndarray,
+                            rel: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The direct ``lax.scan`` transcription of the reference recurrence
+        — the equivalence oracle for the closed-form ``get_rope_index``
+        (tests/test_rope_parity.py pins both)."""
         B, L = modal_mask.shape
 
         def step(carry, xs):

@@ -22,7 +22,7 @@ from antmmf_tpu.models.base_model import BaseModel
 from antmmf_tpu.models.m2_omni import LM_PRESETS
 from antmmf_tpu.modules.llm import DecoderLM
 from antmmf_tpu.modules.lora import LoRADense
-from antmmf_tpu.parallel.partitioning import shard_vocab_dim
+from antmmf_tpu.parallel.partitioning import shard_batch_dim, shard_vocab_dim
 from antmmf_tpu.modules.qdense import QuantDense
 from antmmf_tpu.modules.vision.eva_vit import EVA_PRESETS, EvaVisionTransformer
 from antmmf_tpu.modules.vision.vit import PRESETS as VIT_PRESETS, VisionTransformer
@@ -74,6 +74,9 @@ class PinkModel(BaseModel):
     # with a leading [num_layers] dim (stack imported per-layer
     # checkpoints with modules.llm.stack_decoder_layers)
     scan_layers: bool = False
+    # sequence parallelism for the decoder's training forward over the mesh
+    # `seq` axis: "none" | "ring" | "ulysses" (see modules/llm.DecoderLM)
+    sequence_parallel: str = "none"
     # int8 KV cache for serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
     # the bf16 cache (quantization), gate per deployment
@@ -106,7 +109,8 @@ class PinkModel(BaseModel):
             adapter_dim=self.adapter_dim if pink_style else 0,
             adapter_mlp=self.adapter_mlp,
             adapter_non_linear=self.adapter_non_linear,
-            remat=self.remat, scan_layers=self.scan_layers, dtype=dtype)
+            remat=self.remat, scan_layers=self.scan_layers,
+            sequence_parallel=self.sequence_parallel, dtype=dtype)
         if self.visual_tower not in ("vit", "eva"):
             raise ValueError(
                 f"visual_tower must be 'vit' or 'eva', got "
@@ -160,14 +164,20 @@ class PinkModel(BaseModel):
             seq = self.vision_tower(img, deterministic=deterministic)
             if isinstance(seq, dict):  # CLIP-style tower returns a dict
                 seq = seq["sequence"]
-            vtok = self.vision_proj(seq[:, 1:])
+            vtok = shard_batch_dim(self.vision_proj(seq[:, 1:]))
             segments.append(vtok)
             masks.append(jnp.ones(vtok.shape[:2], jnp.int32))
         # feature-sharded reshard point: routes the embedding cotangent
-        # through the [V, H/fsdp]-local form (see shard_vocab_dim)
-        segments.append(shard_vocab_dim(self.token_embed(input_ids)))
+        # through the [V, H/fsdp]-local form (see shard_vocab_dim), then
+        # immediately back to the batch layout so the splice concat (and its
+        # backward split) sees ONE consistent sharding — without the
+        # re-constraint GSPMD faces a batch-sharded↔feature-sharded transition
+        # with transposed device order at the split and falls back to
+        # involuntary full rematerialization (replicate-then-reshard)
+        segments.append(shard_batch_dim(
+            shard_vocab_dim(self.token_embed(input_ids))))
         masks.append(mask.astype(jnp.int32))
-        embeds = jnp.concatenate(segments, axis=1)
+        embeds = shard_batch_dim(jnp.concatenate(segments, axis=1))
         full_mask = jnp.concatenate(masks, axis=1)
         Lv = embeds.shape[1] - input_ids.shape[1]
         return embeds, full_mask, Lv

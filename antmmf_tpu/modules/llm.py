@@ -215,7 +215,28 @@ class GQAttention(nn.Module):
     # is then key-padding only) — a fused iota comparison or the flash
     # kernel's block skipping, never a materialized [L, L] mask
     causal: bool = False
+    # sequence parallelism over the mesh `seq` axis: "none" | "ring" |
+    # "ulysses". Engages on the cache-free (train/prefill-study) forward when
+    # the active mesh (registry key "mesh") has a seq axis > 1: tokens arrive
+    # sharded over `seq` and attention runs position-correct causal ring
+    # attention (grouped-KV-native — K/V rotate at the kv-head count) or
+    # Ulysses head exchange. KV-cache decode stays data-parallel: generation
+    # is HBM-bound on the cache read, which SP would replicate, and decode
+    # L is 1-gamma tokens — there is no sequence to shard. The long-video
+    # escape hatch for the >16k-token streams the reference trains on
+    # A100-80GB nodes (prj/M2_omni/models/modeling_llama_3d.py:1).
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
+
+    def _sp_mesh(self):
+        if self.sequence_parallel == "none":
+            return None
+        from antmmf_tpu.common.registry import registry as _reg
+
+        mesh = _reg.get("mesh", default=None)
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            return mesh
+        return None
 
     @nn.compact
     def __call__(
@@ -335,6 +356,30 @@ class GQAttention(nn.Module):
                 valid = (jnp.arange(T)[None, None]
                          <= qpos[:, :, None])  # [B, L, T]
                 bias = jnp.where(valid, 0.0, -1e30)[:, None]
+
+        sp_mesh = self._sp_mesh() if cache is None else None
+        kv_bias_ok = bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                                      and bias.shape[2] == 1)
+        if sp_mesh is not None and kv_bias_ok:
+            from antmmf_tpu.parallel.long_context import (
+                ring_attention,
+                ulysses_attention,
+            )
+
+            if self.sequence_parallel == "ulysses":
+                # Ulysses exchanges heads, so K/V must match the query head
+                # count — the expansion is local (never crosses ICI)
+                if n_kv != self.num_heads:
+                    rep = self.num_heads // n_kv
+                    k = jnp.repeat(k, rep, axis=1)
+                    v = jnp.repeat(v, rep, axis=1)
+                out = ulysses_attention(q, k, v, sp_mesh, bias=bias,
+                                        causal=self.causal)
+            else:  # ring: grouped-KV native, K/V rotate at n_kv heads
+                out = ring_attention(q, k, v, sp_mesh, bias=bias,
+                                     causal=self.causal)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
+            return maybe_lora(dense(C, "o_proj")(out), out, C, "o")
 
         # cache-decode GQA attends GROUPED (q reshaped [B, kv, rep, L, d]
         # against the kv-head cache) instead of repeating k/v to num_heads:
@@ -489,6 +534,8 @@ class DecoderLayer(nn.Module):
     # causal masking applied inside GQAttention (never a caller-side [L, L]
     # mask); True for decoder LMs
     causal: bool = False
+    # sequence parallelism for the attention (see GQAttention.sequence_parallel)
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -505,7 +552,7 @@ class DecoderLayer(nn.Module):
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             lora_freeze_base=self.lora_freeze_base,
             lora_targets=self.lora_targets, causal=self.causal,
-            dtype=self.dtype,
+            sequence_parallel=self.sequence_parallel, dtype=self.dtype,
             name="attention")(h, positions, bias, deterministic,
                               cache=cache, decode_pos=decode_pos,
                               rope_cs=rope_cs)
@@ -544,7 +591,8 @@ class _ScanDecoderBody(DecoderLayer):
         from antmmf_tpu.parallel.partitioning import shard_batch_dim
 
         out = super().__call__(
-            shard_batch_dim(carry), positions, bias, self.deterministic,
+            shard_batch_dim(carry, seq=self.sequence_parallel != "none"),
+            positions, bias, self.deterministic,
             cache=cache, decode_pos=decode_pos, rope_cs=rope_cs)
         if cache is not None:
             return out  # (x, layer_cache) — scan restacks the ys leg
@@ -586,6 +634,12 @@ class DecoderLM(nn.Module):
     # for the 7B configs, BASELINE round 4). Keep OFF when importing
     # per-layer external checkpoints (stack with ``stack_decoder_layers``).
     scan_layers: bool = False
+    # sequence parallelism over the mesh `seq` axis for the cache-free
+    # forward: "none" | "ring" | "ulysses" (see GQAttention). The activation
+    # stream should be sharded P(data, seq, None) by the caller; attention is
+    # the only op that mixes positions, so everything else (norms, MLPs,
+    # rope) shards token-wise for free.
+    sequence_parallel: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -633,7 +687,8 @@ class DecoderLM(nn.Module):
             lora_targets=self.lora_targets, lora_mlp=self.lora_mlp,
             adapter_dim=self.adapter_dim, adapter_mlp=self.adapter_mlp,
             adapter_non_linear=self.adapter_non_linear,
-            causal=True, dtype=self.dtype)
+            causal=True, sequence_parallel=self.sequence_parallel,
+            dtype=self.dtype)
         if self.scan_layers:
             # remat only the training forward — prefill/decode keep their
             # activations (no backward exists); prevent_cse is safe under
@@ -668,9 +723,12 @@ class DecoderLM(nn.Module):
             else:
                 # keep the remat-saved layer boundary SHARDED over the data
                 # axes (without the hint GSPMD's involuntary reshards around
-                # fsdp kernels leave it replicated per device)
-                x = layer(shard_batch_dim(x), positions, bias, deterministic,
-                          rope_cs=rope_cs)
+                # fsdp kernels leave it replicated per device) — and over
+                # `seq` when sequence-parallel, so saved activations stay
+                # O(L/P) per device
+                x = layer(shard_batch_dim(
+                    x, seq=self.sequence_parallel != "none"),
+                    positions, bias, deterministic, rope_cs=rope_cs)
         x = RMSNorm(dtype=self.dtype, name="final_norm")(x)
         if cache is not None:
             return x, new_cache

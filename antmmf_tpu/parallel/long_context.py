@@ -60,6 +60,7 @@ def ulysses_attention(
     mesh: Mesh,
     bias: Optional[jnp.ndarray] = None,  # [B, 1, 1, L] additive (kv padding)
     axis: str = "seq",
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Sequence-parallel exact attention via head exchange.
 
@@ -67,7 +68,14 @@ def ulysses_attention(
     the next multiple (padded heads attend over zero K/V and are sliced away),
     so the flagship 12-head towers run on an 8-way sequence axis. Sequence
     lengths are likewise padded (padded keys masked via the bias; padded query
-    rows sliced away), so any L works."""
+    rows sliced away), so any L works.
+
+    ``causal=True`` serves decoder self-attention: after the head exchange
+    every device holds the FULL sequence for its head subset, so causality is
+    the ordinary lower-triangular structure — applied by the Pallas flash
+    kernel's block skipping on TPU, or a fused iota comparison on the XLA
+    core path. GQA callers must expand K/V to the query head count first
+    (ring_attention is the grouped-kv-native choice)."""
     n = mesh.shape[axis]
     q, k, v, bias, L = _pad_seq_to_axis(q, k, v, bias, n)
     H = q.shape[1]
@@ -76,7 +84,8 @@ def ulysses_attention(
         def padh(x):
             return jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
 
-        out = ulysses_attention(padh(q), padh(k), padh(v), mesh, bias, axis)
+        out = ulysses_attention(padh(q), padh(k), padh(v), mesh, bias, axis,
+                                causal)
         return out[:, :H, :L]
     P_qkv = P(None, None, axis, None)  # shard L
     P_bias = P(None, None, None, axis)
@@ -93,7 +102,27 @@ def ulysses_attention(
         qh, kh, vh = seq_to_heads(q), seq_to_heads(k), seq_to_heads(v)
         full_bias = lax.all_gather(maybe_bias[0], axis, axis=3, tiled=True) \
             if has_bias else None
-        out = _local_attention(qh, kh, vh, full_bias)  # [B, H/P, L, D]
+        if causal:
+            Lf = qh.shape[2]
+            use_flash = (jax.default_backend() in ("tpu", "axon")
+                         and Lf * Lf >= 3072 * 3072
+                         and qh.shape[-1] in (64, 128))
+            if use_flash:
+                from antmmf_tpu.ops.pallas.flash_attention import (
+                    flash_attention,
+                )
+
+                kv_row = full_bias[:, 0, -1, :] if full_bias is not None \
+                    else None
+                out = flash_attention(qh, kh, vh, bias=kv_row, causal=True)
+            else:
+                rows = lax.broadcasted_iota(jnp.int32, (1, 1, Lf, Lf), 2)
+                cols = lax.broadcasted_iota(jnp.int32, (1, 1, Lf, Lf), 3)
+                cb = jnp.where(rows >= cols, 0.0, -1e30)
+                cb = cb if full_bias is None else cb + full_bias
+                out = _local_attention(qh, kh, vh, cb)
+        else:
+            out = _local_attention(qh, kh, vh, full_bias)  # [B, H/P, L, D]
         return heads_to_seq(out)
 
     if has_bias:
@@ -125,19 +154,34 @@ def ring_attention(
     ``causal=True`` applies position-correct causal masking as blocks rotate
     (global key position = source-shard offset + local index), so the ring can
     serve autoregressive decoders (caption LM) over sharded sequences. Any L
-    works: sequences pad to the axis size (masked keys, sliced queries)."""
+    works: sequences pad to the axis size (masked keys, sliced queries).
+
+    Grouped-query attention is native: when ``q`` carries ``H`` heads and
+    ``k``/``v`` carry ``H_kv < H`` (with ``H % H_kv == 0``), the K/V blocks
+    rotate at the KV-head count — the repeated-head expansion never touches
+    ICI or HBM. Internally the rep query heads of a group ride the query-row
+    axis (``[B, H_kv, rep·Lb, D]`` with tiled positions), so the online
+    softmax is unchanged."""
     n = mesh.shape[axis]
     q, k, v, bias, L = _pad_seq_to_axis(q, k, v, bias, n)
     P_qkv = P(None, None, axis, None)
     P_bias = P(None, None, None, axis)
     sc = scale if scale is not None else q.shape[-1] ** -0.5
+    Hq, Hkv = q.shape[1], k.shape[1]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    rep = Hq // Hkv
 
     def inner(q, k, v, bias):
         B, H, Lb, D = q.shape
+        if rep > 1:
+            # group-major fold: q head h = g·rep + r → row block r of group g
+            q = q.reshape(B, Hkv, rep * Lb, D)
         qf = q.astype(jnp.float32)
         perm = [(i, (i + 1) % n) for i in range(n)]
         my = lax.axis_index(axis)
         q_pos = my * Lb + jnp.arange(Lb)  # global query positions
+        if rep > 1:
+            q_pos = jnp.tile(q_pos, rep)
 
         def step(carry, s_idx):
             m_prev, l_prev, acc, kb, vb, bb = carry
@@ -161,12 +205,16 @@ def ring_attention(
             bb = lax.ppermute(bb, axis, perm)
             return (m_new, l_new, acc, kb, vb, bb), None
 
-        m0 = jnp.full((B, H, Lb), -1e30, jnp.float32)
-        l0 = jnp.zeros((B, H, Lb), jnp.float32)
-        acc0 = jnp.zeros((B, H, Lb, D), jnp.float32)
+        rows = (B, Hkv, rep * Lb) if rep > 1 else (B, H, Lb)
+        m0 = jnp.full(rows, -1e30, jnp.float32)
+        l0 = jnp.zeros(rows, jnp.float32)
+        acc0 = jnp.zeros(rows + (D,), jnp.float32)
         (m, l, acc, *_), _ = lax.scan(
             step, (m0, l0, acc0, k, v, bias), jnp.arange(n))
-        return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+        out = (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+        if rep > 1:
+            out = out.reshape(B, Hq, Lb, D)
+        return out
 
     bias_in = bias if bias is not None else jnp.zeros(
         (q.shape[0], 1, 1, q.shape[2]), jnp.float32)

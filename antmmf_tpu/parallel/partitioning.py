@@ -229,9 +229,12 @@ def shard_vocab_dim(x: Any) -> Any:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-def shard_batch_dim(x: Any) -> Any:
+def shard_batch_dim(x: Any, seq: bool = False) -> Any:
     """Constrain dim 0 (batch) over whichever data-parallel mesh axes exist
     in the ambient mesh (``data``/``fsdp``), replicating the rest.
+    ``seq=True`` additionally constrains dim 1 over a ``seq`` axis when the
+    mesh has one — the sequence-parallel decoder's layer-boundary layout
+    (P(data, seq, None)), keeping remat-saved activations O(L/P) per device.
 
     The annotation that keeps REMAT-SAVED activations stored sharded:
     without it, GSPMD's involuntary reshards around fsdp-sharded kernels
@@ -244,10 +247,18 @@ def shard_batch_dim(x: Any) -> Any:
     axes = tuple(a for a in ("data", "fsdp")
                  if env is not None and a in (env.axis_names or ())
                  and env.shape[a] > 1)
-    if not axes or getattr(x, "ndim", 0) < 1:
+    seq_ax = None
+    if (seq and env is not None and "seq" in (env.axis_names or ())
+            and env.shape["seq"] > 1 and getattr(x, "ndim", 0) >= 2
+            and x.shape[1] % env.shape["seq"] == 0):
+        seq_ax = "seq"
+    if (not axes and seq_ax is None) or getattr(x, "ndim", 0) < 1:
         return x
-    if x.shape[0] % int(np.prod([env.shape[a] for a in axes])):
-        return x
-    spec = PartitionSpec(axes if len(axes) > 1 else axes[0],
-                         *([None] * (x.ndim - 1)))
+    if axes and x.shape[0] % int(np.prod([env.shape[a] for a in axes])):
+        axes = ()
+        if seq_ax is None:
+            return x
+    batch_spec = (axes if len(axes) > 1 else axes[0]) if axes else None
+    spec = PartitionSpec(batch_spec, seq_ax, *([None] * (x.ndim - 2))) \
+        if x.ndim >= 2 else PartitionSpec(batch_spec)
     return jax.lax.with_sharding_constraint(x, spec)

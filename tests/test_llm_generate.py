@@ -383,3 +383,32 @@ def test_kv_int8_cache_m2omni(omni_tiny_spliced):
     q, lens2 = qmodel.generate(variables, batch, eos_id=1, max_length=4)
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(lens2))
     np.testing.assert_array_equal(np.asarray(q), np.asarray(full))
+
+
+def test_get_rope_index_closed_form_matches_scan():
+    """The closed-form (cumsum/reset-cummax) get_rope_index equals the
+    lax.scan transcription of the reference recurrence on randomized
+    text/run interleavings — including adjacent runs and run-at-end rows."""
+    rng = np.random.default_rng(0)
+    B, L = 4, 64
+    modal_mask = np.zeros((B, L), bool)
+    run_start = np.zeros((B, L), bool)
+    rel = np.zeros((B, L, 3), np.int64)
+    for b in range(B):
+        i = int(rng.integers(0, 3))
+        while i < L:
+            run_len = int(rng.integers(1, 9))
+            run_len = min(run_len, L - i)
+            modal_mask[b, i:i + run_len] = True
+            run_start[b, i] = True
+            rel[b, i:i + run_len] = rng.integers(0, 6, (run_len, 3))
+            rel[b, i] = 0  # run starts at its own base
+            # gap: 0 = adjacent next run, else text
+            i += run_len + int(rng.integers(0, 4))
+    args = (jnp.asarray(modal_mask), jnp.asarray(run_start),
+            jnp.asarray(rel, jnp.int32))
+    pos_fast, base_fast = M2Omni.get_rope_index(*args)
+    pos_scan, base_scan = M2Omni.get_rope_index_scan(*args)
+    np.testing.assert_array_equal(np.asarray(pos_fast), np.asarray(pos_scan))
+    np.testing.assert_array_equal(np.asarray(base_fast),
+                                  np.asarray(base_scan))
