@@ -2,6 +2,7 @@ from antmmf_tpu.datasets import graph_dataset  # noqa: F401  (registry side effe
 from antmmf_tpu.datasets import mcqa_dataset  # noqa: F401
 from antmmf_tpu.datasets import mm_dataset  # noqa: F401
 from antmmf_tpu.datasets import pink_instruct_dataset  # noqa: F401
+from antmmf_tpu.datasets import roi_dataset  # noqa: F401
 from antmmf_tpu.datasets import samplers  # noqa: F401
 from antmmf_tpu.datasets import video_text_dataset  # noqa: F401
 from antmmf_tpu.datasets.processors import (  # noqa: F401

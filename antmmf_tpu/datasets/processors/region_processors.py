@@ -8,6 +8,12 @@ Reference parity: ``/root/reference/prj/base_vtp/roi_univl/roi/region_processor.
      highly-overlapping neighbours IoU > 0.4, volta-style) with
      ``region_to_predict`` labels for the MRC head;
   3. normalize coords by image size and append the area as a 5th coord.
+
+Also ``ocr_processor`` — the OCR stream contract of the ROI cross-encoder
+(reference ``roi/dataset.py:111-170`` ``_load_ocr_json``): each OCR line's
+wordpieces inherit the LINE box bucketised LayoutLM-style to [0, 1000]
+(x·1000/width, y·1000/height), a ";" separator token closes every line, and
+the result pads to a fixed length with zero boxes.
 """
 
 from __future__ import annotations
@@ -103,3 +109,59 @@ class RegionProcessor(BaseProcessor):
             "region_mask": out_mask, "region_to_predict": to_predict,
             "region_cls_dis": out_cls,
         }
+
+
+@registry.register_processor("ocr_processor")
+class OCRProcessor(BaseProcessor):
+    """OCR lines → fixed-length token ids with LayoutLM-bucketised boxes.
+
+    Input item: {ocr_text: [str], ocr_box: [[x0, y0, x1, y1] absolute xyxy],
+    image_height, image_width}. Output (static shapes):
+      ocr_input_ids   int64[L]     wordpieces; each line closed by ``sep``
+      ocr_input_mask  int64[L]
+      ocr_bboxes      int64[L, 4]  line box per token, bucketised 0..1000
+    """
+
+    def __init__(self, config: Optional[Mapping[str, Any]] = None, *a, **k):
+        super().__init__(config)
+        from antmmf_tpu.datasets.processors.text_processors import (
+            _resolve_vocab_path)
+        from antmmf_tpu.utils.tokenization import BertTokenizer
+
+        cfg = self.config
+        vocab_path = _resolve_vocab_path(cfg.get(
+            "vocab_file", "tests/data/vocabs/bert-base-uncased_30522_vocab.txt"))
+        self.tokenizer = BertTokenizer(
+            vocab_path, do_lower_case=bool(cfg.get("do_lower_case", True)))
+        self.max_length = int(cfg.get("max_length", 64))
+        # reference closes every OCR line with ";" carrying the line box
+        self.line_sep = str(cfg.get("line_sep", ";"))
+
+    def __call__(self, item: Mapping[str, Any]) -> Dict[str, Any]:
+        texts = list(item.get("ocr_text", []))
+        boxes = list(item.get("ocr_box", []))
+        h = float(item.get("image_height", 1.0)) or 1.0
+        w = float(item.get("image_width", 1.0)) or 1.0
+        tokens: list = []
+        tok_boxes: list = []
+        for text, box in zip(texts, boxes):
+            x0, y0, x1, y1 = [float(v) for v in box]
+            bucket = [int(min(max(v, 0.0), 1000)) for v in
+                      (x0 * 1000.0 / w, y0 * 1000.0 / h,
+                       x1 * 1000.0 / w, y1 * 1000.0 / h)]
+            pieces = self.tokenizer.tokenize(str(text)) + [self.line_sep]
+            tokens.extend(pieces)
+            tok_boxes.extend([bucket] * len(pieces))
+        L = self.max_length
+        tokens, tok_boxes = tokens[:L], tok_boxes[:L]
+        ids = self.tokenizer.convert_tokens_to_ids(tokens)
+        n = len(ids)
+        out_ids = np.zeros((L,), np.int64)
+        out_mask = np.zeros((L,), np.int64)
+        out_boxes = np.zeros((L, 4), np.int64)
+        out_ids[:n] = ids
+        out_mask[:n] = 1
+        if n:
+            out_boxes[:n] = np.asarray(tok_boxes, np.int64)
+        return {"ocr_input_ids": out_ids, "ocr_input_mask": out_mask,
+                "ocr_bboxes": out_boxes}

@@ -11,6 +11,7 @@ Batch fields:
   region_boxes         f32[B, R, 4]    normalised xyxy
   region_mask          int[B, R]
   ocr_input_ids/_mask  int[B, Lo]      OCR tokens (optional)
+  ocr_bboxes           int[B, Lo, 4]   LayoutLM-bucketised xyxy (0..1023)
   caption_input_ids/_mask/_segment_ids/_lm_label_ids   int[B, Lt]
   image_data           f32[B, F, H, W, 3] (optional grid stream)
 """
@@ -49,6 +50,13 @@ class UnivlRoiModel(BaseModel):
     # (reference ROIPreTrainingHeads task 2, roi/model.py:350-379)
     with_mrc: bool = False
     region_classes: int = 13
+    # LayoutLM-style 2D layout embeddings over OCR box coordinates
+    # (reference roi/model.py:90-98: ocr_embeddings = LayoutLMEmbeddings
+    # over ocr_bboxes, sharing the BERT word/position/type tables) —
+    # spatial grounding of the OCR stream. Engages when the batch carries
+    # ``ocr_bboxes``; without boxes OCR falls back to plain text embeddings.
+    ocr_layout: bool = True
+    ocr_layout_max_position: int = 1024
     dropout: float = 0.0
     dtype_str: str = "bfloat16"
 
@@ -63,6 +71,12 @@ class UnivlRoiModel(BaseModel):
         self.region_encoder = ImageFeatureEncoder(
             encoder_type="spatial_projection",
             out_dim=self.base.visual_hidden, dtype=dtype)
+        if self.ocr_layout:
+            from antmmf_tpu.models.layoutlm import LayoutEmbeddings
+
+            self.ocr_layout_embeddings = LayoutEmbeddings(
+                hidden_size=self.base.text_hidden,
+                max_position=self.ocr_layout_max_position, dtype=dtype)
         vocab = self.base.text_encoder.vocab_size
         if self.with_mlm:
             self.mlm_head = MLMHead(vocab_size=vocab,
@@ -103,10 +117,18 @@ class UnivlRoiModel(BaseModel):
             stream_masks.append(jnp.repeat(
                 batch.get("video_mask", jnp.ones((B, F_), jnp.int32)), Lv,
                 axis=1))
-        # OCR tokens ride through the text embedding table into the visual slot
+        # OCR tokens ride through the text embedding table into the visual
+        # slot — with LayoutLM 2D box-position embeddings summed in pre-LN
+        # when boxes are present (reference roi/model.py:90-98,268-273:
+        # ocr_embeddings(ocr_input_ids, ocr_bboxes)), so the cross-encoder
+        # sees WHERE each OCR token sits on the document
         if "ocr_input_ids" in batch:
+            extra = None
+            if self.ocr_layout and "ocr_bboxes" in batch:
+                extra = self.ocr_layout_embeddings(
+                    batch["ocr_bboxes"].astype(jnp.int32))
             ocr = self.base.text_encoder.embeddings_apply(
-                batch["ocr_input_ids"], None, deterministic)
+                batch["ocr_input_ids"], None, deterministic, extra=extra)
             streams.append(ocr)
             stream_masks.append(batch.get(
                 "ocr_input_mask", jnp.ones(ocr.shape[:2], jnp.int32)))

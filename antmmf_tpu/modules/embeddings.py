@@ -40,13 +40,17 @@ class TextEmbeddings(nn.Module):
         deterministic: bool = True,
         inputs_embeds: Optional[jnp.ndarray] = None,  # float[B, L, C]
         word_only: bool = False,
+        extra: Optional[jnp.ndarray] = None,  # float[B, L, C] pre-LN additive
     ) -> jnp.ndarray:
         """Pass ``inputs_embeds`` to skip the word lookup — the HF
         inputs_embeds path the reference's cross-encoder splice relies on
         (univl_video_base.py:198-200: visual tokens through BERT embeddings).
         ``word_only=True`` returns the raw word-table rows for ``input_ids``
         (no position/type/LN — the SEP-token splice lookup,
-        univl_video_base.py:186-189)."""
+        univl_video_base.py:186-189). ``extra`` is summed in BEFORE the
+        LayerNorm — the LayoutLM 2D-position slot (reference
+        layout_lm_embeddings.py:118-128 adds bbox embeddings to the 1D
+        positions pre-LN)."""
         if inputs_embeds is not None:
             B, L = inputs_embeds.shape[:2]
         else:
@@ -67,6 +71,8 @@ class TextEmbeddings(nn.Module):
         base = (word(input_ids) if inputs_embeds is None
                 else inputs_embeds.astype(self.dtype))
         x = base + pos(position_ids) + typ(segment_ids)
+        if extra is not None:
+            x = x + extra.astype(x.dtype)
         x = LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="layer_norm")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

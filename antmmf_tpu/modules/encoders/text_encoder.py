@@ -80,8 +80,10 @@ class BertEncoder(nn.Module):
 
     # staged sub-passes — used by MMBT/VisualBERT-style models that splice
     # visual tokens between embedding and encoding
-    def embeddings_apply(self, input_ids, segment_ids=None, deterministic=True):
-        return self.embeddings(input_ids, segment_ids, deterministic=deterministic)
+    def embeddings_apply(self, input_ids, segment_ids=None, deterministic=True,
+                         extra=None):
+        return self.embeddings(input_ids, segment_ids,
+                               deterministic=deterministic, extra=extra)
 
     def encoder_apply(self, hidden, input_mask, deterministic=True):
         bias = make_attention_mask(input_mask)

@@ -111,6 +111,31 @@ def example_batch(model_key, mc, config, batch=2):
             "image_data": _sds((B, S, S, 3)),
             "labels": _sds((B, L), jnp.int32),
         }
+    if model_key == "univl_roi":
+        L = _text_len(config)
+        task = list(dict(config.get("task_attributes", {}) or {}).values())
+        ds = dict(list(dict(task[0].get("dataset_attributes", {})
+                            ).values())[0]) if task else {}
+        region = dict(ds.get("region", {}) or {})
+        R = int(region.get("max_features", 10))
+        D = int(mc.get("region_dim", 2048))
+        C = int(mc.get("region_classes", 13))
+        Lo = int(dict(ds.get("ocr", {}) or {}).get("max_length", 64))
+        return {
+            "caption_input_ids": _sds((B, L), i64),
+            "caption_input_mask": _sds((B, L), i64),
+            "caption_segment_ids": _sds((B, L), i64),
+            "caption_lm_label_ids": _sds((B, L), i64),
+            "region_feature": _sds((B, R, D)),
+            "region_boxes": _sds((B, R, 5)),
+            "region_mask": _sds((B, R), i64),
+            "region_to_predict": _sds((B, R), i64),
+            "region_cls_dis": _sds((B, R, C)),
+            "ocr_input_ids": _sds((B, Lo), i64),
+            "ocr_input_mask": _sds((B, Lo), i64),
+            "ocr_bboxes": _sds((B, Lo, 4), i64),
+            "itm_labels": _sds((B,), i64),
+        }
     if model_key == "comp_gcn":
         E = 16
         return {
