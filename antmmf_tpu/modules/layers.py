@@ -66,6 +66,64 @@ class LayerNorm(nn.Module):
         return out.astype(self.dtype)
 
 
+class SyncBatchNorm(nn.Module):
+    """Train-mode BatchNorm whose batch statistics are GLOBAL-batch exact.
+
+    Reference semantics: torchvision BN trained under DDP with
+    ``convert_sync_batchnorm`` (reference ``trainers/base_trainer.py:358-362``,
+    ``modules/encoders/visual_encoder.py:84``) — per-step mean/var over the
+    whole global batch, EMA running stats for eval. TPU-native form: under
+    ``jit``+GSPMD the reduction runs on the GLOBAL array view, so the
+    cross-replica sync is what the compiler emits for ``jnp.mean`` over a
+    batch-sharded tensor — no NCCL wrapper or axis plumbing needed. (Inside
+    ``shard_map``/``pmap`` bodies pass ``axis_name`` for an explicit psum.)
+
+    Stats/params are fp32 (``batch_stats`` collection: ``mean``/``var``;
+    thread mutably through training — the trainer's ``with_mutable`` path
+    already carries non-param collections). ``momentum`` follows the torch
+    convention: ``running = (1 - momentum)·running + momentum·batch``.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        use_run = (self.use_running_average if use_running_average is None
+                   else use_running_average)
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if use_run:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))  # (N, *spatial)
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(xf * xf, axes)
+            if self.axis_name is not None:  # shard_map/pmap bodies only
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - mean * mean
+            if not self.is_initializing():
+                n = x.size // C  # per-step sample count (global under jit)
+                unbiased = var * (n / max(n - 1, 1))  # torch running-var
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer FFN: fc1 → activation → fc2 (+dropout)."""
 

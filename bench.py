@@ -175,7 +175,7 @@ def main() -> None:
         "llm_decode_speculative_ceiling_tokens_per_sec": 711.5,
         # round 4b: QLoRA capacity leg — 6.6 B-param decoder finetunes on
         # ONE 16 GB chip (int4-packed frozen base + fp32 LoRA, remat);
-        # long-video train step (F frames x 200 vision tokens + 256 text,
+        # long-video train step (F frames x 196 vision tokens + 256 text,
         # causal 3-D-grid flash, B=1) — BASELINE.md round-4 tables
         "qlora_7b_one_chip_tokens_per_sec": 2984.0,
         "qlora_7b_one_chip_mfu_pct": 50.5,
@@ -224,7 +224,10 @@ def main() -> None:
         cdt, _ = _timed(cstep, cstate, jax.device_put(chost, cshard),
                         warmup=2, steps=6)
         extras["retrieval_cross_mined_k4_clips_per_sec"] = round(16 / cdt, 1)
-        extras["source"] = "measured live (BENCH_FULL)"
+        # only the two keys above were re-measured this run; everything else
+        # in extras keeps its BASELINE.md provenance
+        extras["measured_live"] = ["pretrain_mlm_itm_vtc_clips_per_sec",
+                                   "retrieval_cross_mined_k4_clips_per_sec"]
 
     print(json.dumps({
         "metric": "clip_pairs_per_sec_per_chip",
@@ -232,6 +235,10 @@ def main() -> None:
         "unit": "clip-pairs/sec/chip (ViT-B/32+BERT-base, 8f@224, bf16 train)"
         if on_tpu else "clip-pairs/sec/chip (tiny CPU fallback model)",
         "vs_baseline": round(clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
+        # vs_baseline denominator is an ESTIMATED A100 number (85 clips/s/GPU,
+        # CLIP4Clip-class; unmeasurable on this rig — see module docstring
+        # and BASELINE.md:39), not a measured reference datapoint
+        "baseline_is_estimate": True,
         "extras": extras,
     }))
 
