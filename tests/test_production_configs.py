@@ -287,3 +287,104 @@ def test_10b_moe_step_lowers_with_declared_sharding():
         # params+grads fsdp-sharded on the 8-dev test mesh must stay well
         # under a replicated-everything blowup (~80 GB+)
         assert total < 60e9, f"per-device memory {total/1e9:.1f} GB"
+
+
+def _analytic_per_device_bytes(tree, specs, sizes):
+    """Per-device resident bytes for a (shape-only) pytree under declared
+    PartitionSpecs on a mesh of ``sizes`` — leaves whose sharded dim does
+    not divide are counted UNsharded (mirrors relax_to_divisible)."""
+    from jax.sharding import PartitionSpec
+
+    flat_t = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_leaves_with_path(tree)}
+    flat_s = {jax.tree_util.keystr(p): s for p, s in
+              jax.tree_util.tree_leaves_with_path(
+                  specs, is_leaf=lambda x: isinstance(x, PartitionSpec))}
+    total = 0
+    for key, leaf in flat_t.items():
+        shape = getattr(leaf, "shape", None)
+        dtype = getattr(leaf, "dtype", None)
+        if shape is None or dtype is None:  # MaskedNode etc. — stateless
+            continue
+        nbytes = int(np.prod(shape)) * jnp.dtype(dtype).itemsize \
+            if shape else jnp.dtype(dtype).itemsize
+        spec = flat_s.get(key)
+        div = 1
+        if spec is not None:
+            for d, ax in enumerate(tuple(spec)):
+                axes = (ax,) if isinstance(ax, str) else tuple(ax or ())
+                f = 1
+                for a in axes:
+                    f *= int(sizes.get(a, 1))
+                if f > 1 and d < len(shape) and shape[d] % f == 0:
+                    div *= f
+        total += nbytes // div
+    return total
+
+
+def _declared_mesh_sizes(tp):
+    cfg = dict(tp.get("mesh") or {})
+    dcn = dict(cfg.pop("dcn", None) or {})
+    for a, s in dcn.items():
+        base = cfg.get(a, 1)
+        base = 1 if base in (-1, None) else int(base)
+        cfg[a] = max(base, 1) * int(s)
+    return {a: int(s) for a, s in cfg.items()
+            if s not in (None,) and int(s) > 1}
+
+
+@pytest.mark.parametrize(
+    "path", CONFIGS, ids=[os.path.relpath(p, ROOT) for p in CONFIGS])
+def test_declared_mesh_state_fits_hbm(path):
+    """Regression tripwire for mesh fiction (a config once declared v5e-8
+    for a 7B full finetune that AOT-measured 121 GB/device): at the
+    DECLARED mesh, per-device RESIDENT state (params + optimizer state +
+    batch shard) must leave headroom for activations under the 16 GB v5e
+    HBM. Analytic eval_shape accounting — no compile; the authoritative
+    peak (incl. temps) is scripts/aot_memory.py (BASELINE.md table)."""
+    config = _load(path)
+    attrs = dict(config.get("model_attributes", {}) or {})
+    if not attrs:
+        pytest.skip("no model_attributes")
+    tp = dict(config.get("training_parameters", {}) or {})
+    sizes = _declared_mesh_sizes(tp)
+    model_name = list(attrs)[0]
+    mc = dict(attrs[model_name])
+    model_key = mc.get("model_class", model_name)
+
+    shell = build_model(config, model_name, for_test=True)
+    batch = example_batch(model_key, mc, config,
+                          batch=int(tp.get("batch_size", 8)))
+    variables = jax.eval_shape(lambda r, b: shell.init(r, b),
+                               jax.random.PRNGKey(0), batch)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(variables))
+    if n_params < 5e8 and not sizes:
+        return  # sub-0.5B on a default mesh always fits
+
+    from antmmf_tpu.optimizer.build import build_optimizer
+
+    tx, _ = build_optimizer(
+        variables["params"],
+        dict(config.get("optimizer_attributes",
+                        {"type": "adam_w", "params": {"lr": 1e-4}}) or {}),
+        tp)
+    opt_shape = jax.eval_shape(tx.init, variables["params"])
+    rules = tp.get("param_sharding_rules")
+    if rules is not None:
+        rules = [tuple(r) for r in rules]
+    param_specs = infer_param_specs(variables, rules)
+    opt_specs = infer_param_specs(opt_shape, rules)
+    state = _analytic_per_device_bytes(variables, param_specs, sizes) \
+        + _analytic_per_device_bytes(opt_shape, opt_specs, sizes)
+    data_div = int(np.prod([sizes.get(a, 1) for a in ("data", "fsdp")]))
+    batch_bytes = sum(int(np.prod(b.shape)) * jnp.dtype(b.dtype).itemsize
+                      for b in jax.tree_util.tree_leaves(batch)) // max(
+                          data_div, 1)
+    per_device_gb = (state + batch_bytes) / 1e9
+    # 12 GB resident budget leaves ≥4 GB for activations/temps (AOT-measured
+    # temps on the 7B configs: 2.3-3.5 GB, BASELINE.md round-5 table)
+    assert per_device_gb < 12.0, (
+        f"{os.path.relpath(path, ROOT)}: {per_device_gb:.1f} GB/device of "
+        f"resident state at declared mesh {sizes} — the mesh is fiction; "
+        f"re-declare (see scripts/aot_memory.py)")
