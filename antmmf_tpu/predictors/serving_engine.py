@@ -254,6 +254,20 @@ class ContinuousBatchingEngine:
         self._slot_temp = np.zeros((slots,), np.float32)  # 0 = greedy
         self._slot_topp = np.ones((slots,), np.float32)
         self._cancelled: set = set()
+        # deadline eviction: requests carrying {"deadline_s": T} (or the
+        # engine-level default) are EVICTED once T seconds have elapsed
+        # since submit — a queued overdue request never runs, a running one
+        # frees its slot at the next window boundary with its partial
+        # tokens in the outputs (marked in ``evicted``). The back-pressure
+        # valve a real queue needs: one stuck/oversized request cannot pin
+        # a slot forever.
+        self.request_timeout_s: Optional[float] = None
+        self._deadline: Dict[Any, float] = {}
+        self._evicted: set = set()
+        # per-step telemetry ring: (active_slots, queue_depth) at each
+        # step() — stats() reduces to slot utilization + queue-depth
+        # percentiles (the sustained-load evidence)
+        self._timeline: List[Tuple[int, int]] = []
         self._t_submit: Dict[Any, float] = {}
         self._t_first: Dict[Any, float] = {}
         self._done: Dict[Any, List[int]] = {}
@@ -426,6 +440,9 @@ class ContinuousBatchingEngine:
         self._slot_topp[:] = 1.0
         self._slot_pending = [None] * self.S
         self._cancelled = set()
+        self._evicted = set()
+        self._deadline.clear()
+        self._timeline = []
         self._t_submit.clear()
         self._t_first.clear()
         self._done = {}
@@ -508,6 +525,10 @@ class ContinuousBatchingEngine:
         if data.get("session"):
             self._session_req.add(request_id)
         self._t_submit[request_id] = time.perf_counter()
+        ddl = data.get("deadline_s", self.request_timeout_s)
+        if ddl is not None:
+            self._deadline[request_id] = self._t_submit[request_id] \
+                + float(ddl)
         self._queue.append((request_id, data))
 
     def cancel(self, request_id) -> bool:
@@ -697,6 +718,35 @@ class ContinuousBatchingEngine:
         self._slot_req[s] = None
         self._slot_toks[s] = []
 
+    def _evict_overdue(self) -> None:
+        """Deadline pass: running requests past their deadline free their
+        slot (partial tokens kept, marked evicted); queued overdue requests
+        are dropped before ever running. Pending chunked prefills are
+        abandoned the same way."""
+        if not self._deadline:
+            return
+        now = time.perf_counter()
+        for s in range(self.S):
+            rid = self._slot_req[s]
+            if rid is not None and now > self._deadline.get(rid, np.inf):
+                self._evicted.add(rid)
+                self._finish_cancelled(s, rid)
+            pend = self._slot_pending[s]
+            if pend is not None and \
+                    now > self._deadline.get(pend["rid"], np.inf):
+                self._evicted.add(pend["rid"])
+                self._finish_cancelled(s, pend["rid"])
+                self._slot_pending[s] = None
+        keep = []
+        for rid, data in self._queue:
+            if now > self._deadline.get(rid, np.inf):
+                self._evicted.add(rid)
+                self._done[rid] = []
+                self._latency[rid] = now - self._t_submit[rid]
+            else:
+                keep.append((rid, data))
+        self._queue = keep
+
     def _admit_with_prefix(self, s: int, rid, data: Mapping[str, Any]
                            ) -> None:
         """Fork a registered prefix row into slot ``s`` (no prefill — the
@@ -750,8 +800,11 @@ class ContinuousBatchingEngine:
             rid = self._slot_req[s]
             if rid is not None and rid in self._cancelled:
                 self._finish_cancelled(s, rid)
+        self._evict_overdue()
         self._advance_pending()
         self._admit_waiting()
+        self._timeline.append(
+            (sum(r is not None for r in self._slot_req), len(self._queue)))
         if self._state is None:
             return []
         active_py = [r is not None for r in self._slot_req]
@@ -872,9 +925,12 @@ class ContinuousBatchingEngine:
         def pct(xs, q):
             return xs[min(int(q * len(xs)), len(xs) - 1)] if xs else 0.0
 
+        occ = [a for a, _ in self._timeline]
+        qd = sorted(q for _, q in self._timeline)
         return {
             "outputs": dict(self._done),
             "cancelled": set(self._cancelled),
+            "evicted": set(self._evicted),
             "wall_s": wall,
             "total_tokens": total_tokens,
             "tokens_per_s": total_tokens / max(wall, 1e-9),
@@ -882,4 +938,11 @@ class ContinuousBatchingEngine:
             "latency_max": lat[-1] if lat else 0.0,
             "ttft_p50": pct(ttft, 0.5), "ttft_p99": pct(ttft, 0.99),
             "tpot_p50": pct(tpot, 0.5), "tpot_p99": pct(tpot, 0.99),
+            # sustained-load telemetry: fraction of slot-steps doing useful
+            # decode, and the queue-depth distribution over steps
+            "slot_utilization": (float(np.mean(occ)) / self.S) if occ
+            else 0.0,
+            "queue_depth_p50": pct(qd, 0.5),
+            "queue_depth_max": qd[-1] if qd else 0,
+            "steps": len(self._timeline),
         }

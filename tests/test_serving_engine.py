@@ -611,3 +611,69 @@ class TestScanLayersEngine:
         for rid, data in reqs:
             want = _reference_tokens(model, variables, data)
             assert result["outputs"][rid] == want, rid
+
+
+class TestDeadlineEviction:
+    def test_running_and_queued_requests_evict_past_deadline(
+            self, pink_setup):
+        """Eviction under pressure: with 1 slot and tight deadlines, an
+        overdue RUNNING request frees its slot with partial tokens (marked
+        evicted) and an overdue QUEUED request never runs — the engine
+        drains instead of pinning slots forever."""
+        import time as _time
+
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=1, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, step_tokens=1)
+        eng.submit("tight", {**reqs[0][1], "deadline_s": 0.0})
+        eng.submit("fine", reqs[1][1])
+        eng.step()  # "tight" admitted (deadline checked AFTER one window)
+        _time.sleep(0.01)
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        res = eng.stats(1.0)
+        assert "tight" in res["evicted"]
+        # partial output kept, slot freed, the healthy request completed
+        assert len(res["outputs"]["tight"]) < MAX_NEW
+        assert len(res["outputs"]["fine"]) == MAX_NEW
+        assert "fine" not in res["evicted"]
+
+        # queued eviction: deadline expires before a slot frees
+        eng.reset()
+        eng.submit("holder", reqs[0][1])
+        eng.step()
+        eng.submit("starved", {**reqs[1][1], "deadline_s": 0.0})
+        _time.sleep(0.01)
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        res = eng.stats(1.0)
+        assert "starved" in res["evicted"]
+        assert res["outputs"]["starved"] == []  # never ran
+        assert len(res["outputs"]["holder"]) == MAX_NEW
+
+    def test_engine_default_timeout_applies(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=1, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, step_tokens=1)
+        eng.request_timeout_s = 1e-6
+        eng.submit("r", reqs[0][1])
+        eng.step()
+        while eng._queue or any(r is not None for r in eng._slot_req):
+            eng.step()
+        assert "r" in eng.stats(1.0)["evicted"]
+
+    def test_stats_report_utilization_and_queue_depth(self, pink_setup):
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS, step_tokens=1)
+        res = eng.run(reqs[:4])
+        assert 0.0 < res["slot_utilization"] <= 1.0
+        assert res["queue_depth_max"] >= 1  # 4 requests over 2 slots queued
+        assert res["steps"] > 0
+        assert res["evicted"] == set()
