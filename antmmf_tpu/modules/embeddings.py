@@ -155,7 +155,12 @@ class VisualEmbeddings(nn.Module):
         )
         if not self.use_cls_token:
             pos = pos[1:]
-        x = tokens + pos[None].astype(tokens.dtype)
+        # broadcast [N, C] directly (no [1, N, C] intermediate): the
+        # transpose of a leading-dim broadcast keeps a size-1-dim tensor
+        # that GSPMD over-shards with the batch spec and then involuntarily
+        # rematerializes when the fsdp-sharded kernels pull it
+        # feature-sharded (MULTICHIP r4 tail)
+        x = tokens + pos.astype(tokens.dtype)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 

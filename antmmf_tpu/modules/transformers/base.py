@@ -188,6 +188,18 @@ class TransformerEncoder(nn.Module):
                     importance = contrib if importance is None \
                         else importance + contrib
                 else:
+                    if self.remat:
+                        # keep the remat-saved layer boundary sharded —
+                        # 2D (data on batch, fsdp on features): the layout
+                        # whose backward reshard toward fsdp-sharded kernel
+                        # grads needs no transposed-order hop, so GSPMD
+                        # never falls back to involuntary full
+                        # rematerialization (MULTICHIP r4 tail; measured 0
+                        # warnings, identical loss)
+                        from antmmf_tpu.parallel.partitioning import (
+                            shard_batch_dim)
+
+                        x = shard_batch_dim(x, feature=True)
                     x = layer(x, bias, None, deterministic)
                     if self.token_merge_r > 0 and i < self.num_layers - 1:
                         x, tome_size = tome_merge(

@@ -229,12 +229,19 @@ def shard_vocab_dim(x: Any) -> Any:
     return jax.lax.with_sharding_constraint(x, spec)
 
 
-def shard_batch_dim(x: Any, seq: bool = False) -> Any:
+def shard_batch_dim(x: Any, seq: bool = False, feature: bool = False) -> Any:
     """Constrain dim 0 (batch) over whichever data-parallel mesh axes exist
     in the ambient mesh (``data``/``fsdp``), replicating the rest.
     ``seq=True`` additionally constrains dim 1 over a ``seq`` axis when the
     mesh has one — the sequence-parallel decoder's layer-boundary layout
     (P(data, seq, None)), keeping remat-saved activations O(L/P) per device.
+    ``feature=True`` switches to the 2D layout P("data", …, "fsdp") (batch
+    over data ONLY, last dim over fsdp) when both divide — the layout whose
+    backward reshard toward fsdp-contraction-sharded kernel grads is a pure
+    all-gather over ``data``. The merged P(("data","fsdp"), …) layout needs a
+    transposed-device-order hop there and GSPMD falls back to involuntary
+    full rematerialization (MULTICHIP r4 tail; fixed round 5 — measured 0
+    warnings with identical loss on the scan-layers Pink step).
 
     The annotation that keeps REMAT-SAVED activations stored sharded:
     without it, GSPMD's involuntary reshards around fsdp-sharded kernels
@@ -244,6 +251,15 @@ def shard_batch_dim(x: Any, seq: bool = False) -> Any:
     meshes without those axes; numerics are unchanged (sharding hint only).
     """
     env = ambient_mesh()
+    if feature and env is not None and getattr(x, "ndim", 0) >= 2:
+        names = env.axis_names or ()
+        data_ok = "data" in names and env.shape["data"] > 1 \
+            and x.shape[0] % env.shape["data"] == 0
+        fsdp_ok = "fsdp" in names and env.shape["fsdp"] > 1 \
+            and x.shape[-1] % env.shape["fsdp"] == 0
+        if data_ok and fsdp_ok:
+            spec = PartitionSpec("data", *([None] * (x.ndim - 2)), "fsdp")
+            return jax.lax.with_sharding_constraint(x, spec)
     axes = tuple(a for a in ("data", "fsdp")
                  if env is not None and a in (env.axis_names or ())
                  and env.shape[a] > 1)
