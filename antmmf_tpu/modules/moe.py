@@ -146,6 +146,37 @@ class ExpertMlp(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
+    @staticmethod
+    def _pin(w: jnp.ndarray, feature_dim: int) -> jnp.ndarray:
+        """Constrain an expert kernel [E, ..in.., ..out..] to its declared
+        (expert, fsdp-on-feature_dim) placement AT THE USE SITE. The
+        constraint's transpose applies the same spec to the COTANGENT, so
+        each weight grad is produced already sharded — without it the
+        backward dot materializes the full [E_local, D, H] bf16 grad per
+        MoE layer before any reduce-scatter, and the scheduler keeps every
+        layer's alive at once (round-5 AOT: 17 live 400 MB temps pushed the
+        10B step 297 MB past v5e HBM)."""
+        from antmmf_tpu.parallel.partitioning import ambient_mesh
+
+        env = ambient_mesh()
+        if env is None:
+            return w
+        names = env.axis_names or ()
+        ex = MESH_AXIS_EXPERT if (MESH_AXIS_EXPERT in names
+                                  and env.shape[MESH_AXIS_EXPERT] > 1
+                                  and w.shape[0] % env.shape[
+                                      MESH_AXIS_EXPERT] == 0) else None
+        fs = "fsdp" if ("fsdp" in names and env.shape["fsdp"] > 1
+                        and w.shape[feature_dim] % env.shape["fsdp"] == 0) \
+            else None
+        if ex is None and fs is None:
+            return w
+        spec = [None] * w.ndim
+        spec[0] = ex
+        spec[feature_dim] = fs
+        return jax.lax.with_sharding_constraint(
+            w, jax.sharding.PartitionSpec(*spec))
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [E, C, D]
         E, C, D = x.shape
@@ -156,6 +187,11 @@ class ExpertMlp(nn.Module):
         w2 = self.param("w2", nn.initializers.normal(0.02),
                         (E, self.hidden_dim, D), self.param_dtype)
         b2 = self.param("b2", nn.initializers.zeros, (E, 1, D), self.param_dtype)
+        # the declared rule shards dim 1 of BOTH kernels
+        # (.*experts/w[0-9]+$ → ["expert", "fsdp", null]): w1's input dim,
+        # w2's hidden dim
+        w1 = self._pin(w1, 1)
+        w2 = self._pin(w2, 1)
         h = jnp.einsum("ecd,edh->ech", x.astype(self.dtype), w1.astype(self.dtype))
         h = self.activation(h + b1.astype(self.dtype))
         out = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype))

@@ -717,6 +717,7 @@ class ContinuousBatchingEngine:
         self._latency[rid] = time.perf_counter() - self._t_submit[rid]
         self._slot_req[s] = None
         self._slot_toks[s] = []
+        self._deadline.pop(rid, None)
 
     def _evict_overdue(self) -> None:
         """Deadline pass: running requests past their deadline free their
@@ -844,6 +845,7 @@ class ContinuousBatchingEngine:
                         or len(self._slot_toks[s]) >= self._slot_budget[s]:
                     self._done[rid] = list(self._slot_toks[s])
                     self._latency[rid] = now - self._t_submit[rid]
+                    self._deadline.pop(rid, None)
                     self._slot_req[s] = None
                     if rid in self._session_req:
                         # hold the cache row; the EOS token itself stays in
