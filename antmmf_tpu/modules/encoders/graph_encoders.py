@@ -167,17 +167,50 @@ class GATAdjMatrix(nn.Module):
         return jax.nn.log_softmax(x, axis=2)
 
 
+class GraphNorm(nn.Module):
+    """Per-graph normalization (Cai et al., ICML'21 — the reference's kgrl
+    GraphNorm behind QKVGraphConv's norm_type): features normalized over
+    each graph's nodes with a LEARNABLE mean scale,
+    ``gamma · (x − alpha·mu_g) / sigma_g + beta``. ``batch`` maps node →
+    graph id (None = one graph)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 batch: Optional[jnp.ndarray] = None,
+                 num_graphs: int = 1) -> jnp.ndarray:
+        C = x.shape[-1]
+        alpha = self.param("alpha", nn.initializers.ones, (C,), jnp.float32)
+        gamma = self.param("gamma", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (C,), jnp.float32)
+        if batch is None:
+            batch = jnp.zeros((x.shape[0],), jnp.int32)
+            num_graphs = 1
+        xf = x.astype(jnp.float32)
+        count = jnp.clip(jax.ops.segment_sum(
+            jnp.ones((x.shape[0],)), batch, num_graphs), 1)[:, None]
+        mu = jax.ops.segment_sum(xf, batch, num_graphs) / count
+        shifted = xf - alpha * mu[batch]
+        var = jax.ops.segment_sum(shifted * shifted, batch,
+                                  num_graphs) / count
+        out = shifted * jax.lax.rsqrt(var[batch] + 1e-5) * gamma + beta
+        return out.astype(x.dtype)
+
+
 class QKVGraphConv(nn.Module):
     """Multi-head QKV attention over edges with edge features mixed into
     keys/values (the reference's message_passing.QKVGraphConv used by
-    NaiveAttentionBasedEncoder)."""
+    NaiveAttentionBasedEncoder). ``norm_type``: None | "LayerNorm" |
+    "GraphNorm" applied to the aggregated output (reference forward)."""
 
     features: int
     num_heads: int = 4
+    norm_type: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_index: jnp.ndarray,
-                 edge_features: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_features: Optional[jnp.ndarray] = None,
+                 batch: Optional[jnp.ndarray] = None,
+                 num_graphs: int = 1) -> jnp.ndarray:
         H = self.num_heads
         F = self.features // H
         N = x.shape[0]
@@ -188,8 +221,12 @@ class QKVGraphConv(nn.Module):
         v = nn.Dense(H * F, name="v")(msg).reshape(-1, H, F)
         score = jnp.einsum("ehf,ehf->eh", q, k) / jnp.sqrt(F)
         alpha = scatter_softmax(score, dst, N)
-        out = scatter_add(alpha[..., None] * v, dst, N)
-        return out.reshape(N, H * F)
+        out = scatter_add(alpha[..., None] * v, dst, N).reshape(N, H * F)
+        if self.norm_type == "LayerNorm":
+            out = nn.LayerNorm(name="norm")(out)
+        elif self.norm_type == "GraphNorm":
+            out = GraphNorm(name="norm")(out, batch, num_graphs)
+        return out
 
 
 @registry.register_encoder("naive_attention_based_encoder")

@@ -89,7 +89,13 @@ class _ScanLayerBody(TransformerLayer):
     """TransformerLayer in scan calling convention: carry → (carry, None)."""
 
     def __call__(self, carry, bias=None, kv=None, deterministic=True):
-        return super().__call__(carry, bias, kv, deterministic), None
+        from antmmf_tpu.parallel.partitioning import shard_batch_dim
+
+        # 2D boundary layout (data on batch, fsdp on features): keeps the
+        # scan carry sharded and the backward kernel-grad reshard a pure
+        # data-axis gather (see TransformerEncoder loop / MULTICHIP r4)
+        return super().__call__(shard_batch_dim(carry, feature=True),
+                                bias, kv, deterministic), None
 
 
 class TransformerEncoder(nn.Module):

@@ -234,3 +234,33 @@ def test_global_pools():
     assert global_add_pool(x, b, 2).tolist() == [[3.0], [3.0]]
     assert global_mean_pool(x, b, 2).tolist() == [[1.5], [3.0]]
     assert global_max_pool(x, b, 2).tolist() == [[2.0], [3.0]]
+
+
+def test_graphnorm_and_qkv_norm_options():
+    """GraphNorm (per-graph stats with learnable mean scale, kgrl GraphNorm
+    behind the reference QKVGraphConv norm_type) + the conv's norm wiring."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.modules.encoders.graph_encoders import (
+        GraphNorm, QKVGraphConv)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((6, 8)).astype(np.float32))
+    batch = jnp.asarray([0, 0, 0, 1, 1, 1])
+    gn = GraphNorm()
+    variables = gn.init(jax.random.PRNGKey(0), x, batch, 2)
+    out = gn.apply(variables, x, batch, 2)
+    # alpha=1 init: per-graph zero mean / unit variance
+    for g in range(2):
+        seg = np.asarray(out)[np.asarray(batch) == g]
+        np.testing.assert_allclose(seg.mean(0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(seg.var(0), 1.0, atol=1e-3)
+
+    ei = jnp.asarray([[0, 1, 2, 3, 4], [1, 2, 0, 4, 5]])
+    for nt in (None, "LayerNorm", "GraphNorm"):
+        conv = QKVGraphConv(8, 2, norm_type=nt)
+        v = conv.init(jax.random.PRNGKey(1), x, ei, None, batch, 2)
+        y = conv.apply(v, x, ei, None, batch, 2)
+        assert y.shape == (6, 8) and np.isfinite(np.asarray(y)).all()
