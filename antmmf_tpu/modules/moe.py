@@ -156,10 +156,13 @@ class ExpertMlp(nn.Module):
         MoE layer before any reduce-scatter, and the scheduler keeps every
         layer's alive at once (round-5 AOT: 17 live 400 MB temps pushed the
         10B step 297 MB past v5e HBM)."""
-        from antmmf_tpu.parallel.partitioning import ambient_mesh
+        from antmmf_tpu.parallel.partitioning import (
+            _mesh_is_manual,
+            ambient_mesh,
+        )
 
         env = ambient_mesh()
-        if env is None:
+        if env is None or _mesh_is_manual(env):
             return w
         names = env.axis_names or ()
         ex = MESH_AXIS_EXPERT if (MESH_AXIS_EXPERT in names

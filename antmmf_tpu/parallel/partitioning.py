@@ -216,6 +216,8 @@ def shard_vocab_dim(x: Any) -> Any:
     context, on meshes without a >1 ``fsdp`` axis, and on non-divisible
     shapes; numerics are unchanged (sharding hint only)."""
     env = ambient_mesh()
+    if _mesh_is_manual(env):
+        return x
     names = (env.axis_names or ()) if env is not None else ()
     fsdp_ok = "fsdp" in names and env.shape["fsdp"] > 1
     if not fsdp_ok or getattr(x, "ndim", 0) < 2:
@@ -227,6 +229,20 @@ def shard_vocab_dim(x: Any) -> Any:
     spec = PartitionSpec("data" if data_ok else None,
                          *([None] * (x.ndim - 2)), "fsdp")
     return jax.lax.with_sharding_constraint(x, spec)
+
+
+def _mesh_is_manual(env) -> bool:
+    """True when the current trace is INSIDE a shard_map body (mesh axes are
+    Manual) — sharding constraints are illegal there."""
+    if env is None:
+        return False
+    try:
+        from jax.sharding import AxisType
+
+        return any(t == AxisType.Manual
+                   for t in (getattr(env, "axis_types", None) or ()))
+    except Exception:
+        return False
 
 
 def shard_batch_dim(x: Any, seq: bool = False, feature: bool = False) -> Any:
@@ -251,6 +267,11 @@ def shard_batch_dim(x: Any, seq: bool = False, feature: bool = False) -> Any:
     meshes without those axes; numerics are unchanged (sharding hint only).
     """
     env = ambient_mesh()
+    if _mesh_is_manual(env):
+        # inside a shard_map body (pipeline stages): axes are Manual and
+        # with_sharding_constraint is illegal — per-shard values are
+        # already local, nothing to hint
+        return x
     if feature and env is not None and getattr(x, "ndim", 0) >= 2:
         names = env.axis_names or ()
         data_ok = "data" in names and env.shape["data"] > 1 \

@@ -340,6 +340,11 @@ def main() -> None:
         except Exception as e:  # record OOM / compile failures per leg
             res = {"leg": leg, "error": f"{type(e).__name__}: {e}"[:2500]}
         gc.collect()  # drop the previous leg's device arrays before the next
+        # compiled executables pin device buffers (donated-arg aliases,
+        # large constants) for the life of the jit cache — a prior leg's
+        # cache can push the next leg over HBM on a 16 GB chip
+        jax.clear_caches()
+        gc.collect()
         print(json.dumps(res), flush=True)
 
 
