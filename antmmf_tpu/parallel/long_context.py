@@ -209,8 +209,14 @@ def ring_attention(
         m0 = jnp.full(rows, -1e30, jnp.float32)
         l0 = jnp.zeros(rows, jnp.float32)
         acc0 = jnp.zeros(rows + (D,), jnp.float32)
+        # checkpoint each ring step: the backward recomputes the per-block
+        # logits/probs ([rows, Lb] f32 — the only O(L·Lb) tensors) from the
+        # saved carries instead of storing n of them, the flash-backward
+        # memory discipline generalized across the ring. Saved per step:
+        # only the carries (softmax stats + acc + the rotating K/V block).
         (m, l, acc, *_), _ = lax.scan(
-            step, (m0, l0, acc0, k, v, bias), jnp.arange(n))
+            jax.checkpoint(step, prevent_cse=False),
+            (m0, l0, acc0, k, v, bias), jnp.arange(n))
         out = (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
         if rep > 1:
             out = out.reshape(B, Hq, Lb, D)

@@ -85,7 +85,12 @@ class PinkAdapter:
             cache = self.make_cache(1)
             logits, cache = self.module.apply(
                 live(), batch, cache, lens, method=PinkModel.prefill)
-            start = self.Lv + lens
+            # vision offset of THIS request (extras structure is static per
+            # trace): a text-only request in an image-serving engine has no
+            # vision prefix — using the engine-level Lv would start decode
+            # at the wrong cache slot
+            lv = self.module.num_vision_tokens(batch)
+            start = lv + lens
             return logits, cache, start, start
 
         # one program per extras STRUCTURE (image / text-only), retraced

@@ -677,3 +677,24 @@ class TestDeadlineEviction:
         assert res["queue_depth_max"] >= 1  # 4 requests over 2 slots queued
         assert res["steps"] > 0
         assert res["evicted"] == set()
+
+
+class TestMixedImageTextOnlyPool:
+    def test_text_only_requests_in_image_engine_match_generate(
+            self, pink_setup):
+        """A text-only request served by an image-serving engine must use
+        ITS OWN vision offset (0), not the engine-level Lv — the sustained
+        mixed workload (long+vision / short text-only) depends on it."""
+        model, variables, reqs = pink_setup
+        ad = PinkAdapter(model, variables, max_prompt_len=LP,
+                         max_new_tokens=MAX_NEW, has_image=True)
+        eng = ContinuousBatchingEngine(ad, slots=2, max_new_tokens=MAX_NEW,
+                                       eos_id=EOS)
+        mixed = [reqs[0],
+                 ("text_only", {k: v for k, v in reqs[1][1].items()
+                                if k != "image_data"}),
+                 reqs[2]]
+        result = eng.run(mixed)
+        for rid, data in mixed:
+            want = _reference_tokens(model, variables, data)
+            assert result["outputs"][rid] == want, rid
