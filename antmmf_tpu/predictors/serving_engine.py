@@ -231,6 +231,13 @@ class ContinuousBatchingEngine:
         # identical to whole-prompt admission (the extend_cache ragged-row
         # equivalence; regression-tested).
         self.chunk = int(prefill_chunk) if prefill_chunk else None
+        if self.chunk:
+            # a chunk wider than the prompt budget would pad chunk 0 PAST
+            # the cache's prompt slots (the W-wide prefill writes
+            # Lv..Lv+W-1; T is sized to max_prompt) — clamp, whole-prompt
+            # admission is the natural limit case
+            self.chunk = min(self.chunk,
+                             int(getattr(adapter, "max_prompt", self.chunk)))
         self.chunks_per_step = max(1, int(chunks_per_step))
         # per-slot pending prompt chunks awaiting extend (chunked admission)
         self._slot_pending: List[Optional[Dict[str, Any]]] = [None] * slots
