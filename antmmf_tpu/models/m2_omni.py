@@ -139,6 +139,10 @@ class M2Omni(BaseModel):
     # The long-video escape hatch — >16k-token multi-frame streams shard
     # their sequence over ICI instead of OOMing one chip
     sequence_parallel: str = "none"
+    # 3D mrope (the reference scheme) — False degrades to 1D rotary over
+    # the sequential positions; ablation knob for MFU attribution
+    # (bench_llm_train m2omni_1d leg), NOT checkpoint-compatible
+    rope_3d: bool = True
     dtype_str: str = "bfloat16"
     # int8 KV cache for generate/serving: halves the per-step HBM cache read
     # (see modules/llm.init_decoder_cache); tokens may differ slightly from
@@ -159,7 +163,7 @@ class M2Omni(BaseModel):
         all_tgt = self.llm_lora_targets == "all"
         self.decoder = DecoderLM(
             num_layers=p["num_layers"], num_heads=p["num_heads"],
-            num_kv_heads=p["num_kv_heads"], rope_3d=True,
+            num_kv_heads=p["num_kv_heads"], rope_3d=self.rope_3d,
             lora_rank=self.llm_lora_rank,
             lora_targets=("q", "k", "v", "o") if all_tgt else ("q", "v"),
             lora_mlp=all_tgt, remat=self.remat, scan_layers=self.scan_layers,

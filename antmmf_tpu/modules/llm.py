@@ -675,6 +675,10 @@ class DecoderLM(nn.Module):
         # under nn.remat a per-layer table would be recomputed 2x per layer
         # in the backward as well)
         head_dim = embeds.shape[-1] // self.num_heads
+        if not self.rope_3d and positions.ndim == 3:
+            # 1D-rope ablation fed 3D position streams: use the temporal
+            # channel (== the sequential base on text rows)
+            positions = positions[..., 0]
         rope_cs = (rope_cos_sin_3d(positions, head_dim, self.rope_theta)
                    if self.rope_3d
                    else rope_cos_sin(positions, head_dim, self.rope_theta))

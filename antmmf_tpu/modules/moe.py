@@ -301,7 +301,7 @@ class MoELayer(nn.Module):
                 E, G * capacity, D)
             if G > 1 or has_expert_axis:
                 ex_in = jax.lax.with_sharding_constraint(
-                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
+                    ex_in, _expert_activation_spec(dp_spec, D))
             expert_out = expert_mlp(ex_in)  # [E, G*C, D]
             back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
             back = back.reshape(G, E * capacity, D)
@@ -328,7 +328,7 @@ class MoELayer(nn.Module):
                 E, G * capacity, D)
             if G > 1 or has_expert_axis:
                 ex_in = jax.lax.with_sharding_constraint(
-                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
+                    ex_in, _expert_activation_spec(dp_spec, D))
             expert_out = expert_mlp(ex_in)
             back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
             if G > 1:
@@ -338,6 +338,31 @@ class MoELayer(nn.Module):
             out = jnp.einsum("gtec,gecd->gtd", combine.astype(self.dtype),
                              back)
         return out.reshape(B, L, D), aux
+
+
+def _expert_activation_spec(dp_spec, D: int):
+    """PartitionSpec for the expert-major dispatched tokens [E, G·C, D].
+
+    When the mesh has an fsdp axis dividing D, the MODEL dim is sharded
+    over fsdp and the capacity dim keeps only the non-fsdp data axes — the
+    2D layout that makes every expert matmul contraction-sharded against
+    the (expert, fsdp, ·) expert kernels: forward partials reduce-scatter,
+    and each weight grad is PRODUCED fsdp-sharded. With the capacity-only
+    layout the 10B AOT materialized every MoE sublayer's full
+    [E_local, D, H] bf16 weight grad before its reduce-scatter — 17 live
+    400 MB temps, 297 MB past v5e HBM (BASELINE.md round 5)."""
+    from antmmf_tpu.parallel.partitioning import ambient_mesh
+
+    env = ambient_mesh()
+    ex = MESH_AXIS_EXPERT if _mesh_has_expert_axis() else None
+    names = (env.axis_names or ()) if env is not None else ()
+    if ("fsdp" in names and env.shape["fsdp"] > 1 and D % env.shape["fsdp"]
+            == 0):
+        axes = tuple(a for a in ((dp_spec,) if isinstance(dp_spec, str)
+                                 else tuple(dp_spec or ())) if a != "fsdp")
+        cap = axes[0] if len(axes) == 1 else (axes or None)
+        return jax.sharding.PartitionSpec(ex, cap, "fsdp")
+    return jax.sharding.PartitionSpec(ex, dp_spec, None)
 
 
 def _token_groups(batch: int) -> Tuple[int, Any]:

@@ -96,11 +96,17 @@ def run_leg(leg: str, batch: int, text_len: int, remat: bool,
         is_trainable = lambda k: any(  # noqa: E731
             t in k for t in ("lora", "adapter", "vision_proj",
                              "output_adapter"))
-    elif leg == "m2omni":
+    elif leg.startswith("m2omni"):
+        # ablation variants for MFU attribution (":qv" LoRA q/v only,
+        # ":1d" 1D rope, ":qv1d" both) — isolates the LoRA-all f32 chains
+        # vs the 3D-rope path against the pink leg's 51% MFU
+        variant = leg.split(":", 1)[1] if ":" in leg else ""
         attrs = {
             "lm_preset": "omni_1b" if on_tpu else "omni_tiny_test",
             "vit_preset": "vit_base_patch16" if on_tpu else "vit_tiny_test",
-            "image_size": size, "llm_lora_rank": 8, "llm_lora_targets": "all",
+            "image_size": size, "llm_lora_rank": 8,
+            "llm_lora_targets": "qv" if "qv" in variant else "all",
+            "rope_3d": "1d" not in variant,
             "remat": remat,
             "dtype_str": "bfloat16" if on_tpu else "float32",
         }
