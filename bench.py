@@ -180,7 +180,7 @@ def main() -> None:
         "qlora_7b_one_chip_tokens_per_sec": 2984.0,
         "qlora_7b_one_chip_mfu_pct": 50.5,
         "longvideo_48f_9664tok_tokens_per_sec": 2751.0,
-        "longvideo_64f_12800tok_tokens_per_sec": 2175.0,
+        "longvideo_64f_12800tok_tokens_per_sec": 2175.0,  # r4 (196tok/f variant)
         # round 4: Poisson mixed-length serving load (bench_serving_cb
         # --poisson, 1.5 rps, 1B-class): whole-prompt admission wins at
         # this scale (TTFT p50/p99 below); chunked stays the 7B/4k+ tool
@@ -191,7 +191,25 @@ def main() -> None:
         # round 4: MoE scatter dispatch — step-time ratio vs dense beyond
         # the paid-for expert FLOPs (bench_moe.py rework table)
         "moe_dispatch_overhead_beyond_flops_x": 1.10,
-        "source": "BASELINE.md round-2/3/4 measurements",
+        # round 5: the 80-frame long-video wall is gone — a 16.2k-token
+        # B=1 multi-frame train step runs on ONE chip (r4 OOM'd; fresh
+        # single-leg process + pos-embed broadcast fix), and past one chip
+        # the decoder has real sequence parallelism (ring over the seq
+        # mesh axis, m2_omni_longvideo.yml)
+        "longvideo_80f_16192tok_tokens_per_sec": 1769.9,
+        "longvideo_64f_13056tok_tokens_per_sec": 2163.1,
+        # round 5: sustained mixed serving (bench_serving_cb --sustained
+        # 64, 8 slots, 4 classes incl. shared-prefix + tight-deadline)
+        "serving_sustained_4rps_tokens_per_sec": 71.4,
+        "serving_sustained_4rps_ttft_p99_s": 0.180,
+        "serving_sustained_16rps_tokens_per_sec": 238.5,
+        "serving_sustained_16rps_ttft_p99_s": 0.195,
+        "serving_sustained_16rps_evicted_over_total": "6/64 (deadline class only)",
+        # round 5: AOT per-device peak at the declared meshes (abstract
+        # v5e topology backend — real HBM budget enforced at compile)
+        "aot_m2_omni_7b_peak_gb_per_device": 10.26,
+        "aot_pink_7b_peak_gb_per_device": 6.36,
+        "source": "BASELINE.md round-2/3/4/5 measurements",
     }
     if on_tpu and os.environ.get("BENCH_FULL"):
         from antmmf_tpu.scripts.bench_r2_experiments import (
