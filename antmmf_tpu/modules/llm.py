@@ -252,16 +252,22 @@ class GQAttention(nn.Module):
         B, L, C = x.shape
         n_kv = self.num_kv_heads or self.num_heads
         head_dim = self.head_dim or C // self.num_heads
+
         # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
-        # it consumes int4-packed kernels (modules/qdense.py)
-        dense = lambda f, name: QuantDense(  # noqa: E731
-            f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        # it consumes int4-packed kernels (modules/qdense.py). LoRA-frozen
+        # targets freeze the KERNEL (stop_gradient on the weight): no
+        # weight grad, but the activation gradient still flows W^T·dy —
+        # the true PEFT backward. The old output-level stop_gradient
+        # silently restricted upstream grads to the rank-r adapter path.
+        def dense(f, name):
+            frozen = (self.lora_rank > 0 and self.lora_freeze_base
+                      and name.split("_")[0] in self.lora_targets)
+            return QuantDense(f, dtype=self.dtype, param_dtype=jnp.float32,
+                              freeze=frozen, name=name)
 
         def maybe_lora(base_out, inp, feats, name):
             if self.lora_rank <= 0 or name not in self.lora_targets:
                 return base_out
-            if self.lora_freeze_base:
-                base_out = jax.lax.stop_gradient(base_out)
             a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
                            (inp.shape[-1], self.lora_rank), jnp.float32)
             b = self.param(f"{name}_lora_b", nn.initializers.zeros,
@@ -468,15 +474,17 @@ class SwiGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # QuantDense == nn.Dense(use_bias=False) at init/train; at serving
-        # it consumes int4-packed kernels (modules/qdense.py)
+        # it consumes int4-packed kernels (modules/qdense.py). Frozen base
+        # = frozen KERNEL (see GQAttention: weight grads stop, activation
+        # grads flow W^T·dy — the true PEFT backward)
+        frozen = self.lora_rank > 0 and self.lora_freeze_base
         dense = lambda f, name: QuantDense(  # noqa: E731
-            f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+            f, dtype=self.dtype, param_dtype=jnp.float32, freeze=frozen,
+            name=name)
 
         def maybe_lora(base_out, inp, feats, name):
             if self.lora_rank <= 0:
                 return base_out
-            if self.lora_freeze_base:
-                base_out = jax.lax.stop_gradient(base_out)
             a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
                            (inp.shape[-1], self.lora_rank), jnp.float32)
             b = self.param(f"{name}_lora_b", nn.initializers.zeros,

@@ -19,6 +19,24 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class _BaseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's exact names and inits so the
+    param tree stays {base: {kernel, bias}} while the caller can
+    stop-gradient the WEIGHTS (not the output)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return kernel, bias
+
+
 class LoRADense(nn.Module):
     features: int
     rank: int = 8
@@ -30,15 +48,22 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_dim = x.shape[-1]
-        base = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="base")
+        kernel, bias = _BaseParams(self.features, self.use_bias,
+                                   name="base")(in_dim)
+        if self.freeze_base:
+            # freeze the WEIGHTS, not the output: no weight grad is built,
+            # but the activation gradient still flows W^T·dy — the true
+            # PEFT/LoRA backward (an output-level stop_gradient restricts
+            # upstream grads to the rank-r path)
+            kernel = jax.lax.stop_gradient(kernel)
+            bias = None if bias is None else jax.lax.stop_gradient(bias)
         a = self.param("lora_a", nn.initializers.normal(0.02),
                        (in_dim, self.rank), jnp.float32)
         b = self.param("lora_b", nn.initializers.zeros,
                        (self.rank, self.features), jnp.float32)
-        y = base(x)
-        if self.freeze_base:
-            y = jax.lax.stop_gradient(y)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
         delta = (x @ a.astype(x.dtype)) @ b.astype(x.dtype)
         return y + delta * (self.alpha / self.rank)
 

@@ -35,14 +35,24 @@ class QuantDense(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # freeze the KERNEL (stop_gradient on the weight, NOT the output): no
+    # weight grad is ever built, but the activation gradient still flows
+    # W^T·dy through the layer — the true PEFT/LoRA backward. Stopping the
+    # OUTPUT instead (the old lora_freeze_base behavior) silently restricted
+    # upstream gradients to the rank-r adapter path.
+    freeze: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
         if self.has_variable("params", "kernel_q4"):
             q4 = self.get_variable("params", "kernel_q4")
             scale = self.get_variable("params", "kernel_scale")
             return int4_apply(x, q4, scale, self.dtype).astype(self.dtype)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), self.param_dtype)
+        if self.freeze:
+            kernel = jax.lax.stop_gradient(kernel)
         x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
         return x @ kernel

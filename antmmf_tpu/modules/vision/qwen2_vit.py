@@ -89,14 +89,29 @@ class Qwen2VisionBlock(nn.Module):
         B, L, C = x.shape
         H = self.num_heads
         hd = C // H
-        dense = lambda f, name: nn.Dense(  # noqa: E731
-            f, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        frozen = self.lora_rank > 0 and self.lora_freeze_base
+
+        def dense(f, name):
+            # frozen base = frozen KERNEL/BIAS (stop_gradient on the
+            # weights, not the output): activation grads still flow
+            # W^T·dy — the true PEFT backward. Params keep nn.Dense's
+            # exact tree ({name}/{kernel,bias}) for importer compat.
+            def apply(inp):
+                from antmmf_tpu.modules.lora import _BaseParams
+
+                kernel, bias = _BaseParams(f, True, name=name)(
+                    inp.shape[-1])
+                if frozen:
+                    kernel = jax.lax.stop_gradient(kernel)
+                    bias = jax.lax.stop_gradient(bias)
+                return (inp.astype(self.dtype) @ kernel.astype(self.dtype)
+                        + bias.astype(self.dtype))
+
+            return apply
 
         def maybe_lora(base_out, inp, feats, name):
             if self.lora_rank <= 0:
                 return base_out
-            if self.lora_freeze_base:
-                base_out = jax.lax.stop_gradient(base_out)
             a = self.param(f"{name}_lora_a", nn.initializers.normal(0.02),
                            (inp.shape[-1], self.lora_rank), jnp.float32)
             b = self.param(f"{name}_lora_b", nn.initializers.zeros,

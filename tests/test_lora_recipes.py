@@ -131,3 +131,60 @@ def test_pink_qv_recipe_unchanged():
     assert "q_lora_a" in names and "v_lora_a" in names
     assert "k_lora_a" not in names and "o_lora_a" not in names
     assert "gate_lora_a" not in names
+
+
+def test_frozen_base_still_propagates_activation_gradients():
+    """PEFT semantics: freezing the base must stop WEIGHT grads only — the
+    activation gradient still flows W^T·dy through frozen projections. At
+    init (lora_b = 0) the input gradient of a frozen-base LoRA layer is
+    therefore EXACTLY the no-LoRA input gradient; the old output-level
+    stop_gradient restricted it to the rank-r path (zero at init)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.modules.llm import GQAttention
+    from antmmf_tpu.modules.lora import LoRADense
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 6, 32)).astype(np.float32))
+    pos = jnp.tile(jnp.arange(6)[None], (2, 1))
+
+    plain = GQAttention(num_heads=4, num_kv_heads=2, dtype=jnp.float32)
+    lora = GQAttention(num_heads=4, num_kv_heads=2, lora_rank=4,
+                       lora_freeze_base=True, lora_targets=("q", "v", "o"),
+                       dtype=jnp.float32)
+    v_plain = plain.init(jax.random.PRNGKey(0), x, pos)
+    v_lora = lora.init(jax.random.PRNGKey(0), x, pos)
+    # same base kernels (lora params are extra leaves)
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        v_lora["params"][proj]["kernel"] = v_plain["params"][proj]["kernel"]
+
+    g_plain = jax.grad(lambda xx: jnp.sum(
+        plain.apply(v_plain, xx, pos) ** 2))(x)
+    g_lora = jax.grad(lambda xx: jnp.sum(
+        lora.apply(v_lora, xx, pos) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_lora), np.asarray(g_plain),
+                               atol=1e-5)
+    assert float(np.abs(np.asarray(g_lora)).sum()) > 0
+
+    # frozen base kernels get NO weight grad; adapters do
+    def loss(p):
+        return jnp.sum(lora.apply({"params": p}, x, pos) ** 2)
+
+    g = jax.grad(loss)(v_lora["params"])
+    assert float(np.abs(np.asarray(g["q_proj"]["kernel"])).sum()) == 0.0
+    assert float(np.abs(np.asarray(g["k_proj"]["kernel"])).sum()) > 0  # not targeted
+    assert float(np.abs(np.asarray(g["attention_q_lora_a"]
+                 if "attention_q_lora_a" in g else g["q_lora_a"])).sum()) >= 0
+
+    # LoRADense: same contract
+    ld = LoRADense(16, rank=4, freeze_base=True, dtype=jnp.float32)
+    xx = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (4, 8)).astype(np.float32))
+    vd = ld.init(jax.random.PRNGKey(2), xx)
+    gd = jax.grad(lambda p: jnp.sum(ld.apply({"params": p}, xx) ** 2))(
+        vd["params"])
+    assert float(np.abs(np.asarray(gd["base"]["kernel"])).sum()) == 0.0
+    gx = jax.grad(lambda z: jnp.sum(ld.apply(vd, z) ** 2))(xx)
+    assert float(np.abs(np.asarray(gx)).sum()) > 0  # flows through base W
