@@ -301,7 +301,7 @@ class MoELayer(nn.Module):
                 E, G * capacity, D)
             if G > 1 or has_expert_axis:
                 ex_in = jax.lax.with_sharding_constraint(
-                    ex_in, _expert_activation_spec(dp_spec, D))
+                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
             expert_out = expert_mlp(ex_in)  # [E, G*C, D]
             back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
             back = back.reshape(G, E * capacity, D)
@@ -328,7 +328,7 @@ class MoELayer(nn.Module):
                 E, G * capacity, D)
             if G > 1 or has_expert_axis:
                 ex_in = jax.lax.with_sharding_constraint(
-                    ex_in, _expert_activation_spec(dp_spec, D))
+                    ex_in, jax.sharding.PartitionSpec(ex_spec, dp_spec, None))
             expert_out = expert_mlp(ex_in)
             back = expert_out.reshape(E, G, capacity, D).transpose(1, 0, 2, 3)
             if G > 1:
@@ -340,29 +340,14 @@ class MoELayer(nn.Module):
         return out.reshape(B, L, D), aux
 
 
-def _expert_activation_spec(dp_spec, D: int):
-    """PartitionSpec for the expert-major dispatched tokens [E, G·C, D].
-
-    When the mesh has an fsdp axis dividing D, the MODEL dim is sharded
-    over fsdp and the capacity dim keeps only the non-fsdp data axes — the
-    2D layout that makes every expert matmul contraction-sharded against
-    the (expert, fsdp, ·) expert kernels: forward partials reduce-scatter,
-    and each weight grad is PRODUCED fsdp-sharded. With the capacity-only
-    layout the 10B AOT materialized every MoE sublayer's full
-    [E_local, D, H] bf16 weight grad before its reduce-scatter — 17 live
-    400 MB temps, 297 MB past v5e HBM (BASELINE.md round 5)."""
-    from antmmf_tpu.parallel.partitioning import ambient_mesh
-
-    env = ambient_mesh()
-    ex = MESH_AXIS_EXPERT if _mesh_has_expert_axis() else None
-    names = (env.axis_names or ()) if env is not None else ()
-    if ("fsdp" in names and env.shape["fsdp"] > 1 and D % env.shape["fsdp"]
-            == 0):
-        axes = tuple(a for a in ((dp_spec,) if isinstance(dp_spec, str)
-                                 else tuple(dp_spec or ())) if a != "fsdp")
-        cap = axes[0] if len(axes) == 1 else (axes or None)
-        return jax.sharding.PartitionSpec(ex, cap, "fsdp")
-    return jax.sharding.PartitionSpec(ex, dp_spec, None)
+# NOTE (round-5, measured): a 2D expert-activation layout (fsdp moved from
+# the capacity dim to the model dim, making the expert matmuls
+# contraction-sharded) was tried for the 10B AOT overage and REVERTED: at
+# GShard capacity scales the forward partial-sum all-reduces materialize
+# [E_local, G*C/data, H] bf16 per MoE layer — 6.27 GB each on the 10B
+# config, 52 GB total (vs 16.04 GB before). Weight-gather is the right
+# direction when capacity rows >> expert weights; the overage is handled
+# by microbatch sizing instead (gradient_accumulation_steps).
 
 
 def _token_groups(batch: int) -> Tuple[int, Any]:
