@@ -143,10 +143,15 @@ def main() -> None:
         # round 4: LLM-family TRAIN steps on the chip (bench_llm_train.py,
         # omni_1b + ViT-B/16@224, LoRA PEFT, B=8 stream 708, remat off —
         # BASELINE.md round-4 table)
-        "pink_train_stream_tokens_per_sec": 20385.2,
+        "pink_train_stream_tokens_per_sec": 20385.2,  # r4, remat off
         "pink_train_mfu_pct": 52.5,
-        "m2omni_lora_train_stream_tokens_per_sec": 18811.0,
+        "m2omni_lora_train_stream_tokens_per_sec": 18811.0,  # r4, remat off
         "m2omni_lora_train_mfu_pct": 39.0,
+        # round 5: CORRECTED PEFT backward (freeze kernels, not outputs —
+        # activation grads flow W^T.dy through frozen projections; the old
+        # numbers above ran a semantically pruned backward). remat on.
+        "pink_train_fixed_peft_mfu_pct": 49.1,
+        "m2omni_train_fixed_peft_mfu_pct": 46.8,
         # round 3 serving engine (bench_serving_cb.py, 16 Pink omni_1b
         # requests, heterogeneous 8/16/32-token budgets, 8 slots, one chip;
         # same-run comparison): continuous batching with 8-token decode
