@@ -152,6 +152,8 @@ def main() -> None:
         # numbers above ran a semantically pruned backward). remat on.
         "pink_train_fixed_peft_mfu_pct": 49.1,
         "m2omni_train_fixed_peft_mfu_pct": 46.8,
+        "qlora_7b_fixed_peft_tokens_per_sec": 3146.5,
+        "qlora_7b_fixed_peft_mfu_pct": 55.4,
         # round 3 serving engine (bench_serving_cb.py, 16 Pink omni_1b
         # requests, heterogeneous 8/16/32-token budgets, 8 slots, one chip;
         # same-run comparison): continuous batching with 8-token decode
