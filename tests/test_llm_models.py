@@ -162,3 +162,30 @@ def test_m2_omni_llm_lora():
     leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
     lora = [p for p, _ in leaves if "lora" in str(p).lower()]
     assert lora, "expected LoRA params in the decoder"
+
+
+def test_m2omni_rope1d_ablation_attr():
+    """rope_3d=False (the MFU-attribution ablation) runs the spliced
+    forward with 1D rotary over the temporal channel and changes logits
+    vs the 3D default (same params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from antmmf_tpu.models.m2_omni import M2Omni
+
+    kw = dict(lm_preset="omni_tiny_test", vit_preset="vit_tiny_test",
+              image_size=32, image_token_id=999, dtype_str="float32")
+    m3 = M2Omni(**kw)
+    m1 = M2Omni(rope_3d=False, **kw)
+    rng = np.random.default_rng(0)
+    ids = np.concatenate([np.full((2, 4), 999), rng.integers(4, 900, (2, 8))],
+                         axis=1).astype(np.int32)
+    batch = {"input_ids": ids, "input_mask": np.ones_like(ids),
+             "image_data": rng.standard_normal((2, 1, 32, 32, 3)).astype(
+                 np.float32)}
+    variables = m3.init(jax.random.PRNGKey(0), batch)
+    out3 = m3.apply(variables, batch)["logits"]
+    out1 = m1.apply(variables, batch)["logits"]
+    assert np.isfinite(np.asarray(out1)).all()
+    assert not np.allclose(np.asarray(out3), np.asarray(out1))
