@@ -178,7 +178,16 @@ class M2OmniAdapter:
             self.variables, tokens, mask, extras, reserve)
         # first leaf is "k": [..., T, head_dim] in both the list layout
         # ([B, H, T, D]) and the scan_layers stacked one ([L, B, H, T, D])
-        self.T = jax.tree_util.tree_leaves(cache)[0].shape[-2]
+        T = jax.tree_util.tree_leaves(cache)[0].shape[-2]
+        if self.T is not None and T != self.T:
+            raise ValueError(
+                f"M2Omni prefill produced cache length {T} != pooled {self.T}"
+                " — M2Omni sizes the cache from the SPLICED prompt length,"
+                " so every request in one engine must pad input_ids to one"
+                " fixed length (vision embeddings replace placeholder slots"
+                " in place; a different prompt width means a different row"
+                " shape that cannot join the slot pool)")
+        self.T = T
         return logits, cache, lens_full, next_p
 
     def decode(self, variables, token, rope, slot, cache):
