@@ -178,7 +178,8 @@ def test_retrieval_quality_band_corpus_scale():
 
     from antmmf_tpu.models.base_model import build_model
 
-    N = 512
+    N, B = 512, 64  # contrastive breadth is decisive at this corpus size:
+    # B=16 plateaued at r1≈1% after 400 steps; B=64 reached 99.4% by 800
     shell = build_model({"model_attributes": {"univl_retrieval": {
         "vit_preset": "vit_tiny_test", "bert_preset": "bert_tiny_test",
         "image_size": SIZE, "embed_dim": 32, "dtype_str": "float32"}}})
@@ -202,12 +203,12 @@ def test_retrieval_quality_band_corpus_scale():
 
     params = variables["params"]
     order = np.random.default_rng(7)
-    for it in range(400):
-        idx = order.choice(N, BATCH, replace=False)
+    for it in range(1000):
+        idx = order.choice(N, B, replace=False)
         params, opt_state, loss = step(
             params, opt_state, _batch(videos, ids, mask, idx),
             jax.random.PRNGKey(it))
     rec = _recalls(shell, {"params": params}, (videos, ids, mask))
-    # looser bands at 8x the corpus with only 3.3x the steps
-    assert rec["r1"] >= 50.0, rec
-    assert rec["r5"] >= 80.0, rec
+    # calibrated 99.4-100% at step 800-1200; loose bands for numeric drift
+    assert rec["r1"] >= 85.0, rec
+    assert rec["r5"] >= 95.0, rec
