@@ -58,6 +58,16 @@ def main(argv=None) -> None:
                    help="registry name; default from predictor_parameters")
     p.add_argument("--input", default=None, help="JSON request file or '-'")
     p.add_argument("--batch", default=None, help="jsonl file of requests")
+    p.add_argument("--engine", default=None, metavar="REQS_JSONL",
+                   help="serve generation requests through the "
+                        "continuous-batching engine (slot-pooled decode, "
+                        "per-request budgets/deadlines): jsonl rows "
+                        "{id, input_ids, max_new?, deadline_s?, stop?, "
+                        "do_sample?/temperature?/top_p?/seed?, image?} — "
+                        "one JSON result per request + a stats line")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--step_tokens", type=int, default=8)
+    p.add_argument("--max_new", type=int, default=32)
     p.add_argument("--no_ckpt", action="store_true")
     p.add_argument("opts", nargs="*", default=[],
                    help="dotted-path config overrides: key value [key value]")
@@ -79,6 +89,10 @@ def main(argv=None) -> None:
         raise SystemExit(f"Unknown predictor {name!r}")
     cfg = dict(config)
     cfg["predictor_parameters"] = pp
+
+    if args.engine:
+        _serve_engine(cfg, args, with_ckpt=not args.no_ckpt)
+        return
     predictor = cls(cfg).load(with_ckpt=not args.no_ckpt)
 
     if args.batch:
@@ -93,6 +107,94 @@ def main(argv=None) -> None:
     else:
         req = _load_request(args.input or "-")
         print(json.dumps(_jsonable(predictor.predict(req))))
+
+
+def _serve_engine(cfg, args, with_ckpt: bool) -> None:
+    """Continuous-batching serving from the shell: builds the configured
+    LLM model (pink / m2_omni model_attributes), binds its engine adapter,
+    feeds every request through the slot pool, prints one JSON result per
+    request (tokens + TTFT/latency + evicted flag) and a final stats line
+    — the reference's one-request-at-a-time HF-generate serving pattern
+    (prj/Pink/pink/eval/model_vqav2.py:141) upgraded to a real queue."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from antmmf_tpu.models.base_model import build_model
+    from antmmf_tpu.predictors.serving_engine import (
+        ContinuousBatchingEngine,
+        M2OmniAdapter,
+        PinkAdapter,
+    )
+
+    reqs = [json.loads(line) for line in open(args.engine) if line.strip()]
+    if not reqs:
+        raise SystemExit("no requests in --engine file")
+    shell = build_model(cfg)
+    model = shell.module
+    model_key = type(model).__name__
+    prompt_len = max(len(r["input_ids"]) for r in reqs)
+
+    def _to_req(i, r):
+        ids = np.asarray(r["input_ids"], np.int32)
+        d = {"input_ids": ids, "input_mask": np.ones(len(ids), np.int32)}
+        for k in ("max_new", "deadline_s", "stop", "do_sample",
+                  "temperature", "top_p", "seed", "session"):
+            if k in r:
+                d[k] = r[k]
+        if r.get("image"):
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(r["image"]), cv2.COLOR_BGR2RGB)
+            size = int(getattr(model, "image_size", 224))
+            img = cv2.resize(img, (size, size)).astype(np.float32) / 255.0
+            d["image_data"] = img
+        return r.get("id", f"req{i}"), d
+
+    init_req = dict(_to_req(0, reqs[0])[1])
+    init_batch = {"input_ids": jnp.asarray(init_req["input_ids"])[None],
+                  "input_mask": jnp.asarray(init_req["input_mask"])[None]}
+    if "image_data" in init_req:
+        init_batch["image_data"] = jnp.asarray(init_req["image_data"])[None]
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)
+    pp = dict(cfg.get("predictor_parameters", {}) or {})
+    model_dir = pp.get("model_dir")
+    if with_ckpt and model_dir:
+        import glob
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from antmmf_tpu.common.checkpoint import merge_params_tolerant
+
+        cands = sorted(glob.glob(os.path.join(model_dir, "*_final"))) or \
+            sorted(glob.glob(os.path.join(model_dir, "models", "best")))
+        if cands:
+            with ocp.PyTreeCheckpointer() as ck:
+                raw = ck.restore(os.path.abspath(cands[-1]))
+            variables, _ = merge_params_tolerant(
+                variables, raw.get("variables", raw))
+    eos = int(pp.get("eos_id", -1))
+    ad_cls = M2OmniAdapter if model_key == "M2Omni" else PinkAdapter
+    ad = ad_cls(model, variables, max_prompt_len=prompt_len,
+                max_new_tokens=args.max_new,
+                has_image=any("image" in r for r in reqs))
+    engine = ContinuousBatchingEngine(
+        ad, slots=args.slots, max_new_tokens=args.max_new, eos_id=eos,
+        step_tokens=args.step_tokens)
+    t0 = time.perf_counter()
+    res = engine.run([_to_req(i, r) for i, r in enumerate(reqs)])
+    for rid, toks in res["outputs"].items():
+        print(json.dumps({
+            "id": rid, "tokens": [int(t) for t in toks],
+            "evicted": rid in res["evicted"],
+            "latency_s": round(engine._latency.get(rid, 0.0), 4)}))
+    print(json.dumps({
+        "stats": {k: (round(v, 4) if isinstance(v, float) else v)
+                  for k, v in res.items()
+                  if k not in ("outputs", "cancelled", "evicted")},
+        "wall_s": round(time.perf_counter() - t0, 3)}))
 
 
 if __name__ == "__main__":

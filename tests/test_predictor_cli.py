@@ -61,3 +61,43 @@ def test_cli_serving_config_with_overrides(capsys):
               "model_attributes.univl_retrieval.token_merge_r", "1"])
     out = _json.loads(capsys.readouterr().out.strip())
     assert out
+
+
+def test_cli_engine_mode(tmp_path, capsys):
+    """--engine serves a jsonl of generation requests through the
+    continuous-batching engine from the shell: one JSON per request
+    (tokens, eviction flag, latency) + a stats line."""
+    import json as _json
+
+    import numpy as np
+
+    from antmmf_tpu.predictors import cli
+
+    cfg = tmp_path / "serve.yml"
+    cfg.write_text(
+        "model_attributes:\n"
+        "  pink:\n"
+        "    lm_preset: omni_tiny_test\n"
+        "    vit_preset: vit_tiny_test\n"
+        "    image_size: 32\n"
+        "    dtype_str: float32\n")
+    rng = np.random.default_rng(0)
+    reqs = tmp_path / "reqs.jsonl"
+    with open(reqs, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({
+                "id": f"r{i}",
+                "input_ids": [int(t) for t in rng.integers(5, 40, 6)],
+                "max_new": 3,
+                **({"deadline_s": 0.0} if i == 2 else {}),
+            }) + "\n")
+    cli.main(["--config", str(cfg), "--engine", str(reqs), "--slots", "2",
+              "--step_tokens", "1", "--max_new", "3", "--no_ckpt"])
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    results = {l["id"]: l for l in lines if "id" in l}
+    stats = [l for l in lines if "stats" in l][0]
+    assert set(results) == {"r0", "r1", "r2"}
+    assert len(results["r0"]["tokens"]) == 3
+    assert results["r2"]["evicted"] is True  # 0-second deadline
+    assert stats["stats"]["total_tokens"] >= 6
