@@ -212,6 +212,24 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
 
 _RESIDENT_MAX_L = 8192
 
+# Grid-kernel block sizes at long L (callers passing the 128x128 defaults
+# are bumped): the 3-D grid pays per-grid-step overhead on B*H x Lq/bq x
+# Lk/bk tiny steps, so bigger tiles win big — MEASURED at L=9920 causal
+# fwd+bwd (B=1, H=16, D=128, v5e): 128x128 435 ms, 256x256 72.7, 512x512
+# **50.4 ms (8.6x)**; 1024x256 53.9 regresses (BASELINE.md round-5 flash
+# table). VMEM stays comfortable: the grid form keeps ONE (block, D) tile
+# of each operand resident per step.
+GRID_BLOCK_Q = 512
+GRID_BLOCK_K = 512
+
+
+def _grid_blocks(block_q: int, block_k: int) -> tuple:
+    if block_q == DEFAULT_BLOCK_Q:
+        block_q = GRID_BLOCK_Q
+    if block_k == DEFAULT_BLOCK_K:
+        block_k = GRID_BLOCK_K
+    return block_q, block_k
+
 def _fwd_kernel_resident(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale,
                 block_k, causal):
     q = q_ref[0]  # [BQ, D] — input dtype (bf16 on TPU: full-rate MXU)
@@ -492,6 +510,7 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
     if max(Lq, Lk) <= _RESIDENT_MAX_L:
         return _flash_fwd_resident(q, k, v, bias, scale, block_q, block_k,
                                    interpret, causal)
+    block_q, block_k = _grid_blocks(block_q, block_k)
     return _flash_fwd_grid(q, k, v, bias, scale, block_q, block_k,
                            interpret, causal)
 
@@ -551,6 +570,7 @@ def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret,
     if max(Lq, Lk) <= _RESIDENT_MAX_L:
         return _flash_bwd_resident(q, k, v, bias, out, lse, g, scale,
                                    block_q, block_k, interpret, causal)
+    block_q, block_k = _grid_blocks(block_q, block_k)
     return _flash_bwd_grid(q, k, v, bias, out, lse, g, scale, block_q,
                            block_k, interpret, causal)
 

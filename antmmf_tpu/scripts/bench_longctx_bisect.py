@@ -36,14 +36,25 @@ def main() -> None:
     L = args.L
     print(json.dumps({"backend": jax.default_backend(), "L": L}), flush=True)
 
-    def leg(name, fn):
+    def leg(name, fn, steps: int = 3):
+        """Compile + TIME each sub-graph — the per-component wall table
+        that attributes the B=1 long-video step time (round-5: the 3.5-5.6%
+        'MFU' numbers undercount pallas custom-call flops, so wall
+        attribution is the honest lens)."""
         try:
             t0 = time.perf_counter()
             out = fn()
-            out.block_until_ready()
+            jax.block_until_ready(out)
+            compile_s = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            for _ in range(steps):
+                out = fn()
+            jax.block_until_ready(out)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])  # force via relay
+            ms = (time.perf_counter() - t1) / steps * 1e3
             print(json.dumps({"leg": name, "ok": True,
-                              "compile_s": round(time.perf_counter() - t0,
-                                                 1)}), flush=True)
+                              "compile_s": round(compile_s, 1),
+                              "ms_per_call": round(ms, 1)}), flush=True)
         except Exception as e:
             print(json.dumps({"leg": name, "ok": False,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
@@ -62,7 +73,8 @@ def main() -> None:
             return flash_attention(q, q, q, bias=bias, causal=True).astype(
                 jnp.float32).sum()
 
-        leg("flash_bias", lambda: jax.jit(jax.grad(loss))(q))
+        jf = jax.jit(jax.grad(loss))
+        leg("flash_bias", lambda: jf(q))
 
     if "decoder" in legs or "decoder_loss" in legs:
         from antmmf_tpu.models.m2_omni import LM_PRESETS
@@ -85,8 +97,8 @@ def main() -> None:
                 return dec.apply(v, emb, positions, mask).astype(
                     jnp.float32).sum()
 
-            leg("decoder", lambda: jax.jit(jax.grad(dloss, argnums=1))(
-                dvars, embeds))
+            jd = jax.jit(jax.grad(dloss, argnums=1))
+            leg("decoder", lambda: jd(dvars, embeds))
 
         if "decoder_loss" in legs:
             V = p["vocab_size"]
@@ -102,8 +114,8 @@ def main() -> None:
                                            -1)[..., 0]
                 return nll.mean()
 
-            leg("decoder_loss", lambda: jax.jit(jax.grad(
-                dlloss, argnums=1))(dvars, embeds, head))
+            jdl = jax.jit(jax.grad(dlloss, argnums=1))
+            leg("decoder_loss", lambda: jdl(dvars, embeds, head))
 
     if "tower_splice" in legs:
         from antmmf_tpu.models.base_model import build_model
@@ -132,7 +144,8 @@ def main() -> None:
                 deterministic=True)
             return emb.astype(jnp.float32).sum() + pos.sum()
 
-        leg("tower_splice", lambda: jax.jit(tloss)(variables, batch))
+        jt = jax.jit(tloss)
+        leg("tower_splice", lambda: jt(variables, batch))
 
 
 if __name__ == "__main__":

@@ -145,14 +145,14 @@ def test_grid_kernels_match_resident(monkeypatch):
         _rand((B, H, L, D), 5)
     mask = jnp.ones((B, L)).at[:, L - 9:].set(0)
 
-    def run(causal):
+    def run(causal, bq=64, bk=64):
         def loss(q, k, v):
             return fa.flash_attention(
                 q, k, v, bias=_kv_bias(mask), interpret=True,
-                block_q=64, block_k=64, causal=causal).sum()
+                block_q=bq, block_k=bk, causal=causal).sum()
 
         out = fa.flash_attention(q, k, v, bias=_kv_bias(mask),
-                                 interpret=True, block_q=64, block_k=64,
+                                 interpret=True, block_q=bq, block_k=bk,
                                  causal=causal)
         grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         return out, grads
@@ -161,9 +161,14 @@ def test_grid_kernels_match_resident(monkeypatch):
         monkeypatch.setattr(fa, "_RESIDENT_MAX_L", 8192)
         ref_out, ref_grads = run(causal)
         monkeypatch.setattr(fa, "_RESIDENT_MAX_L", 64)  # force grid kernels
-        out, grads = run(causal)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
-                                   rtol=2e-5, atol=2e-5)
-        for g, rg in zip(grads, ref_grads):
-            np.testing.assert_allclose(np.asarray(g), np.asarray(rg),
-                                       rtol=2e-4, atol=2e-4)
+        # 64x64 explicit AND the long-L production config (512x512 — the
+        # defaults are bumped to GRID_BLOCK_* past _RESIDENT_MAX_L, which
+        # measured 8.6x over 128x128 on chip; blocks wider than L exercise
+        # the padding path)
+        for bq, bk in ((64, 64), (512, 512)):
+            out, grads = run(causal, bq, bk)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                       rtol=2e-5, atol=2e-5)
+            for g, rg in zip(grads, ref_grads):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(rg),
+                                           rtol=2e-4, atol=2e-4)
