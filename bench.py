@@ -203,8 +203,12 @@ def main() -> None:
         # single-leg process + pos-embed broadcast fix), and past one chip
         # the decoder has real sequence parallelism (ring over the seq
         # mesh axis, m2_omni_longvideo.yml)
-        "longvideo_80f_16192tok_tokens_per_sec": 1769.9,
-        "longvideo_64f_13056tok_tokens_per_sec": 2163.1,
+        "longvideo_80f_16192tok_tokens_per_sec": 1769.9,  # pre flash fix
+        "longvideo_64f_13056tok_tokens_per_sec": 2163.1,  # pre flash fix
+        # round 5: 512x512 grid-block flash fix (8.6x kernel at L=9920;
+        # BASELINE.md round-5 sweep table)
+        "longvideo_48f_9920tok_tokens_per_sec_fixed": 7396.5,
+        "longvideo_80f_16192tok_tokens_per_sec_fixed": 5739.2,
         # round 5: sustained mixed serving (bench_serving_cb --sustained
         # 64, 8 slots, 4 classes incl. shared-prefix + tight-deadline)
         "serving_sustained_4rps_tokens_per_sec": 71.4,
