@@ -211,6 +211,19 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _RESIDENT_MAX_L = 8192
+# The resident form stages full K/V per q block, so its compile ceiling
+# scales with L*D, not L: at D=64 it compiles at 8192 and crashes at 9664
+# (round-4 sweep); at D=128 it compiles at 6144 and crashes at 7168+
+# (round-5, reproduced in two sessions). Route by elements-per-head with
+# the safe D=128 ceiling: resident iff max(L)*D <= 4096*128 — keeps the
+# round-4 behavior for D=64 towers (<=8192) and moves the 6144-8192 D=128
+# band to the grid form (length-independent VMEM, ~equal speed at the
+# 512-block config).
+_RESIDENT_MAX_ELEMS = 4096 * 128
+
+
+def _use_resident(L: int, D: int) -> bool:
+    return L <= _RESIDENT_MAX_L and L * D <= _RESIDENT_MAX_ELEMS
 
 # Grid-kernel block sizes at long L (callers passing the 128x128 defaults
 # are bumped): the 3-D grid pays per-grid-step overhead on B*H x Lq/bq x
@@ -507,7 +520,7 @@ def _k_index_maps(H: int, block_q: int, block_k: int, causal: bool):
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, interpret, causal):
     Lq, Lk = q.shape[2], k.shape[2]
-    if max(Lq, Lk) <= _RESIDENT_MAX_L:
+    if _use_resident(max(Lq, Lk), q.shape[3]):
         return _flash_fwd_resident(q, k, v, bias, scale, block_q, block_k,
                                    interpret, causal)
     block_q, block_k = _grid_blocks(block_q, block_k)
@@ -567,7 +580,7 @@ def _flash_fwd_grid(q, k, v, bias, scale, block_q, block_k, interpret, causal):
 def _flash_bwd(q, k, v, bias, out, lse, g, scale, block_q, block_k, interpret,
                causal):
     Lq, Lk = q.shape[2], k.shape[2]
-    if max(Lq, Lk) <= _RESIDENT_MAX_L:
+    if _use_resident(max(Lq, Lk), q.shape[3]):
         return _flash_bwd_resident(q, k, v, bias, out, lse, g, scale,
                                    block_q, block_k, interpret, causal)
     block_q, block_k = _grid_blocks(block_q, block_k)
