@@ -208,6 +208,7 @@ def main() -> None:
         # round 5: 512x512 grid-block flash fix (8.6x kernel at L=9920;
         # BASELINE.md round-5 sweep table)
         "longvideo_48f_9920tok_tokens_per_sec_fixed": 7396.5,
+        "longvideo_64f_13056tok_tokens_per_sec_fixed": 6430.4,
         "longvideo_80f_16192tok_tokens_per_sec_fixed": 5739.2,
         # round 5: sustained mixed serving (bench_serving_cb --sustained
         # 64, 8 slots, 4 classes incl. shared-prefix + tight-deadline)
