@@ -190,11 +190,11 @@ class ExpertMlp(nn.Module):
         w2 = self.param("w2", nn.initializers.normal(0.02),
                         (E, self.hidden_dim, D), self.param_dtype)
         b2 = self.param("b2", nn.initializers.zeros, (E, 1, D), self.param_dtype)
-        # the declared rule shards dim 1 of BOTH kernels
-        # (.*experts/w[0-9]+$ → ["expert", "fsdp", null]): w1's input dim,
-        # w2's hidden dim
-        w1 = self._pin(w1, 1)
-        w2 = self._pin(w2, 1)
+        # NOTE: a use-site _pin of w1/w2 to their declared placement (hoping
+        # the constraint's transpose would shard the weight grads at birth)
+        # was measured USELESS on the real v5e AOT (identical 296.64 MB
+        # overage with and without) and implicated in an 86 GB CPU-backend
+        # accounting blowup — removed; placement comes from the param rules
         h = jnp.einsum("ecd,edh->ech", x.astype(self.dtype), w1.astype(self.dtype))
         h = self.activation(h + b1.astype(self.dtype))
         out = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype))
